@@ -1,0 +1,375 @@
+"""QTensor: the TPU-native device representation of quantized weights.
+
+ggml's block formats are byte-packed for CPU SIMD (nibble interleaves, 6-bit
+packed scale fields — see /root/reference/cpp/ggml/src/ggml-common.h).  On TPU
+we want lane-aligned (last dim multiple of 128) planar arrays that a Pallas
+kernel can unpack with a shift/mask on the VPU while the MXU does the matmul.
+
+At load time every GGUF block format is *losslessly* repacked into:
+
+    value[r, c] = q[r, c] * scales[r, c // group]  -  mins[r, c // group]
+
+with payload ``qw`` either
+
+    kind="i4p"  uint8 [out, in // 2]  two 4-bit codes per byte along `in`
+                (byte b → elements 2b (low nibble) and 2b+1 (high nibble))
+    kind="i8"   int8  [out, in]
+    kind="dense" bf16/f32 [out, in]   (no scales)
+
+``scales``/``mins`` are float32 (exact: ggml scale products like f16(d) * 6-bit
+int need 17 mantissa bits, so f32 reproduces dequantization bit-for-bit).
+
+Format mapping (group = elements per scale):
+    Q4_0 → i4p g32 (scale=d,      min=8d)       Q4_1 → i4p g32 (scale=d, min=-m)
+    Q4_K → i4p g32 (scale=d*sc,   min=dmin*m)   Q2_K → i4p g16 (affine)
+    Q3_K → i4p g16 (q+4, min=4*scale)
+    Q5_0/Q5_1/Q5_K → i8 (5-bit codes)           Q6_K → i8 g16 symmetric
+    Q8_0 → i8 g32 symmetric                     IQ4_NL/XS → i8 codebook values
+    F32/F16/BF16 → dense
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any, Optional
+
+import numpy as np
+
+try:  # allow pure-numpy use (tools, tests) without jax installed/initialized
+    import jax
+    import jax.numpy as jnp
+except Exception:  # pragma: no cover
+    jax = None
+    jnp = None
+
+from booster_tpu.gguf.constants import GGMLType, QK_K, TYPE_TRAITS
+from booster_tpu.quant import formats as F
+from booster_tpu.quant.formats import IQ4NL_KVALUES, _blocks, _f16, _kscales_6bit
+
+
+@dataclass
+class QTensor:
+    """Quantized 2-D weight [out_features, in_features] in TPU layout.
+
+    Arrays may be numpy (host) or jax (device).  Registered as a JAX pytree so
+    it can flow through jit/pjit/shard_map directly.
+    """
+
+    kind: str  # "i4p" | "i8" | "dense"
+    qw: Any  # payload, see module docstring
+    scales: Optional[Any]  # f32 [out, in//group] or None for dense
+    mins: Optional[Any]  # f32 [out, in//group] or None
+    group: int  # elements per scale group
+    shape: tuple[int, int]  # logical (out, in) before padding
+    source_type: GGMLType  # original GGUF type
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[1]
+
+    def astype_device(self):
+        """Move payload arrays to jax (device) arrays."""
+        to = jnp.asarray
+        return replace(
+            self,
+            qw=to(self.qw),
+            scales=None if self.scales is None else to(self.scales),
+            mins=None if self.mins is None else to(self.mins),
+        )
+
+    @property
+    def nbytes(self) -> int:
+        n = self.qw.size * self.qw.dtype.itemsize
+        if self.scales is not None:
+            n += self.scales.size * self.scales.dtype.itemsize
+        if self.mins is not None:
+            n += self.mins.size * self.mins.dtype.itemsize
+        return int(n)
+
+
+def _tree_flatten(qt: QTensor):
+    children = (qt.qw, qt.scales, qt.mins)
+    aux = (qt.kind, qt.group, qt.shape, qt.source_type)
+    return children, aux
+
+
+def _tree_unflatten(aux, children):
+    kind, group, shape, source_type = aux
+    qw, scales, mins = children
+    return QTensor(kind, qw, scales, mins, group, shape, source_type)
+
+
+if jax is not None:
+    jax.tree_util.register_pytree_node(QTensor, _tree_flatten, _tree_unflatten)
+
+
+# --------------------------------------------------------------------------
+# Repacking: GGUF raw bytes -> QTensor (host-side numpy, done once at load)
+# --------------------------------------------------------------------------
+
+
+def _pack_nibbles_planar(q: np.ndarray) -> np.ndarray:
+    """[rows, cols] uint8 (values 0..15) → [rows, cols//2], elem 2b in low nibble."""
+    assert q.shape[-1] % 2 == 0
+    return (q[..., 0::2] | (q[..., 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_nibbles_planar(p: np.ndarray) -> np.ndarray:
+    """Inverse of _pack_nibbles_planar (numpy)."""
+    rows, half = p.shape
+    out = np.empty((rows, half * 2), dtype=np.uint8)
+    out[:, 0::2] = p & 0x0F
+    out[:, 1::2] = p >> 4
+    return out
+
+
+def _repack_q4_0(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q4_0].type_size)
+    d = _f16(b[:, 0:2]).reshape(out_f, in_f // 32)
+    qs = b[:, 2:18]
+    q = np.concatenate([(qs & 0x0F), (qs >> 4)], axis=1)  # block order 0..31
+    q = q.reshape(out_f, in_f)
+    return QTensor("i4p", _pack_nibbles_planar(q), d, 8.0 * d, 32, (out_f, in_f), GGMLType.Q4_0)
+
+
+def _repack_q4_1(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q4_1].type_size)
+    d = _f16(b[:, 0:2]).reshape(out_f, in_f // 32)
+    m = _f16(b[:, 2:4]).reshape(out_f, in_f // 32)
+    qs = b[:, 4:20]
+    q = np.concatenate([(qs & 0x0F), (qs >> 4)], axis=1).reshape(out_f, in_f)
+    return QTensor("i4p", _pack_nibbles_planar(q), d, -m, 32, (out_f, in_f), GGMLType.Q4_1)
+
+
+def _repack_q8_0(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q8_0].type_size)
+    d = _f16(b[:, 0:2]).reshape(out_f, in_f // 32)
+    q = b[:, 2:34].view(np.int8).reshape(out_f, in_f).copy()
+    return QTensor("i8", q, d, None, 32, (out_f, in_f), GGMLType.Q8_0)
+
+
+def _repack_q5_0(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q5_0].type_size)
+    d = _f16(b[:, 0:2]).reshape(out_f, in_f // 32)
+    h = F._q5_high_bits(b[:, 2:6])
+    qs = b[:, 6:22]
+    lo = (qs & 0x0F) | (h[:, :16] << 4)
+    hi = (qs >> 4) | (h[:, 16:] << 4)
+    q = (np.concatenate([lo, hi], axis=1).astype(np.int16) - 16).astype(np.int8)
+    return QTensor("i8", q.reshape(out_f, in_f), d, None, 32, (out_f, in_f), GGMLType.Q5_0)
+
+
+def _repack_q5_1(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q5_1].type_size)
+    d = _f16(b[:, 0:2]).reshape(out_f, in_f // 32)
+    m = _f16(b[:, 2:4]).reshape(out_f, in_f // 32)
+    h = F._q5_high_bits(b[:, 4:8])
+    qs = b[:, 8:24]
+    lo = (qs & 0x0F) | (h[:, :16] << 4)
+    hi = (qs >> 4) | (h[:, 16:] << 4)
+    q = np.concatenate([lo, hi], axis=1).astype(np.int8)
+    return QTensor("i8", q.reshape(out_f, in_f), d, -m, 32, (out_f, in_f), GGMLType.Q5_1)
+
+
+def _repack_q4_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q4_K].type_size)
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _kscales_6bit(b[:, 4:16])
+    scales = (d * sc).reshape(out_f, in_f // 32).astype(np.float32)
+    mins = (dmin * mn).reshape(out_f, in_f // 32).astype(np.float32)
+    qs = b[:, 16:144].reshape(-1, 4, 32)
+    q = np.stack([(qs & 0x0F), (qs >> 4)], axis=2).reshape(-1, 256)  # element order
+    q = q.reshape(out_f, in_f)
+    return QTensor("i4p", _pack_nibbles_planar(q), scales, mins, 32, (out_f, in_f), GGMLType.Q4_K)
+
+
+def _repack_q5_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q5_K].type_size)
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _kscales_6bit(b[:, 4:16])
+    scales = (d * sc).reshape(out_f, in_f // 32).astype(np.float32)
+    mins = (dmin * mn).reshape(out_f, in_f // 32).astype(np.float32)
+    qh = b[:, 16:48]
+    qs = b[:, 48:176].reshape(-1, 4, 32)
+    j = np.arange(4)
+    u1 = (1 << (2 * j)).astype(np.uint8)[None, :, None]
+    u2 = (1 << (2 * j + 1)).astype(np.uint8)[None, :, None]
+    qh4 = qh[:, None, :]
+    lo = (qs & 0x0F) + np.where((qh4 & u1) != 0, 16, 0).astype(np.uint8)
+    hi = (qs >> 4) + np.where((qh4 & u2) != 0, 16, 0).astype(np.uint8)
+    q = np.stack([lo, hi], axis=2).reshape(-1, 256).astype(np.int8).reshape(out_f, in_f)
+    return QTensor("i8", q, scales, mins, 32, (out_f, in_f), GGMLType.Q5_K)
+
+
+def _repack_q6_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q6_K].type_size)
+    ql = b[:, 0:128].reshape(-1, 2, 64)
+    qh = b[:, 128:192].reshape(-1, 2, 32)
+    sc = b[:, 192:208].view(np.int8).reshape(-1, 16).astype(np.float32)
+    d = _f16(b[:, 208:210])
+    l = np.arange(32)
+    q1 = (ql[:, :, l] & 0x0F) | (((qh[:, :, l] >> 0) & 3) << 4)
+    q2 = (ql[:, :, l + 32] & 0x0F) | (((qh[:, :, l] >> 2) & 3) << 4)
+    q3 = (ql[:, :, l] >> 4) | (((qh[:, :, l] >> 4) & 3) << 4)
+    q4 = (ql[:, :, l + 32] >> 4) | (((qh[:, :, l] >> 6) & 3) << 4)
+    q = np.concatenate([q1, q2, q3, q4], axis=2).astype(np.int16) - 32
+    q = q.reshape(-1, 256).astype(np.int8).reshape(out_f, in_f)
+    scales = (d * sc).reshape(out_f, in_f // 16).astype(np.float32)
+    return QTensor("i8", q, scales, None, 16, (out_f, in_f), GGMLType.Q6_K)
+
+
+def _repack_q2_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q2_K].type_size)
+    scales8 = b[:, 0:16]
+    qs = b[:, 16:80].reshape(-1, 2, 32)
+    d = _f16(b[:, 80:82])
+    dmin = _f16(b[:, 82:84])
+    shift = (2 * np.arange(4))[None, None, :, None]
+    q = ((qs[:, :, None, :] >> shift) & 3).reshape(-1, 256).astype(np.uint8)
+    scales = (d * (scales8 & 0x0F).astype(np.float32)).reshape(out_f, in_f // 16)
+    mins = (dmin * (scales8 >> 4).astype(np.float32)).reshape(out_f, in_f // 16)
+    q = q.reshape(out_f, in_f)
+    return QTensor("i4p", _pack_nibbles_planar(q), scales, mins, 16, (out_f, in_f), GGMLType.Q2_K)
+
+
+def _repack_q3_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.Q3_K].type_size)
+    hmask = b[:, 0:32]
+    qs = b[:, 32:96].reshape(-1, 2, 32)
+    packed = b[:, 96:108]
+    d = _f16(b[:, 108:110])
+    a = np.ascontiguousarray(packed).view("<u4").astype(np.uint32)
+    tmp = a[:, 2]
+    out = np.empty((packed.shape[0], 4), dtype=np.uint32)
+    out[:, 0] = (a[:, 0] & 0x0F0F0F0F) | (((tmp >> 0) & 0x03030303) << 4)
+    out[:, 1] = (a[:, 1] & 0x0F0F0F0F) | (((tmp >> 2) & 0x03030303) << 4)
+    out[:, 2] = ((a[:, 0] >> 4) & 0x0F0F0F0F) | (((tmp >> 4) & 0x03030303) << 4)
+    out[:, 3] = ((a[:, 1] >> 4) & 0x0F0F0F0F) | (((tmp >> 6) & 0x03030303) << 4)
+    sc6 = out.view(np.int8).reshape(-1, 16).astype(np.float32) - 32
+    shift = (2 * np.arange(4))[None, None, :, None]
+    q2 = ((qs[:, :, None, :] >> shift) & 3).astype(np.uint8)  # [n,2,4,32]
+    bit = (4 * np.arange(2))[None, :, None, None] + np.arange(4)[None, None, :, None]
+    hb = ((hmask[:, None, None, :] >> bit) & 1).astype(np.uint8)
+    # store q' = q2 + 4*hbit ∈ 0..7; value = scale*(q' ) - 4*scale
+    qp = (q2 + (hb << 2)).reshape(-1, 256).reshape(out_f, in_f)
+    scales = (d * sc6).reshape(out_f, in_f // 16).astype(np.float32)
+    mins = 4.0 * scales
+    return QTensor("i4p", _pack_nibbles_planar(qp), scales, mins, 16, (out_f, in_f), GGMLType.Q3_K)
+
+
+def _repack_iq4_nl(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.IQ4_NL].type_size)
+    d = _f16(b[:, 0:2]).reshape(out_f, in_f // 32)
+    qs = b[:, 2:18]
+    q = np.concatenate([IQ4NL_KVALUES[qs & 0x0F], IQ4NL_KVALUES[qs >> 4]], axis=1)
+    return QTensor("i8", q.reshape(out_f, in_f), d, None, 32, (out_f, in_f), GGMLType.IQ4_NL)
+
+
+def _repack_iq4_xs(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    b = _blocks(raw, TYPE_TRAITS[GGMLType.IQ4_XS].type_size)
+    d = _f16(b[:, 0:2])
+    scales_h = np.ascontiguousarray(b[:, 2:4]).view("<u2").astype(np.uint32)
+    scales_l = b[:, 4:8]
+    qs = b[:, 8:136].reshape(-1, 8, 16)
+    ib = np.arange(8)
+    ls_l = (scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0x0F
+    ls_h = ((scales_h >> (2 * ib)) & 3).astype(np.uint8)
+    ls = (ls_l | (ls_h << 4)).astype(np.float32) - 32
+    q = np.concatenate([IQ4NL_KVALUES[qs & 0x0F], IQ4NL_KVALUES[qs >> 4]], axis=2)
+    q = q.reshape(-1, 256).reshape(out_f, in_f)
+    scales = (d * ls).reshape(out_f, in_f // 32).astype(np.float32)
+    return QTensor("i8", q, scales, None, 32, (out_f, in_f), GGMLType.IQ4_XS)
+
+
+_REPACK = {
+    GGMLType.Q4_0: _repack_q4_0,
+    GGMLType.Q4_1: _repack_q4_1,
+    GGMLType.Q5_0: _repack_q5_0,
+    GGMLType.Q5_1: _repack_q5_1,
+    GGMLType.Q8_0: _repack_q8_0,
+    GGMLType.Q2_K: _repack_q2_k,
+    GGMLType.Q3_K: _repack_q3_k,
+    GGMLType.Q4_K: _repack_q4_k,
+    GGMLType.Q5_K: _repack_q5_k,
+    GGMLType.Q6_K: _repack_q6_k,
+    GGMLType.IQ4_NL: _repack_iq4_nl,
+    GGMLType.IQ4_XS: _repack_iq4_xs,
+}
+
+
+def repack_gguf_tensor(
+    raw: np.ndarray | bytes,
+    ggml_type: GGMLType,
+    shape: tuple[int, ...],
+    dense_dtype: str = "bfloat16",
+) -> QTensor:
+    """Raw GGUF tensor bytes → QTensor in TPU layout (host numpy arrays).
+
+    `shape` is the logical numpy shape; tensors with >2 dims are flattened to
+    [prod(leading), last] (weights are 2-D in practice).
+    """
+    if len(shape) == 1:
+        out_f, in_f = 1, shape[0]
+    else:
+        in_f = shape[-1]
+        out_f = 1
+        for s in shape[:-1]:
+            out_f *= s
+    fn = _REPACK.get(ggml_type)
+    if fn is None:
+        # dense fallback: full dequantization
+        w = F.dequantize(raw, ggml_type, shape=(out_f, in_f))
+        if jnp is not None and dense_dtype == "bfloat16":
+            w = w.astype(jnp.bfloat16) if hasattr(jnp, "bfloat16") else w
+        return QTensor("dense", w, None, None, 1, (out_f, in_f), ggml_type)
+    raw = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, (bytes, bytearray)) else raw
+    return fn(raw.view(np.uint8).ravel(), out_f, in_f)
+
+
+# --------------------------------------------------------------------------
+# Device-side dequantization (jnp reference path; Pallas kernels in ops/)
+# --------------------------------------------------------------------------
+
+
+def dequantize_qtensor_np(qt: QTensor) -> np.ndarray:
+    """Host-side float32 dequantization (numpy), for tests and golden checks."""
+    if qt.kind == "dense":
+        return np.asarray(qt.qw, dtype=np.float32)
+    if qt.kind == "i4p":
+        q = unpack_nibbles_planar(np.asarray(qt.qw)).astype(np.float32)
+    else:
+        q = np.asarray(qt.qw, dtype=np.float32)
+    out_f, in_f = qt.shape
+    s = np.repeat(np.asarray(qt.scales, dtype=np.float32), qt.group, axis=1)
+    v = q.reshape(out_f, in_f) * s
+    if qt.mins is not None:
+        v = v - np.repeat(np.asarray(qt.mins, dtype=np.float32), qt.group, axis=1)
+    return v
+
+
+def dequantize_qtensor(qt: QTensor, dtype=None):
+    """Device-side dequantization with jnp (XLA fallback path for matmuls)."""
+    dtype = dtype or jnp.bfloat16
+    if qt.kind == "dense":
+        return jnp.asarray(qt.qw, dtype=dtype)
+    out_f, in_f = qt.shape
+    if qt.kind == "i4p":
+        p = jnp.asarray(qt.qw)
+        lo = (p & 0x0F).astype(jnp.float32)
+        hi = (p >> 4).astype(jnp.float32)
+        q = jnp.stack([lo, hi], axis=-1).reshape(out_f, in_f)
+    else:
+        q = jnp.asarray(qt.qw).astype(jnp.float32)
+    g = qt.group
+    s = jnp.asarray(qt.scales)
+    v = (q.reshape(out_f, in_f // g, g) * s[:, :, None])
+    if qt.mins is not None:
+        v = v - jnp.asarray(qt.mins)[:, :, None]
+    return v.reshape(out_f, in_f).astype(dtype)
