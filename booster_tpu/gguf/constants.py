@@ -132,6 +132,14 @@ TYPE_TRAITS: dict[GGMLType, TypeTraits] = {
     GGMLType.IQ4_NL: TypeTraits(32, 2 + 16),
     # d:f16 + scales_h:u16 + scales_l[4] + 128B nibbles
     GGMLType.IQ4_XS: TypeTraits(QK_K, 2 + 2 + 4 + QK_K // 2),
+    # i-quant geometries (cataloged so mixed files open; decode lands later)
+    GGMLType.IQ2_XXS: TypeTraits(QK_K, 2 + QK_K // 8 * 2),
+    GGMLType.IQ2_XS: TypeTraits(QK_K, 2 + QK_K // 8 * 2 + QK_K // 32),
+    GGMLType.IQ2_S: TypeTraits(QK_K, 2 + QK_K // 4 + QK_K // 16),
+    GGMLType.IQ3_XXS: TypeTraits(QK_K, 2 + QK_K // 4 + QK_K // 8),
+    GGMLType.IQ3_S: TypeTraits(QK_K, 2 + QK_K // 4 + QK_K // 8 + QK_K // 32 + 4),
+    GGMLType.IQ1_S: TypeTraits(QK_K, 2 + QK_K // 8 + QK_K // 16),
+    GGMLType.IQ1_M: TypeTraits(QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32),
 }
 
 
