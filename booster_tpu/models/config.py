@@ -1,0 +1,162 @@
+"""ModelConfig: architecture hyperparameters parsed from GGUF metadata.
+
+Key set mirrors the reference's llm_load_hparams
+(/root/reference/cpp/src/llama.cpp:4912-) for the supported decoder families.
+The config is a *static* (hashable) object so it can be a jit static arg.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional
+
+# rope application styles (ggml: GGML_ROPE_TYPE_* / llama.cpp LLAMA_ROPE_TYPE_*)
+ROPE_NORM = "norm"  # rotate adjacent dim pairs (2i, 2i+1) — llama GGUF layout
+ROPE_NEOX = "neox"  # rotate split halves (i, i + d/2) — qwen2/phi/gemma/...
+ROPE_NONE = "none"
+
+# per-architecture rope style (llama.cpp llama_rope_type :18549)
+_ARCH_ROPE = {
+    "llama": ROPE_NORM,
+    "mistral": ROPE_NORM,  # (converted as llama arch in practice)
+    "deci": ROPE_NORM,
+    "baichuan": ROPE_NORM,
+    "starcoder2": ROPE_NEOX,
+    "qwen": ROPE_NEOX,
+    "qwen2": ROPE_NEOX,
+    "qwen2moe": ROPE_NEOX,
+    "qwen3": ROPE_NEOX,
+    "qwen3moe": ROPE_NEOX,
+    "phi2": ROPE_NEOX,
+    "phi3": ROPE_NEOX,
+    "gemma": ROPE_NEOX,
+    "gemma2": ROPE_NEOX,
+    "stablelm": ROPE_NEOX,
+    "gptneox": ROPE_NEOX,
+    "olmo": ROPE_NEOX,
+    "minicpm": ROPE_NORM,
+    "command-r": ROPE_NEOX,
+    "internlm2": ROPE_NORM,
+    "mixtral": ROPE_NORM,
+}
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    arch: str
+    n_layers: int
+    n_embd: int
+    n_heads: int
+    n_kv_heads: int
+    n_ff: int
+    n_vocab: int
+    n_ctx_train: int
+    head_dim: int
+    rms_eps: float = 1e-5
+    rope_base: float = 10000.0
+    rope_dim: int = 0  # 0 → head_dim
+    rope_style: str = ROPE_NORM
+    # rope scaling ("none" | "linear" | "yarn")
+    rope_scaling: str = "none"
+    rope_scale: float = 1.0
+    yarn_orig_ctx: int = 0
+    yarn_attn_factor: float = 1.0
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
+    yarn_log_mul: float = 0.0
+    # family quirks
+    tie_embeddings: bool = False
+    attn_logit_softcap: float = 0.0  # gemma2
+    final_logit_softcap: float = 0.0  # gemma2
+    sliding_window: int = 0  # 0 = disabled; gemma2 alternates per layer
+    sliding_window_pattern: int = 1  # apply SWA on layers where l % p != p-1
+    post_norms: bool = False  # gemma2 post-attention/post-ffn norms
+    embedding_scale: float = 1.0  # gemma: sqrt(n_embd)
+    logit_scale: float = 1.0
+    attn_scale: float = 0.0  # 0 → 1/sqrt(head_dim)
+    norm_eps_add_one: bool = False  # gemma rmsnorm uses (1 + w)
+    act: str = "silu"  # "silu" | "gelu"
+    qkv_bias: bool = False  # qwen2 attention biases
+    q_norm: bool = False  # qwen3: per-head q/k rmsnorm
+    # MoE
+    n_experts: int = 0
+    n_experts_used: int = 0
+    moe_ff: int = 0  # expert ffn width (defaults to n_ff)
+
+    @property
+    def gqa_groups(self) -> int:
+        return self.n_heads // self.n_kv_heads
+
+    @property
+    def rope_dims(self) -> int:
+        return self.rope_dim or self.head_dim
+
+    @classmethod
+    def from_gguf_metadata(cls, md: Mapping[str, Any]) -> "ModelConfig":
+        arch = str(md.get("general.architecture", "llama"))
+
+        def g(key: str, default=None):
+            return md.get(f"{arch}.{key}", default)
+
+        n_embd = int(g("embedding_length"))
+        n_heads = int(g("attention.head_count"))
+        n_kv = int(g("attention.head_count_kv", n_heads))
+        head_dim = int(g("attention.key_length", n_embd // n_heads))
+        n_vocab = int(g("vocab_size", 0)) or len(md.get("tokenizer.ggml.tokens", []))
+        scaling_type = str(g("rope.scaling.type", "none") or "none")
+        rope_scale = float(g("rope.scaling.factor", 0.0) or 0.0)
+        if rope_scale == 0.0:
+            linear = float(g("rope.scale_linear", 0.0) or 0.0)
+            rope_scale = linear if linear else 1.0
+            if linear and scaling_type == "none":
+                scaling_type = "linear"
+
+        quirks: dict[str, Any] = {}
+        if arch in ("gemma", "gemma2"):
+            quirks.update(
+                embedding_scale=float(n_embd) ** 0.5,
+                norm_eps_add_one=True,
+                act="gelu",
+                tie_embeddings=True,
+            )
+        if arch == "gemma2":
+            quirks.update(
+                post_norms=True,
+                attn_logit_softcap=float(g("attn_logit_softcapping", 50.0)),
+                final_logit_softcap=float(g("final_logit_softcapping", 30.0)),
+                sliding_window_pattern=2,
+                attn_scale=1.0 / (float(n_embd // n_heads) ** 0.5),
+            )
+        if arch in ("qwen2", "qwen2moe"):
+            quirks.update(qkv_bias=True)
+        if arch in ("qwen3", "qwen3moe"):
+            quirks.update(q_norm=True)
+
+        return cls(
+            arch=arch,
+            n_layers=int(g("block_count")),
+            n_embd=n_embd,
+            n_heads=n_heads,
+            n_kv_heads=n_kv,
+            n_ff=int(g("feed_forward_length")),
+            n_vocab=n_vocab,
+            n_ctx_train=int(g("context_length", 4096)),
+            head_dim=head_dim,
+            rms_eps=float(
+                g("attention.layer_norm_rms_epsilon", g("attention.layer_norm_epsilon", 1e-5))
+            ),
+            rope_base=float(g("rope.freq_base", 10000.0)),
+            rope_dim=int(g("rope.dimension_count", 0)),
+            rope_style=_ARCH_ROPE.get(arch, ROPE_NEOX),
+            rope_scaling=scaling_type,
+            rope_scale=rope_scale,
+            yarn_orig_ctx=int(g("rope.scaling.original_context_length", 0)),
+            yarn_attn_factor=float(g("rope.scaling.attn_factor", 1.0)),
+            yarn_log_mul=float(g("rope.scaling.yarn_log_multiplier", 0.0)),
+            sliding_window=int(g("attention.sliding_window", 0) or 0),
+            logit_scale=float(g("logit_scale", 1.0) or 1.0),
+            n_experts=int(g("expert_count", 0) or 0),
+            n_experts_used=int(g("expert_used_count", 0) or 0),
+            moe_ff=int(g("expert_feed_forward_length", 0) or 0),
+            **quirks,
+        )

@@ -1,0 +1,223 @@
+"""Functional decoder forward pass for the llama family (and close kin:
+mistral, qwen2/3, gemma/gemma2, phi3, mixtral-style MoE).
+
+Design: a single jit-able pure function over a pytree of (possibly quantized)
+params, with layers stacked on a leading axis and iterated with lax.scan —
+traced once regardless of depth.  The KV cache flows through as scan xs/ys.
+
+Reference behavior: build_llama / build_gemma2 / llm_build_moe_ffn in
+/root/reference/cpp/src/llama.cpp:8781-8927 (graph shape), llama_decode_internal
+:14537 (cache update ordering).  Redesigned for XLA: no per-token graph
+rebuild — one compiled prefill fn + one decode fn, static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from booster_tpu.models.config import ModelConfig
+from booster_tpu.ops.attention import attention
+from booster_tpu.ops.kv_cache import KVCache, dequant_kv, update_layer
+from booster_tpu.ops.linear import qlinear
+from booster_tpu.ops.rope import apply_rope
+from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, add_one: bool = False) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    wf = w.astype(jnp.float32)
+    if add_one:
+        wf = 1.0 + wf
+    return (normed * wf).astype(x.dtype)
+
+
+def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "gelu":
+        return jax.nn.gelu(x.astype(jnp.float32), approximate=True).astype(x.dtype)
+    return jax.nn.silu(x)
+
+
+def _moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
+    """Mixtral-style routed experts (llm_build_moe_ffn semantics: softmax over
+    all experts, take top-k, renormalize over the selected).
+
+    Correctness-first dense formulation: every expert computes every token
+    (k/E of the work is kept).  The Pallas grouped-matmul dispatch replaces
+    this on TPU.
+    """
+    E, k = cfg.n_experts, cfg.n_experts_used
+    ff = cfg.moe_ff or cfg.n_ff
+    B, T, C = x.shape
+    router_logits = qlinear(x, lp["router"])  # [B,T,E]
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)  # [B,T,k]
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    weights = jnp.zeros_like(probs).at[
+        jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], topi
+    ].set(topv)  # [B,T,E] sparse mixture weights
+
+    def expert_w(name):  # dequantize stacked expert weights → [E, out, in]
+        qt: QTensor = lp[name]
+        wd = dequantize_qtensor(qt, dtype=x.dtype)
+        return wd.reshape(E, -1, qt.in_features)
+
+    g = jnp.einsum("btc,efc->btef", x, expert_w("gate_exps"))
+    u = jnp.einsum("btc,efc->btef", x, expert_w("up_exps"))
+    h = _act(g, cfg.act) * u  # [B,T,E,ff]
+    down = expert_w("down_exps")  # [E, C, ff]
+    y = jnp.einsum("btef,ecf->btec", h, down)
+    return jnp.einsum("btec,bte->btc", y, weights.astype(y.dtype)).astype(x.dtype)
+
+
+def _layer(
+    x: jnp.ndarray,  # [B, T, C]
+    lp: dict[str, Any],
+    layer_idx: jnp.ndarray,
+    k_slice: jnp.ndarray,
+    v_slice: jnp.ndarray,
+    ks_slice: Optional[jnp.ndarray],
+    vs_slice: Optional[jnp.ndarray],
+    positions: jnp.ndarray,  # [B, T]
+    offsets: jnp.ndarray,  # [B]
+    kv_valid: jnp.ndarray,  # [B]
+    inv_freq: jnp.ndarray,
+    mscale: jnp.ndarray,
+    cfg: ModelConfig,
+):
+    B, T, C = x.shape
+    H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    q = qlinear(h, lp["wq"], lp.get("bq")).reshape(B, T, H, D)
+    k = qlinear(h, lp["wk"], lp.get("bk")).reshape(B, T, Hkv, D)
+    v = qlinear(h, lp["wv"], lp.get("bv")).reshape(B, T, Hkv, D)
+
+    if cfg.q_norm:  # qwen3: per-head rmsnorm before rope
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+
+    q = apply_rope(q, positions, inv_freq, cfg.rope_style, mscale)
+    k = apply_rope(k, positions, inv_freq, cfg.rope_style, mscale)
+
+    k_slice, v_slice, ks_slice, vs_slice = update_layer(
+        k_slice, v_slice, k, v, offsets, ks_slice, vs_slice
+    )
+
+    # sliding window: gemma2 applies SWA on even layers only
+    if cfg.sliding_window > 0:
+        if cfg.sliding_window_pattern > 1:
+            use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
+            window = jnp.where(use_swa, cfg.sliding_window, jnp.iinfo(jnp.int32).max)
+        else:
+            window = jnp.int32(cfg.sliding_window)
+    else:
+        window = None
+
+    scale = cfg.attn_scale if cfg.attn_scale > 0 else 1.0 / (D**0.5)
+    attn_out = attention(
+        q,
+        dequant_kv(k_slice, ks_slice, x.dtype),
+        dequant_kv(v_slice, vs_slice, x.dtype),
+        positions,
+        kv_valid,
+        scale=scale,
+        logit_softcap=cfg.attn_logit_softcap,
+        sliding_window=window,
+    )
+    attn_out = qlinear(attn_out.reshape(B, T, H * D), lp["wo"])
+    if cfg.post_norms:
+        attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    x = x + attn_out
+
+    h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    if cfg.n_experts > 0:
+        ffn_out = _moe_ffn(h, lp, cfg)
+    else:
+        gate = qlinear(h, lp["w_gate"])
+        up = qlinear(h, lp["w_up"])
+        ffn_out = qlinear(_act(gate, cfg.act) * up, lp["w_down"])
+    if cfg.post_norms:
+        ffn_out = rms_norm(ffn_out, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    x = x + ffn_out
+    return x, (k_slice, v_slice, ks_slice, vs_slice)
+
+
+@partial(jax.jit, static_argnames=("cfg", "last_only"))
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [B, T] int32
+    cache: KVCache,
+    last_only: bool = False,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Run the decoder; returns (logits [B, T or 1, V], updated cache).
+
+    Token positions are cache.lengths[b] + t; new KV is written at those
+    offsets, then attention sees the whole valid prefix.
+    """
+    B, T = tokens.shape
+    offsets = cache.lengths
+    positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    kv_valid = cache.lengths + T
+
+    emb = params["tok_embd"]
+    x = emb[tokens].astype(jnp.bfloat16)
+    if cfg.embedding_scale != 1.0:
+        x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
+
+    inv_freq = params["rope"]["inv_freq"]
+    mscale = params["rope"]["mscale"]
+
+    def body(x, scanned):
+        lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice = scanned
+        x, updated = _layer(
+            x, lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice,
+            positions, offsets, kv_valid, inv_freq, mscale, cfg,
+        )
+        return x, updated
+
+    scanned = (
+        params["layers"],
+        jnp.arange(cfg.n_layers, dtype=jnp.int32),
+        cache.k,
+        cache.v,
+        cache.k_scale,
+        cache.v_scale,
+    )
+    x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, scanned)
+
+    x = rms_norm(x, params["output_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    if last_only:
+        x = x[:, -1:, :]
+
+    out_w = params.get("output")
+    if out_w is not None:
+        logits = qlinear(x, out_w)
+    else:  # tied embeddings
+        logits = jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            emb.astype(jnp.bfloat16),
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    logits = logits.astype(jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    if cfg.final_logit_softcap > 0:
+        logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
+
+    new_cache = KVCache(
+        k=new_k, v=new_v, lengths=cache.lengths + T, k_scale=new_ks, v_scale=new_vs
+    )
+    return logits, new_cache
+
+
+def prefill_or_decode(params, cfg, tokens, cache, last_only=True):
+    """Convenience wrapper used by the engine; same compiled fn for both."""
+    return forward(params, cfg, tokens, cache, last_only=last_only)

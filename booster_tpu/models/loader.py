@@ -1,0 +1,204 @@
+"""Load a GGUF model into device-ready params (QTensor pytree, layers stacked).
+
+Reference analog: llm_load_tensors (/root/reference/cpp/src/llama.cpp:5899) —
+there, per-layer tensors are assigned to device buffers; here, every weight is
+repacked to the TPU QTensor layout, stacked across layers on a leading axis
+(for lax.scan), and placed on device (optionally with a NamedSharding per
+tensor role, supplied by booster_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from booster_tpu.gguf import GGMLType, GGUFReader
+from booster_tpu.models.config import ModelConfig
+from booster_tpu.ops.rope import rope_inv_freq, yarn_params
+from booster_tpu.quant import dequantize, repack_gguf_tensor
+from booster_tpu.quant.qtensor import QTensor
+from booster_tpu.tokenizer import Tokenizer
+
+log = logging.getLogger(__name__)
+
+# GGUF layer-tensor name → param key.  (naming: gguf.py TENSOR_NAMES upstream)
+_LAYER_MAP = {
+    "attn_norm.weight": "attn_norm",
+    "attn_q.weight": "wq",
+    "attn_k.weight": "wk",
+    "attn_v.weight": "wv",
+    "attn_output.weight": "wo",
+    "attn_q.bias": "bq",
+    "attn_k.bias": "bk",
+    "attn_v.bias": "bv",
+    "attn_q_norm.weight": "q_norm",
+    "attn_k_norm.weight": "k_norm",
+    "post_attention_norm.weight": "post_attn_norm",
+    "attn_post_norm.weight": "post_attn_norm",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_gate.weight": "w_gate",
+    "ffn_up.weight": "w_up",
+    "ffn_down.weight": "w_down",
+    "post_ffw_norm.weight": "post_ffn_norm",
+    "ffn_post_norm.weight": "post_ffn_norm",
+    "ffn_gate_inp.weight": "router",
+    "ffn_gate_exps.weight": "gate_exps",
+    "ffn_up_exps.weight": "up_exps",
+    "ffn_down_exps.weight": "down_exps",
+}
+
+_NORM_KEYS = {
+    "attn_norm", "ffn_norm", "q_norm", "k_norm", "post_attn_norm", "post_ffn_norm",
+}
+_BIAS_KEYS = {"bq", "bk", "bv"}
+
+
+def _stack_qtensors(qts: list[QTensor]) -> QTensor:
+    """Stack per-layer QTensors along a new leading axis (for lax.scan)."""
+    q0 = qts[0]
+    for q in qts[1:]:
+        if (q.kind, q.group, q.shape) != (q0.kind, q0.group, q0.shape):
+            raise ValueError("cannot stack heterogeneous layer tensors")
+    return QTensor(
+        kind=q0.kind,
+        qw=np.stack([np.asarray(q.qw) for q in qts]),
+        scales=None if q0.scales is None else np.stack([np.asarray(q.scales) for q in qts]),
+        mins=None if q0.mins is None else np.stack([np.asarray(q.mins) for q in qts]),
+        group=q0.group,
+        shape=q0.shape,
+        source_type=q0.source_type,
+    )
+
+
+def _split_rows(qt: QTensor, sizes: list[int]) -> list[QTensor]:
+    """Split a QTensor along the out-features axis (e.g. fused qkv → q,k,v)."""
+    out = []
+    start = 0
+    for s in sizes:
+        sl = slice(start, start + s)
+        out.append(
+            QTensor(
+                kind=qt.kind,
+                qw=np.asarray(qt.qw)[sl],
+                scales=None if qt.scales is None else np.asarray(qt.scales)[sl],
+                mins=None if qt.mins is None else np.asarray(qt.mins)[sl],
+                group=qt.group,
+                shape=(s, qt.shape[1]),
+                source_type=qt.source_type,
+            )
+        )
+        start += s
+    assert start == qt.shape[0], f"split sizes {sizes} != rows {qt.shape[0]}"
+    return out
+
+
+@dataclasses.dataclass
+class LoadedModel:
+    cfg: ModelConfig
+    params: dict[str, Any]
+    tokenizer: Tokenizer
+    metadata: dict[str, Any]
+    file_types: dict[str, GGMLType]
+
+
+def load_model(
+    path: str,
+    device_put: Optional[Callable[[Any, str], Any]] = None,
+    keep_reader: bool = False,
+) -> LoadedModel:
+    """Read a GGUF file and build the params pytree (host numpy arrays unless
+    `device_put(array, role)` is given — the parallel layer supplies one that
+    shards per role onto the mesh)."""
+    reader = GGUFReader(path)
+    cfg = ModelConfig.from_gguf_metadata(reader.metadata)
+    tokenizer = None
+    if "tokenizer.ggml.tokens" in reader.metadata:
+        tokenizer = Tokenizer.from_gguf_metadata(reader.metadata)
+
+    put = device_put or (lambda arr, role: arr)
+    file_types: dict[str, GGMLType] = {}
+
+    def load_dense(name: str, dtype=np.float32) -> Optional[np.ndarray]:
+        info = reader.tensors.get(name)
+        if info is None:
+            return None
+        file_types[name] = info.ggml_type
+        return dequantize(reader.tensor_bytes(info), info.ggml_type, shape=info.shape).astype(dtype)
+
+    def load_q(name: str) -> Optional[QTensor]:
+        info = reader.tensors.get(name)
+        if info is None:
+            return None
+        file_types[name] = info.ggml_type
+        return repack_gguf_tensor(reader.tensor_bytes(info), info.ggml_type, info.shape)
+
+    # -- global tensors ------------------------------------------------------
+    params: dict[str, Any] = {}
+    emb = load_dense("token_embd.weight", np.float32)
+    if emb is None:
+        raise ValueError("model has no token_embd.weight")
+    params["tok_embd"] = put(emb.astype(jnp.bfloat16), "embedding")
+    params["output_norm"] = put(load_dense("output_norm.weight"), "norm")
+    out_q = load_q("output.weight")
+    params["output"] = None if out_q is None else jax.tree.map(
+        lambda a: put(a, "lm_head"), out_q
+    )
+
+    rope_factors = load_dense("rope_freqs.weight")
+    inv_freq = rope_inv_freq(cfg, rope_factors)
+    pos_scale, mscale = yarn_params(cfg)
+    params["rope"] = {
+        "inv_freq": put((inv_freq * pos_scale).astype(np.float32), "norm"),
+        "mscale": put(np.float32(mscale), "norm"),
+    }
+
+    # -- per-layer tensors ---------------------------------------------------
+    layer_dicts: list[dict[str, Any]] = []
+    for i in range(cfg.n_layers):
+        prefix = f"blk.{i}."
+        lp: dict[str, Any] = {}
+        for suffix, key in _LAYER_MAP.items():
+            name = prefix + suffix
+            if name not in reader.tensors:
+                continue
+            if key in _NORM_KEYS or key in _BIAS_KEYS:
+                lp[key] = load_dense(name)
+            else:
+                lp[key] = load_q(name)
+
+        # fused projections (phi3): attn_qkv → q/k/v, ffn_up → gate/up
+        if "wq" not in lp and prefix + "attn_qkv.weight" in reader.tensors:
+            qkv = load_q(prefix + "attn_qkv.weight")
+            d_q = cfg.n_heads * cfg.head_dim
+            d_kv = cfg.n_kv_heads * cfg.head_dim
+            lp["wq"], lp["wk"], lp["wv"] = _split_rows(qkv, [d_q, d_kv, d_kv])
+        if "w_gate" not in lp and "w_up" in lp and lp["w_up"].shape[0] == 2 * cfg.n_ff:
+            lp["w_gate"], lp["w_up"] = _split_rows(lp["w_up"], [cfg.n_ff, cfg.n_ff])
+        layer_dicts.append(lp)
+
+    if not layer_dicts:
+        raise ValueError("no layers found")
+    keys = set(layer_dicts[0])
+    for i, lp in enumerate(layer_dicts):
+        if set(lp) != keys:
+            raise ValueError(f"layer {i} keys {set(lp)} differ from layer 0 {keys}")
+
+    stacked: dict[str, Any] = {}
+    for key in sorted(keys):
+        vals = [lp[key] for lp in layer_dicts]
+        if isinstance(vals[0], QTensor):
+            qt = _stack_qtensors(vals)
+            stacked[key] = jax.tree.map(lambda a: put(a, key), qt)
+        else:
+            stacked[key] = put(np.stack(vals), key)
+    params["layers"] = stacked
+
+    md = dict(reader.metadata)
+    if not keep_reader:
+        reader.close()
+    return LoadedModel(cfg=cfg, params=params, tokenizer=tokenizer, metadata=md, file_types=file_types)

@@ -1,0 +1,120 @@
+"""KV cache: static-shape per-slot ring buffers, layer-stacked for lax.scan.
+
+Design: the reference keeps one contiguous cell array with per-seq bookkeeping
+(llama_kv_cache, /root/reference/cpp/src/llama.cpp:2495-2540; slot search
+:3028).  TPU-native redesign: a statically-shaped [L, B, S, H_kv, D] tensor
+per (k, v), with per-slot write offsets — no dynamic slot search inside jit;
+the serving scheduler assigns slots.  Optional int8 quantization (the
+type_k/type_v analog) stores payload + per-(token, head) scales.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class KVCache:
+    """Pytree: k/v [L, B, S, H_kv, D] (+ scales when quantized), lengths [B]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    lengths: jnp.ndarray  # [B] int32: tokens already stored per slot
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, S, H_kv, 1] f32 when int8
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @classmethod
+    def create(
+        cls,
+        n_layers: int,
+        batch: int,
+        max_len: int,
+        n_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+        quantized: bool = False,
+    ) -> "KVCache":
+        if quantized:
+            shape = (n_layers, batch, max_len, n_kv_heads, head_dim)
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                lengths=jnp.zeros(batch, jnp.int32),
+                k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+                v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            )
+        shape = (n_layers, batch, max_len, n_kv_heads, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            lengths=jnp.zeros(batch, jnp.int32),
+        )
+
+
+def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(token, head) symmetric int8: x [B,T,H,D] → (q, scale[B,T,H,1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
+    return q, scale
+
+
+def update_layer(
+    layer_k: jnp.ndarray,  # [B, S, H, D] (cache slice for one layer)
+    layer_v: jnp.ndarray,
+    new_k: jnp.ndarray,  # [B, T, H, D]
+    new_v: jnp.ndarray,
+    offsets: jnp.ndarray,  # [B] int32 write positions
+    layer_k_scale: Optional[jnp.ndarray] = None,  # [B, S, H, 1]
+    layer_v_scale: Optional[jnp.ndarray] = None,
+):
+    """Write new tokens at per-slot offsets; returns updated slices."""
+
+    if layer_k_scale is not None:
+        qk, sk = _quantize_kv(new_k)
+        qv, sv = _quantize_kv(new_v)
+
+        def write_row(cache, scale_cache, q, s, off):
+            cache = jax.lax.dynamic_update_slice(cache, q, (off, 0, 0))
+            scale_cache = jax.lax.dynamic_update_slice(scale_cache, s, (off, 0, 0))
+            return cache, scale_cache
+
+        layer_k, layer_k_scale = jax.vmap(write_row)(layer_k, layer_k_scale, qk, sk, offsets)
+        layer_v, layer_v_scale = jax.vmap(write_row)(layer_v, layer_v_scale, qv, sv, offsets)
+        return layer_k, layer_v, layer_k_scale, layer_v_scale
+
+    def write_row(cache, new, off):
+        return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), (off, 0, 0))
+
+    layer_k = jax.vmap(write_row)(layer_k, new_k, offsets)
+    layer_v = jax.vmap(write_row)(layer_v, new_v, offsets)
+    return layer_k, layer_v, None, None
+
+
+def dequant_kv(q: jnp.ndarray, scale: Optional[jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    if scale is None:
+        return q.astype(dtype)
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _flatten(c: KVCache):
+    return (c.k, c.v, c.lengths, c.k_scale, c.v_scale), None
+
+
+def _unflatten(aux, children):
+    return KVCache(*children)
+
+
+jax.tree_util.register_pytree_node(KVCache, _flatten, _unflatten)
