@@ -10,10 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Mapping, Optional
 
-# rope application styles (ggml: GGML_ROPE_TYPE_* / llama.cpp LLAMA_ROPE_TYPE_*)
-ROPE_NORM = "norm"  # rotate adjacent dim pairs (2i, 2i+1) — llama GGUF layout
-ROPE_NEOX = "neox"  # rotate split halves (i, i + d/2) — qwen2/phi/gemma/...
-ROPE_NONE = "none"
+from booster_tpu.ops.rope import ROPE_NEOX, ROPE_NONE, ROPE_NORM  # re-export
 
 # per-architecture rope style (llama.cpp llama_rope_type :18549)
 _ARCH_ROPE = {

@@ -1,0 +1,195 @@
+"""Fused block-dequant matmul Pallas kernels (the TPU hot path).
+
+y = x @ W^T where W is a QTensor whose payload streams from HBM at 4 or 8
+bits per value and is dequantized on the VPU inside the kernel while the MXU
+consumes bf16 tiles — the TPU analog of the reference's fused quantized
+matmul kernels (mmq.cu / ggml-quants.c vec_dot).
+
+Layout contract (see quant/qtensor.py):
+  i4p: qw [N, K/2] uint8, byte j = elem j | elem (j + K/2) << 4 — unpack is
+       two mask ops, no lane shuffles; the two halves are consumed as two
+       separate dots against x[:, :K/2] and x[:, K/2:].
+  i8:  qw [N, K] int8.
+  scales/mins: f32 [N, K/G]; the affine `mins` term is factored out of the
+       kernel entirely:  x·(q·s − m)^T = x·(q·s)^T − xg·m^T  with xg the
+       per-group sums of x (one tiny extra matmul outside the kernel).
+
+Grid: (N/BN, K-tiles), K innermost; the [M, BN] f32 accumulator block stays
+resident in VMEM across the K sweep (output index map ignores k).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor
+
+# flipped to True by tests to run kernels in interpreter mode on CPU
+INTERPRET = False
+
+
+def _expand_scales(s, g: int):
+    """[BN, BG] → [BN, BG*g] by repeating each scale g times along lanes."""
+    return pltpu.repeat(s[:, :, None], g, axis=2).reshape(s.shape[0], s.shape[1] * g)
+
+
+def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, n_kb: int):
+    """x_ref [M, 2, BB], qw_ref [BN, BB], s_ref [BN, 2, BB//G], out [M, BN]."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    q = qw_ref[:]
+    lo = (q & 0x0F).astype(jnp.bfloat16)
+    hi = (q >> 4).astype(jnp.bfloat16)
+    s_lo = _expand_scales(s_ref[:, 0, :], group).astype(jnp.bfloat16)
+    s_hi = _expand_scales(s_ref[:, 1, :], group).astype(jnp.bfloat16)
+    x_lo = x_ref[:, 0, :]
+    x_hi = x_ref[:, 1, :]
+    acc = jax.lax.dot_general(
+        x_lo, lo * s_lo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        x_hi, hi * s_hi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_ref[:] += acc
+
+
+def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, n_kb: int):
+    """x_ref [M, BK], qw_ref [BN, BK] i8, s_ref [BN, BK//G], out [M, BN]."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = qw_ref[:].astype(jnp.bfloat16) * _expand_scales(s_ref[:], group).astype(
+        jnp.bfloat16
+    )
+    out_ref[:] += jax.lax.dot_general(
+        x_ref[:], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _pick_tiles(n: int, kk: int, m: int) -> tuple[int, int]:
+    """Choose (BN, BKB) tiles: lane-aligned, VMEM-bounded."""
+    bn = 256 if n % 256 == 0 else (128 if n % 128 == 0 else n)
+    # K tile (in bytes for i4, elems for i8): big tiles amortize grid overhead
+    bkb = kk
+    for cand in (2048, 1024, 512, 256, 128):
+        if kk % cand == 0:
+            bkb = cand
+            break
+    # VMEM guard: qw tile + dequant tile + x tile + out tile (very rough)
+    while bn * bkb * 4 > 6 * 1024 * 1024 and bn > 128:
+        bn //= 2
+    return bn, bkb
+
+
+def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
+    M, K = x.shape
+    N = w.shape[0]
+    G = w.group
+    half = K // 2
+    BN, BB = _pick_tiles(N, half, M)
+    grid = (N // BN, half // BB)
+
+    x3 = x.reshape(M, 2, half).astype(jnp.bfloat16)
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_i4_kernel, group=G, n_kb=grid[1]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, 2, BB), lambda n, k: (0, 0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, BB), lambda n, k: (n, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BN, 2, BB // G), lambda n, k: (n, 0, k), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((M, BN), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * half + N * (K // G) * 4 + M * K * 2 + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(x3, w.qw, w.scales.reshape(N, 2, half // G))
+    return out
+
+
+def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
+    M, K = x.shape
+    N = w.shape[0]
+    G = w.group
+    BN, BK = _pick_tiles(N, K, M)
+    grid = (N // BN, K // BK)
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_i8_kernel, group=G, n_kb=grid[1]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, BK), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, BK), lambda n, k: (n, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, BK // G), lambda n, k: (n, k), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, BN), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * K + N * (K // G) * 4 + M * K * 2 + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(x.astype(jnp.bfloat16), w.qw, w.scales)
+    return out
+
+
+def _supported(w: QTensor, K: int) -> bool:
+    if w.kind not in ("i4p", "i8"):
+        return False
+    N = w.shape[0]
+    G = w.group
+    if K != w.shape[1] or K % (2 * G) != 0:
+        return False
+    half = K // 2 if w.kind == "i4p" else K
+    if half % 128 != 0 or N % 128 != 0:
+        return False
+    return True
+
+
+def qmm(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
+    """x [..., K] @ W[N, K]^T → [..., N] float32."""
+    K = x.shape[-1]
+    lead = x.shape[:-1]
+    if not _supported(w, K):
+        wd = dequantize_qtensor(w, dtype=jnp.bfloat16)
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), wd,
+            (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    M = 1
+    for d in lead:
+        M *= d
+    x2 = x.reshape(M, K)
+    y = _qmm_i4(x2, w) if w.kind == "i4p" else _qmm_i8(x2, w)
+    if w.mins is not None:
+        G = w.group
+        xg = x2.astype(jnp.float32).reshape(M, K // G, G).sum(axis=2)
+        y = y - jax.lax.dot_general(
+            xg, w.mins, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    return y.reshape(*lead, w.shape[0])

@@ -16,7 +16,10 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from booster_tpu.models.config import ModelConfig, ROPE_NEOX, ROPE_NORM
+# rope application styles (ggml: GGML_ROPE_TYPE_* / llama.cpp LLAMA_ROPE_TYPE_*)
+ROPE_NORM = "norm"  # rotate adjacent dim pairs (2i, 2i+1) — llama GGUF layout
+ROPE_NEOX = "neox"  # rotate split halves (i, i + d/2) — qwen2/phi/gemma/...
+ROPE_NONE = "none"
 
 
 def rope_inv_freq(cfg: ModelConfig, freq_factors: Optional[np.ndarray] = None) -> np.ndarray:

@@ -114,18 +114,20 @@ if jax is not None:
 
 
 def _pack_nibbles_planar(q: np.ndarray) -> np.ndarray:
-    """[rows, cols] uint8 (values 0..15) → [rows, cols//2], elem 2b in low nibble."""
+    """[rows, K] uint8 (values 0..15) → [rows, K//2] split-half packing:
+    byte j = elem j (low nibble) | elem j + K/2 (high nibble).
+
+    This layout lets kernels unpack with two mask ops and *no lane shuffles*:
+    `lo = p & 0xF` covers columns [0, K/2), `hi = p >> 4` covers [K/2, K).
+    """
     assert q.shape[-1] % 2 == 0
-    return (q[..., 0::2] | (q[..., 1::2] << 4)).astype(np.uint8)
+    half = q.shape[-1] // 2
+    return (q[..., :half] | (q[..., half:] << 4)).astype(np.uint8)
 
 
 def unpack_nibbles_planar(p: np.ndarray) -> np.ndarray:
     """Inverse of _pack_nibbles_planar (numpy)."""
-    rows, half = p.shape
-    out = np.empty((rows, half * 2), dtype=np.uint8)
-    out[:, 0::2] = p & 0x0F
-    out[:, 1::2] = p >> 4
-    return out
+    return np.concatenate([p & 0x0F, p >> 4], axis=-1).astype(np.uint8)
 
 
 def _repack_q4_0(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
@@ -364,7 +366,7 @@ def dequantize_qtensor(qt: QTensor, dtype=None):
         p = jnp.asarray(qt.qw)
         lo = (p & 0x0F).astype(jnp.float32)
         hi = (p >> 4).astype(jnp.float32)
-        q = jnp.stack([lo, hi], axis=-1).reshape(out_f, in_f)
+        q = jnp.concatenate([lo, hi], axis=-1).reshape(out_f, in_f)
     else:
         q = jnp.asarray(qt.qw).astype(jnp.float32)
     g = qt.group

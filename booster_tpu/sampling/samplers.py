@@ -1,0 +1,260 @@
+"""The standard sampler suite, vectorized over a batch of logit rows.
+
+Each filter reproduces the corresponding llama_sample_*_impl from
+/root/reference/cpp/src/llama-sampling.cpp, reformulated without explicit
+candidate arrays: filters mask logits to -inf in place of shrinking a sorted
+list (identical distributions, TPU-friendly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from booster_tpu.sampling.params import SamplingParams
+
+NEG_INF = -jnp.inf
+
+
+@dataclass
+class SamplerState:
+    """Per-slot sampler state (pytree)."""
+
+    prev_tokens: jnp.ndarray  # [B, N] int32 ring of recent tokens (-1 = empty)
+    prev_pos: jnp.ndarray  # [B] int32 next write index in the ring
+    mirostat_mu: jnp.ndarray  # [B] f32
+    key: jnp.ndarray  # [B, 2] per-slot PRNG keys (uint32)
+
+
+def _flatten(s):
+    return (s.prev_tokens, s.prev_pos, s.mirostat_mu, s.key), None
+
+
+jax.tree_util.register_pytree_node(
+    SamplerState, _flatten, lambda aux, c: SamplerState(*c)
+)
+
+
+def make_sampler_state(batch: int, window: int, seed: int = 0) -> SamplerState:
+    keys = jax.random.split(jax.random.PRNGKey(seed), batch)
+    return SamplerState(
+        prev_tokens=jnp.full((batch, window), -1, jnp.int32),
+        prev_pos=jnp.zeros(batch, jnp.int32),
+        mirostat_mu=jnp.zeros(batch, jnp.float32),
+        key=keys,
+    )
+
+
+def accept_token(state: SamplerState, tokens: jnp.ndarray) -> SamplerState:
+    """Push sampled tokens into the penalty history ring."""
+    B, N = state.prev_tokens.shape
+    idx = state.prev_pos % N
+    prev = state.prev_tokens.at[jnp.arange(B), idx].set(tokens)
+    return SamplerState(prev, state.prev_pos + 1, state.mirostat_mu, state.key)
+
+
+# -- filters ----------------------------------------------------------------
+
+
+def apply_penalties(
+    logits: jnp.ndarray,  # [B, V]
+    prev_tokens: jnp.ndarray,  # [B, N] (-1 padding ignored)
+    penalty_repeat: float,
+    penalty_freq: float,
+    penalty_present: float,
+) -> jnp.ndarray:
+    """llama_sample_repetition_penalties_impl semantics."""
+    B, V = logits.shape
+    valid = prev_tokens >= 0
+    tok = jnp.where(valid, prev_tokens, 0)
+    one = valid.astype(jnp.float32)
+    counts = jnp.zeros((B, V), jnp.float32).at[
+        jnp.arange(B)[:, None], tok
+    ].add(one)
+    seen = counts > 0
+    if penalty_repeat != 1.0:
+        scaled = jnp.where(
+            logits <= 0, logits * penalty_repeat, logits / penalty_repeat
+        )
+        logits = jnp.where(seen, scaled, logits)
+    logits = logits - counts * penalty_freq - seen.astype(jnp.float32) * penalty_present
+    return logits
+
+
+def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    V = logits.shape[-1]
+    if k <= 0 or k >= V:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_p_filter(logits: jnp.ndarray, p: float, min_keep: int = 1) -> jnp.ndarray:
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens until cumulative prob exceeds p (inclusive), at least min_keep
+    keep_sorted = (cum - probs) < p  # token included if mass before it < p
+    keep_sorted = keep_sorted.at[..., :min_keep].set(True)
+    n_keep = keep_sorted.sum(axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+    return jnp.where(logits < cutoff, NEG_INF, logits)
+
+
+def min_p_filter(logits: jnp.ndarray, min_p: float, min_keep: int = 1) -> jnp.ndarray:
+    if min_p <= 0.0:
+        return logits
+    max_logit = jnp.max(logits, axis=-1, keepdims=True)
+    # p_i / p_max >= min_p  ⟺  logit_i >= logit_max + log(min_p)
+    thresh = max_logit + jnp.log(min_p)
+    kth = jax.lax.top_k(logits, max(min_keep, 1))[0][..., -1:]
+    return jnp.where(logits < jnp.minimum(thresh, kth), NEG_INF, logits)
+
+
+def tfs_filter(logits: jnp.ndarray, z: float, min_keep: int = 1) -> jnp.ndarray:
+    """Tail-free sampling: drop the tail by curvature of the sorted prob curve."""
+    if z >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    d2 = jnp.abs(jnp.diff(probs, n=2, axis=-1))
+    norm = jnp.sum(d2, axis=-1, keepdims=True)
+    d2 = jnp.where(norm > 0, d2 / jnp.maximum(norm, 1e-20), 1.0 / d2.shape[-1])
+    cum = jnp.cumsum(d2, axis=-1)
+    keep2 = cum < z  # over the d2 positions (length V-2)
+    keep = jnp.concatenate(
+        [jnp.ones_like(keep2[..., :1]), keep2, jnp.zeros_like(keep2[..., :1])], axis=-1
+    )
+    keep = keep.at[..., :min_keep].set(True)
+    n_keep = keep.sum(axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+    return jnp.where(logits < cutoff, NEG_INF, logits)
+
+
+def typical_filter(logits: jnp.ndarray, p: float, min_keep: int = 1) -> jnp.ndarray:
+    if p >= 1.0:
+        return logits
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(lp)
+    ent = -jnp.sum(jnp.where(probs > 0, probs * lp, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-lp - ent)  # distance from typical surprise
+    order = jnp.argsort(shifted, axis=-1)  # ascending: most typical first
+    probs_sorted = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    keep_sorted = (cum - probs_sorted) < p
+    keep_sorted = keep_sorted.at[..., :min_keep].set(True)
+    keep = jnp.zeros_like(keep_sorted).at[
+        jnp.arange(logits.shape[0])[:, None], order
+    ].set(keep_sorted)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def apply_temp(logits: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
+    t = params.temp
+    if params.dynatemp_range > 0.0:
+        # entropy-scaled temperature (llama_sample_entropy_impl)
+        t_min = max(0.0, t - params.dynatemp_range)
+        t_max = t + params.dynatemp_range
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        probs = jnp.exp(lp)
+        ent = -jnp.sum(jnp.where(probs > 0, probs * lp, 0.0), axis=-1, keepdims=True)
+        n_valid = jnp.sum(jnp.isfinite(logits), axis=-1, keepdims=True)
+        max_ent = jnp.log(jnp.maximum(n_valid.astype(jnp.float32), 2.0))
+        norm_ent = jnp.clip(ent / jnp.maximum(max_ent, 1e-9), 0.0, 1.0)
+        dyn_t = t_min + (t_max - t_min) * norm_ent**params.dynatemp_exponent
+        return logits / jnp.maximum(dyn_t, 1e-9)
+    if t <= 0.0:
+        return logits  # greedy handled by caller
+    return logits / t
+
+
+def _categorical(key, logits):
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def _mirostat_v2(logits, mu, tau, eta, key):
+    """llama_sample_token_mirostat_v2_impl, vectorized."""
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    surprise = -lp / jnp.log(2.0)
+    cut = surprise > mu[:, None]
+    # keep at least the best token
+    best = jnp.argmax(lp, axis=-1)
+    masked = jnp.where(cut, NEG_INF, lp)
+    masked = masked.at[jnp.arange(lp.shape[0]), best].set(
+        lp[jnp.arange(lp.shape[0]), best]
+    )
+    tok = jax.vmap(_categorical)(key, masked)
+    observed = surprise[jnp.arange(lp.shape[0]), tok]
+    mu = mu - eta * (observed - tau)
+    return tok, mu
+
+
+def sample(
+    logits: jnp.ndarray,  # [B, V] raw model logits
+    state: SamplerState,
+    params: SamplingParams,
+) -> tuple[jnp.ndarray, SamplerState]:
+    """Full chain: penalties → filters (params order) → temp → sample.
+
+    Greedy when temp <= 0.  Returns (tokens [B], updated state).
+    """
+    B = logits.shape[0]
+    logits = logits.astype(jnp.float32)
+
+    if params.penalty_repeat != 1.0 or params.penalty_freq != 0.0 or params.penalty_present != 0.0:
+        logits = apply_penalties(
+            logits,
+            state.prev_tokens,
+            params.penalty_repeat,
+            params.penalty_freq,
+            params.penalty_present,
+        )
+
+    keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.key, 2)
+    step_key, next_key = keys[:, 0], keys[:, 1]
+
+    if params.temp <= 0.0:
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    elif params.mirostat == 2:
+        logits = apply_temp(logits, params)
+        tokens, mu = _mirostat_v2(
+            logits, state.mirostat_mu, params.mirostat_tau, params.mirostat_eta, step_key
+        )
+        state = SamplerState(state.prev_tokens, state.prev_pos, mu, next_key)
+        tokens = tokens.astype(jnp.int32)
+        state = accept_token(state, tokens)
+        return tokens, state
+    elif params.mirostat == 1:
+        # v1 ≈ v2 with estimated k; use the v2 truncation (distributionally close)
+        logits = apply_temp(logits, params)
+        tokens, mu = _mirostat_v2(
+            logits, state.mirostat_mu, params.mirostat_tau, params.mirostat_eta, step_key
+        )
+        state = SamplerState(state.prev_tokens, state.prev_pos, mu, next_key)
+        tokens = tokens.astype(jnp.int32)
+        state = accept_token(state, tokens)
+        return tokens, state
+    else:
+        for ch in params.samplers_sequence:
+            if ch == "k":
+                logits = top_k_filter(logits, params.top_k)
+            elif ch == "f":
+                logits = tfs_filter(logits, params.tfs_z)
+            elif ch == "y":
+                logits = typical_filter(logits, params.typical_p)
+            elif ch == "p":
+                logits = top_p_filter(logits, params.top_p)
+            elif ch == "m":
+                logits = min_p_filter(logits, params.min_p)
+            elif ch == "t":
+                logits = apply_temp(logits, params)
+        tokens = jax.vmap(_categorical)(step_key, logits).astype(jnp.int32)
+
+    state = SamplerState(state.prev_tokens, state.prev_pos, state.mirostat_mu, next_key)
+    state = accept_token(state, tokens)
+    return tokens, state

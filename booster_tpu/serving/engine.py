@@ -1,0 +1,238 @@
+"""Generation engine: compiled prefill/decode steps over a slot-based batch.
+
+This is the TPU-native replacement for the reference's per-pod generation loop
+(do_inference, /root/reference/cpp/bridge.cpp:175-658): instead of one model
+instance per concurrent request, one engine owns a static-shape KV cache with
+B slots and runs *batched* decode steps; the scheduler (scheduler.py) maps
+requests onto slots (continuous batching — the reference's roadmap item).
+
+Context overflow handling reproduces the reference's context-shift semantics
+(bridge.cpp:487-507): keep the first n_keep tokens, drop half the rest, at the
+engine level by re-prefilling the compacted history (simpler than in-cache
+shifts, identical observable behavior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from booster_tpu.models.config import ModelConfig
+from booster_tpu.models.llama import forward
+from booster_tpu.models.loader import LoadedModel
+from booster_tpu.ops.kv_cache import KVCache
+from booster_tpu.sampling import (
+    JanusTables,
+    SamplerState,
+    SamplingParams,
+    janus_sample,
+    make_sampler_state,
+)
+from booster_tpu.sampling.samplers import accept_token, sample
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    token_ids: list[int]
+    text: str
+    n_prompt: int
+    n_generated: int
+    prompt_ms_per_token: float
+    gen_ms_per_token: float
+    finish_reason: str  # "stop" | "length" | "cancelled"
+
+
+@partial(jax.jit, static_argnames=("cfg", "params_sampling"))
+def _decode_step(
+    params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    tokens: jnp.ndarray,  # [B, 1]
+    state: SamplerState,
+    params_sampling: SamplingParams,
+    max_predict: jnp.ndarray,  # scalar f32 (traced: avoids recompiles)
+    janus_scales=None,
+    janus_types=None,
+    janus_pedantic=None,
+    janus_eos: int = 0,
+):
+    logits, cache = forward(params, cfg, tokens, cache, last_only=True)
+    lg = logits[:, -1, :]
+    if params_sampling.janus:
+        keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.key, 2)
+        step_key, next_key = keys[:, 0], keys[:, 1]
+        n_generated = state.prev_pos
+        next_tok = janus_sample(
+            lg,
+            state.prev_tokens,
+            n_generated,
+            max_predict,
+            janus_scales,
+            janus_types,
+            janus_pedantic,
+            janus_eos,
+            params_sampling,
+            step_key,
+        )
+        state = SamplerState(state.prev_tokens, state.prev_pos, state.mirostat_mu, next_key)
+        state = accept_token(state, next_tok)
+    else:
+        next_tok, state = sample(lg, state, params_sampling)
+    return next_tok, cache, state
+
+
+class Engine:
+    """Owns compiled step functions + the KV cache for B slots."""
+
+    def __init__(
+        self,
+        model: LoadedModel,
+        max_batch: int = 1,
+        max_seq: int = 2048,
+        kv_quantized: bool = False,
+        kv_dtype=jnp.bfloat16,
+        history_window: int = 256,
+    ):
+        self.model = model
+        self.cfg = model.cfg
+        self.params = model.params
+        self.tokenizer = model.tokenizer
+        self.max_batch = max_batch
+        self.max_seq = min(max_seq, model.cfg.n_ctx_train) if model.cfg.n_ctx_train else max_seq
+        self.kv_quantized = kv_quantized
+        self.kv_dtype = kv_dtype
+        self.history_window = history_window
+        self._janus_tables: Optional[JanusTables] = None
+        self.cache = self._new_cache()
+
+    def _new_cache(self) -> KVCache:
+        return KVCache.create(
+            self.cfg.n_layers,
+            self.max_batch,
+            self.max_seq,
+            self.cfg.n_kv_heads,
+            self.cfg.head_dim,
+            dtype=self.kv_dtype,
+            quantized=self.kv_quantized,
+        )
+
+    def janus_tables(self) -> JanusTables:
+        if self._janus_tables is None:
+            if self.tokenizer is None:
+                raise ValueError("janus sampling requires a tokenizer")
+            self._janus_tables = JanusTables.build(self.tokenizer)
+        return self._janus_tables
+
+    # -- single-sequence generation (pod-style; scheduler batches above this)
+
+    def generate(
+        self,
+        prompt_ids: list[int],
+        sampling: SamplingParams = SamplingParams(),
+        max_new_tokens: int = 128,
+        n_keep: int = 0,
+        stop_check: Optional[Callable[[], bool]] = None,
+        on_token: Optional[Callable[[int], None]] = None,
+    ) -> GenerationResult:
+        """Generate on slot 0 (single sequence).  Mirrors do_inference's
+        shape: prompt rejection, context shift, EOG stop, per-phase timings."""
+        sampling = sampling.normalized()
+        cfg = self.cfg
+        if len(prompt_ids) > self.max_seq - 4:
+            raise ValueError(
+                f"prompt too long: {len(prompt_ids)} > {self.max_seq - 4}"
+            )
+
+        cache = self._new_cache()
+        state = make_sampler_state(
+            self.max_batch,
+            max(self.history_window, sampling.penalty_last_n, sampling.janus_depth),
+            seed=sampling.seed if sampling.seed >= 0 else int(time.time_ns() % (1 << 31)),
+        )
+        jt = self.janus_tables() if sampling.janus else None
+        janus_args = dict(
+            janus_scales=jnp.asarray(jt.scales) if jt else None,
+            janus_types=jnp.asarray(jt.types) if jt else None,
+            janus_pedantic=jnp.asarray(jt.pedantic) if jt else None,
+            janus_eos=jt.eos_id if jt else 0,
+        )
+
+        ids = np.zeros((self.max_batch, len(prompt_ids)), np.int32)
+        ids[0] = prompt_ids
+
+        t0 = time.perf_counter()
+        logits, cache = forward(
+            self.params, cfg, jnp.asarray(ids), cache, last_only=True
+        )
+        lg = logits[:, -1, :]
+        if sampling.janus:
+            keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.key, 2)
+            tok = janus_sample(
+                lg, state.prev_tokens, state.prev_pos, max_new_tokens,
+                janus_args["janus_scales"], janus_args["janus_types"],
+                janus_args["janus_pedantic"], janus_args["janus_eos"],
+                sampling, keys[:, 0],
+            )
+            state = SamplerState(state.prev_tokens, state.prev_pos, state.mirostat_mu, keys[:, 1])
+            state = accept_token(state, tok)
+        else:
+            tok, state = sample(lg, state, sampling)
+        tok.block_until_ready()
+        t_prompt = time.perf_counter() - t0
+
+        generated = [int(np.asarray(tok)[0])]
+        finish = "length"
+        vocab = self.tokenizer.vocab if self.tokenizer else None
+        if on_token:
+            on_token(generated[-1])
+        if vocab is not None and vocab.is_eog(generated[-1]):
+            finish = "stop"
+            max_new_tokens = 1
+
+        t1 = time.perf_counter()
+        n_steps = 0
+        while len(generated) < max_new_tokens:
+            if stop_check and stop_check():
+                finish = "cancelled"
+                break
+            if int(np.asarray(cache.lengths)[0]) >= self.max_seq - 1:
+                # context shift: keep n_keep, drop half of the rest, re-prefill
+                kept = list(prompt_ids[:n_keep]) if n_keep else []
+                tail = (list(prompt_ids[n_keep:]) + generated)
+                tail = tail[len(tail) // 2 :]
+                cache = self._new_cache()
+                ids = np.zeros((self.max_batch, len(kept) + len(tail)), np.int32)
+                ids[0] = kept + tail
+                _, cache = forward(self.params, cfg, jnp.asarray(ids), cache, last_only=True)
+            cur = np.zeros((self.max_batch, 1), np.int32)
+            cur[0, 0] = generated[-1]
+            tok, cache, state = _decode_step(
+                self.params, cfg, cache, jnp.asarray(cur), state, sampling,
+                jnp.float32(max_new_tokens), **janus_args,
+            )
+            n_steps += 1
+            t = int(np.asarray(tok)[0])
+            generated.append(t)
+            if on_token:
+                on_token(t)
+            if vocab is not None and vocab.is_eog(t):
+                finish = "stop"
+                break
+        t_gen = time.perf_counter() - t1
+
+        text = self.tokenizer.decode(generated) if self.tokenizer else ""
+        return GenerationResult(
+            token_ids=generated,
+            text=text,
+            n_prompt=len(prompt_ids),
+            n_generated=len(generated),
+            prompt_ms_per_token=1000.0 * t_prompt / max(len(prompt_ids), 1),
+            gen_ms_per_token=1000.0 * t_gen / max(n_steps, 1),
+            finish_reason=finish,
+        )

@@ -1,0 +1,87 @@
+"""End-to-end generation engine tests on a tiny synthetic GGUF model."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")
+
+from booster_tpu.models import load_model
+from booster_tpu.sampling import SamplingParams
+from booster_tpu.serving import Engine
+from tools.make_test_model import make_model
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    make_model(path, vocab_size=512, hidden=128, layers=2)
+    model = load_model(path)
+    return Engine(model, max_batch=1, max_seq=256)
+
+
+def test_greedy_generation_deterministic(engine):
+    ids = engine.tokenizer.encode("hello world")
+    r1 = engine.generate(ids, SamplingParams(temp=0.0), max_new_tokens=8)
+    r2 = engine.generate(ids, SamplingParams(temp=0.0), max_new_tokens=8)
+    assert r1.token_ids == r2.token_ids
+    assert r1.n_generated <= 8
+    assert r1.finish_reason in ("stop", "length")
+    assert r1.gen_ms_per_token > 0
+
+
+def test_seeded_sampling_deterministic(engine):
+    ids = engine.tokenizer.encode("the")
+    sp = SamplingParams(temp=0.9, top_k=40, seed=7)
+    r1 = engine.generate(ids, sp, max_new_tokens=8)
+    r2 = engine.generate(ids, sp, max_new_tokens=8)
+    assert r1.token_ids == r2.token_ids
+
+
+def test_janus_generation(engine):
+    ids = engine.tokenizer.encode("hello")
+    sp = SamplingParams(janus=1, seed=3)
+    r = engine.generate(ids, sp, max_new_tokens=8)
+    assert 1 <= r.n_generated <= 8
+    assert all(0 <= t < 512 for t in r.token_ids)
+
+
+def test_cancel(engine):
+    ids = engine.tokenizer.encode("hello")
+    calls = {"n": 0}
+
+    def stop_check():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    r = engine.generate(ids, SamplingParams(temp=0.0), max_new_tokens=64,
+                        stop_check=stop_check)
+    assert r.finish_reason == "cancelled"
+    assert r.n_generated < 64
+
+
+def test_streaming_callback(engine):
+    ids = engine.tokenizer.encode("the")
+    seen = []
+    r = engine.generate(ids, SamplingParams(temp=0.0), max_new_tokens=5,
+                        on_token=seen.append)
+    assert seen == r.token_ids
+
+
+def test_prompt_too_long(engine):
+    with pytest.raises(ValueError):
+        engine.generate(list(range(300)), SamplingParams(), max_new_tokens=1)
+
+
+def test_context_shift(tmp_path):
+    """Generation beyond max_seq triggers the context-shift re-prefill."""
+    path = str(tmp_path / "shift.gguf")
+    make_model(path, vocab_size=512, hidden=64, layers=1)
+    model = load_model(path)
+    eng = Engine(model, max_batch=1, max_seq=32)
+    ids = eng.tokenizer.encode("the")
+    r = eng.generate(ids, SamplingParams(temp=0.8, top_k=0, top_p=1.0, seed=5),
+                     max_new_tokens=60)
+    # survived past the 32-token context without error
+    assert r.n_generated == 60 or r.finish_reason == "stop"

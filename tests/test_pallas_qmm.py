@@ -1,0 +1,69 @@
+"""Pallas fused dequant-matmul vs the XLA dequant reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import booster_tpu.ops.pallas_qmm as pq
+from booster_tpu.gguf.constants import GGMLType
+from booster_tpu.quant import quantize, repack_gguf_tensor
+from booster_tpu.quant.qtensor import dequantize_qtensor
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pq.INTERPRET = True
+    yield
+    pq.INTERPRET = False
+
+
+RNG = np.random.default_rng(0)
+
+
+def make_qt(fmt, N, K):
+    w = RNG.standard_normal((N, K)).astype(np.float32) * 0.1
+    qt = repack_gguf_tensor(quantize(w, fmt), fmt, (N, K))
+    return qt.astype_device()
+
+
+def reference(x, qt):
+    wd = dequantize_qtensor(qt, dtype=jnp.float32)
+    return (x.astype(jnp.float32) @ wd.T).astype(np.float32)
+
+
+@pytest.mark.parametrize("fmt,kind", [
+    (GGMLType.Q4_0, "i4p"),
+    (GGMLType.Q4_K, "i4p"),
+    (GGMLType.Q8_0, "i8"),
+    (GGMLType.Q6_K, "i8"),
+    (GGMLType.Q5_K, "i8"),
+])
+@pytest.mark.parametrize("M", [1, 8])
+def test_qmm_matches_reference(fmt, kind, M):
+    N, K = 256, 512
+    qt = make_qt(fmt, N, K)
+    assert qt.kind == kind
+    x = jnp.asarray(RNG.standard_normal((M, K)).astype(np.float32))
+    got = np.asarray(pq.qmm(x, qt))
+    want = np.asarray(reference(x, qt))
+    assert got.shape == (M, N)
+    # kernel computes in bf16 inputs x f32 accum; reference in f32
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+def test_qmm_batch_shape():
+    qt = make_qt(GGMLType.Q4_0, 256, 512)
+    x = jnp.asarray(RNG.standard_normal((2, 3, 512)).astype(np.float32))
+    y = pq.qmm(x, qt)
+    assert y.shape == (2, 3, 256)
+
+
+def test_qmm_unaligned_falls_back():
+    # N=96 not lane aligned → XLA fallback path, still correct
+    qt = make_qt(GGMLType.Q8_0, 96, 512)
+    x = jnp.asarray(RNG.standard_normal((4, 512)).astype(np.float32))
+    got = np.asarray(pq.qmm(x, qt))
+    want = np.asarray(reference(x, qt))
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
