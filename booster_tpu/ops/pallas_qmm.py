@@ -35,8 +35,21 @@ INTERPRET = False
 
 
 def _expand_scales(s, g: int):
-    """[BN, BG] → [BN, BG*g] by repeating each scale g times along lanes."""
-    return pltpu.repeat(s[:, :, None], g, axis=2).reshape(s.shape[0], s.shape[1] * g)
+    """[BN, BG] → [BN, BG*g]: repeat each scale g times along lanes.
+
+    Mosaic can't reshape (BN, BG, g) → (BN, BG*g) for g < 128, so expansion
+    is a dot with a constant one-hot expander E[a, k] = (k // g == a) — the
+    compiler folds E and the MXU does the broadcast.
+    """
+    bg = s.shape[1]
+    k = bg * g
+    col_group = jax.lax.broadcasted_iota(jnp.int32, (bg, k), 1) // g
+    row = jax.lax.broadcasted_iota(jnp.int32, (bg, k), 0)
+    expander = (col_group == row).astype(jnp.float32)
+    return jax.lax.dot_general(
+        s.astype(jnp.float32), expander, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, n_kb: int):
@@ -46,7 +59,7 @@ def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, n_kb: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    q = qw_ref[:]
+    q = qw_ref[:].astype(jnp.int32)  # uint8 → int32 (Mosaic lacks u8→bf16)
     lo = (q & 0x0F).astype(jnp.bfloat16)
     hi = (q >> 4).astype(jnp.bfloat16)
     s_lo = _expand_scales(s_ref[:, 0, :], group).astype(jnp.bfloat16)
@@ -69,9 +82,9 @@ def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, n_kb: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w = qw_ref[:].astype(jnp.bfloat16) * _expand_scales(s_ref[:], group).astype(
-        jnp.bfloat16
-    )
+    w = qw_ref[:].astype(jnp.int32).astype(jnp.bfloat16) * _expand_scales(
+        s_ref[:], group
+    ).astype(jnp.bfloat16)
     out_ref[:] += jax.lax.dot_general(
         x_ref[:], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )

@@ -87,6 +87,46 @@ def _decode_step(
     return next_tok, cache, state
 
 
+@partial(jax.jit, static_argnames=("cfg", "params_sampling", "n_steps"))
+def _decode_chunk(
+    params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    tokens: jnp.ndarray,  # [B, 1] last sampled token per slot
+    state: SamplerState,
+    params_sampling: SamplingParams,
+    max_predict: jnp.ndarray,
+    n_steps: int,
+    eog_mask: jnp.ndarray,  # [V] bool: True at end-of-generation token ids
+    janus_scales=None,
+    janus_types=None,
+    janus_pedantic=None,
+    janus_eos: int = 0,
+):
+    """Run `n_steps` decode iterations fully on device (one dispatch).
+
+    Amortizes host↔device round-trips: the reference pays one cgo call per
+    token (bridge.cpp:467-643); a remote TPU pays ~100ms per dispatch, so we
+    scan the step on device and stream per chunk.  Once a slot emits an EOG
+    token it keeps decoding (static shapes) but `done` marks where to cut.
+    """
+
+    def step(carry, _):
+        cache, tok, state = carry
+        next_tok, cache, state = _decode_step(
+            params, cfg, cache, tok, state, params_sampling, max_predict,
+            janus_scales, janus_types, janus_pedantic, janus_eos,
+        )
+        return (cache, next_tok[:, None], state), next_tok
+
+    (cache, _, state), toks = jax.lax.scan(
+        step, (cache, tokens, state), None, length=n_steps
+    )
+    toks = toks.T  # [B, n_steps]
+    done = eog_mask[toks]
+    return toks, done, cache, state
+
+
 class Engine:
     """Owns compiled step functions + the KV cache for B slots."""
 
@@ -98,6 +138,7 @@ class Engine:
         kv_quantized: bool = False,
         kv_dtype=jnp.bfloat16,
         history_window: int = 256,
+        decode_chunk: int = 1,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -108,8 +149,18 @@ class Engine:
         self.kv_quantized = kv_quantized
         self.kv_dtype = kv_dtype
         self.history_window = history_window
+        # tokens per device dispatch; >1 amortizes host↔device latency
+        self.decode_chunk = max(1, decode_chunk)
         self._janus_tables: Optional[JanusTables] = None
         self.cache = self._new_cache()
+        self._eog_mask = None
+        if model.tokenizer is not None:
+            V = model.cfg.n_vocab
+            mask = np.zeros(V, bool)
+            for t in model.tokenizer.vocab.eog_ids:
+                if 0 <= t < V:
+                    mask[t] = True
+            self._eog_mask = jnp.asarray(mask)
 
     def _new_cache(self) -> KVCache:
         return KVCache.create(
@@ -197,11 +248,17 @@ class Engine:
 
         t1 = time.perf_counter()
         n_steps = 0
+        chunk = self.decode_chunk
+        eog_mask = (
+            self._eog_mask
+            if self._eog_mask is not None
+            else jnp.zeros(cfg.n_vocab, bool)
+        )
         while len(generated) < max_new_tokens:
             if stop_check and stop_check():
                 finish = "cancelled"
                 break
-            if int(np.asarray(cache.lengths)[0]) >= self.max_seq - 1:
+            if int(np.asarray(cache.lengths)[0]) + chunk >= self.max_seq - 1:
                 # context shift: keep n_keep, drop half of the rest, re-prefill
                 kept = list(prompt_ids[:n_keep]) if n_keep else []
                 tail = (list(prompt_ids[n_keep:]) + generated)
@@ -212,18 +269,38 @@ class Engine:
                 _, cache = forward(self.params, cfg, jnp.asarray(ids), cache, last_only=True)
             cur = np.zeros((self.max_batch, 1), np.int32)
             cur[0, 0] = generated[-1]
-            tok, cache, state = _decode_step(
-                self.params, cfg, cache, jnp.asarray(cur), state, sampling,
-                jnp.float32(max_new_tokens), **janus_args,
-            )
-            n_steps += 1
-            t = int(np.asarray(tok)[0])
-            generated.append(t)
-            if on_token:
-                on_token(t)
-            if vocab is not None and vocab.is_eog(t):
-                finish = "stop"
-                break
+            if chunk > 1:
+                toks, done, cache, state = _decode_chunk(
+                    self.params, cfg, cache, jnp.asarray(cur), state, sampling,
+                    jnp.float32(max_new_tokens), chunk, eog_mask, **janus_args,
+                )
+                toks = np.asarray(toks)[0]
+                done = np.asarray(done)[0]
+                n_steps += chunk
+                for i, t in enumerate(toks):
+                    if len(generated) >= max_new_tokens:
+                        break
+                    generated.append(int(t))
+                    if on_token:
+                        on_token(int(t))
+                    if done[i]:
+                        finish = "stop"
+                        break
+                if finish == "stop":
+                    break
+            else:
+                tok, cache, state = _decode_step(
+                    self.params, cfg, cache, jnp.asarray(cur), state, sampling,
+                    jnp.float32(max_new_tokens), **janus_args,
+                )
+                n_steps += 1
+                t = int(np.asarray(tok)[0])
+                generated.append(t)
+                if on_token:
+                    on_token(t)
+                if vocab is not None and vocab.is_eog(t):
+                    finish = "stop"
+                    break
         t_gen = time.perf_counter() - t1
 
         text = self.tokenizer.decode(generated) if self.tokenizer else ""

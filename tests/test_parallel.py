@@ -1,0 +1,63 @@
+"""Sharded execution tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from booster_tpu.models import load_model
+from booster_tpu.models.llama import forward
+from booster_tpu.ops.kv_cache import KVCache
+from booster_tpu.parallel import make_device_put, make_mesh, shard_cache
+from tools.make_test_model import make_model
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("m")
+    p = str(d / "tiny.gguf")
+    # 8 heads / 4 kv heads so tp=4 divides both; hidden 256 → head_dim 32
+    make_model(p, vocab_size=512, hidden=256, layers=2, heads=8, kv_heads=4, ff=512)
+    return p
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, tp=4, dp=2)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError):
+        make_mesh(8, tp=3, dp=3)
+
+
+def test_sharded_forward_matches_single(paths):
+    single = load_model(paths)
+    cfg = single.cfg
+    ids = np.array([[1, 5, 9, 42]], np.int32)
+    cache0 = KVCache.create(cfg.n_layers, 1, 16, cfg.n_kv_heads, cfg.head_dim)
+    want, _ = forward(single.params, cfg, jnp.asarray(ids), cache0)
+
+    mesh = make_mesh(8, tp=4, dp=2)
+    with jax.set_mesh(mesh):
+        sharded = load_model(paths, device_put=make_device_put(mesh))
+        # batch 2 (dp-divisible)
+        ids2 = np.tile(ids, (2, 1))
+        cache = shard_cache(
+            KVCache.create(cfg.n_layers, 2, 16, cfg.n_kv_heads, cfg.head_dim), mesh
+        )
+        got, new_cache = forward(sharded.params, cfg, jnp.asarray(ids2), cache)
+    np.testing.assert_allclose(
+        np.asarray(got)[0], np.asarray(want)[0], atol=2e-2, rtol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(got)[1], atol=1e-5)
+    assert np.asarray(new_cache.lengths).tolist() == [4, 4]
+
+
+def test_sharded_weights_actually_sharded(paths):
+    mesh = make_mesh(8, tp=8, dp=1)
+    sharded = load_model(paths, device_put=make_device_put(mesh))
+    qw = sharded.params["layers"]["wq"].qw
+    # out features sharded 8-way on tp
+    shard_shapes = {s.data.shape for s in qw.addressable_shards}
+    assert len(shard_shapes) == 1
+    full = qw.shape
+    assert next(iter(shard_shapes))[1] == full[1] // 8
