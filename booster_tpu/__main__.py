@@ -1,0 +1,166 @@
+"""CLI entry: `python -m booster_tpu [--server|--chat|--prompt ...]`.
+
+Lifecycle parity: /root/reference/pkg/booster/booster.go:102 Run() —
+flag parsing → config feed → logger → signal handling → server or
+interactive loop; graceful shutdown drains the queue.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import signal
+import sys
+import uuid
+
+LOGO = r"""
+ ___                  _               _____ ___  _   _
+| . > ___  ___  ___ _| |_ ___  _ _   |_   _| . \| | | |
+| . \/ . \/ . \<_-<  | | / ._>| '_>    | | |  _/| ' | |
+|___/\___/\___//__/  |_| \___.|_|      |_| |_|  `___'
+"""
+
+
+def main(argv=None) -> int:
+    from booster_tpu.serving.config import (
+        build_arg_parser,
+        config_from_args,
+        load_config,
+    )
+    from booster_tpu.utils import setup_logging
+
+    args = build_arg_parser().parse_args(argv)
+    log = setup_logging(args.log, args.debug)
+
+    config = None
+    for candidate in ([args.config] if args.config else ["config.yaml", "config.json"]):
+        if candidate and os.path.exists(candidate):
+            config = load_config(candidate)
+            log.info(f"config loaded from {candidate}")
+            break
+    if config is None or args.model:
+        config = config_from_args(args)
+    config.host = args.host if args.host != "localhost" or not config.host else config.host
+    if args.port != 8080:
+        config.port = args.port
+
+    if not args.silent:
+        print(LOGO)
+
+    model_spec = next(iter(config.models.values()), None)
+    if model_spec is None or not model_spec.path:
+        log.error("no model specified (use --model or a config file)")
+        return 1
+    if not os.path.exists(os.path.expanduser(model_spec.path)):
+        log.error(f"model file not found: {model_spec.path}")
+        return 1
+
+    import jax
+
+    from booster_tpu.models import load_model
+    from booster_tpu.sampling import SamplingParams
+    from booster_tpu.serving import Engine
+    from booster_tpu.serving.config import PodSpec
+    from booster_tpu.serving.scheduler import Scheduler
+
+    log.info(f"loading model {model_spec.path} on {jax.default_backend()}")
+    device_put = None
+    if args.tp and args.tp > 1:
+        from booster_tpu.parallel import make_device_put, make_mesh
+
+        mesh = make_mesh(tp=args.tp, dp=1)
+        device_put = make_device_put(mesh)
+        log.info(f"tensor-parallel over {args.tp} devices")
+    model = load_model(os.path.expanduser(model_spec.path), device_put=device_put)
+    log.info(
+        f"arch={model.cfg.arch} layers={model.cfg.n_layers} "
+        f"embd={model.cfg.n_embd} vocab={model.cfg.n_vocab}"
+    )
+
+    pod = next(iter(config.pods.values()), PodSpec(id="default"))
+    sampling = config.samplings.get(pod.sampling, SamplingParams())
+    prompt_spec = config.prompts.get(pod.prompt)
+    engine = Engine(
+        model,
+        max_batch=max(pod.count, 1),
+        max_seq=model_spec.context,
+        kv_quantized=args.kv_quant,
+        decode_chunk=args.decode_chunk,
+    )
+
+    if args.prompt and not args.server and not args.chat:
+        # one-shot generation
+        ids = model.tokenizer.encode(args.prompt)
+        result = engine.generate(ids, sampling, max_new_tokens=model_spec.predict)
+        print(result.text)
+        log.info(
+            f"prompt {result.prompt_ms_per_token:.1f} ms/tok · "
+            f"generate {result.gen_ms_per_token:.1f} ms/tok · "
+            f"{result.n_generated} tokens [{result.finish_reason}]"
+        )
+        return 0
+
+    scheduler = Scheduler(
+        engine,
+        prompt_spec=prompt_spec,
+        default_sampling=sampling,
+        default_max_tokens=model_spec.predict,
+        deadline_s=config.deadline,
+    )
+
+    if args.server:
+        from aiohttp import web
+
+        from booster_tpu.serving.server import make_app
+
+        async def serve():
+            scheduler.start()
+            app = make_app(scheduler, config, model_name=model_spec.name or "default")
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, config.host, config.port)
+            await site.start()
+            log.info(f"listening on http://{config.host}:{config.port}")
+            stop = asyncio.Event()
+            loop = asyncio.get_event_loop()
+            for sig in (signal.SIGINT, signal.SIGTERM):
+                loop.add_signal_handler(sig, stop.set)
+            await stop.wait()
+            log.info("shutting down (draining jobs)...")
+            await scheduler.shutdown(drain=True)
+            await runner.cleanup()
+
+        asyncio.run(serve())
+        return 0
+
+    # interactive chat loop (booster.go:316-370)
+    async def chat():
+        scheduler.start()
+        session = str(uuid.uuid4())
+        print("chat mode — empty line or Ctrl-D to exit")
+        loop = asyncio.get_event_loop()
+        while True:
+            try:
+                line = await loop.run_in_executor(None, input, "\n> ")
+            except EOFError:
+                break
+            if not line.strip():
+                break
+            job = scheduler.place_job(prompt=line, session_id=session)
+            printed = 0
+            while not job._done.is_set():
+                await asyncio.sleep(0.1)
+                delta = job.output[printed:]
+                if delta:
+                    printed += len(delta)
+                    print(delta, end="", flush=True)
+            print(job.output[printed:], end="", flush=True)
+        await scheduler.shutdown(drain=False)
+
+    asyncio.run(chat())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -155,16 +155,21 @@ def forward(
     tokens: jnp.ndarray,  # [B, T] int32
     cache: KVCache,
     last_only: bool = False,
+    gather_idx: Optional[jnp.ndarray] = None,  # [B]: per-row position for lm head
+    n_valid: Optional[jnp.ndarray] = None,  # [B]: real token count (≤ T, padding)
 ) -> tuple[jnp.ndarray, KVCache]:
     """Run the decoder; returns (logits [B, T or 1, V], updated cache).
 
     Token positions are cache.lengths[b] + t; new KV is written at those
-    offsets, then attention sees the whole valid prefix.
+    offsets, then attention sees the whole valid prefix.  With `n_valid`,
+    rows are right-padded: only the first n_valid[b] tokens advance the
+    cache length (padding KV is written but stays past the valid length and
+    is never attended).
     """
     B, T = tokens.shape
     offsets = cache.lengths
     positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    kv_valid = cache.lengths + T
+    kv_valid = cache.lengths + (jnp.minimum(n_valid, T) if n_valid is not None else T)
 
     emb = params["tok_embd"]
     x = emb[tokens].astype(jnp.bfloat16)
@@ -193,7 +198,9 @@ def forward(
     x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, scanned)
 
     x = rms_norm(x, params["output_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
-    if last_only:
+    if gather_idx is not None:
+        x = x[jnp.arange(B), gather_idx][:, None, :]
+    elif last_only:
         x = x[:, -1:, :]
 
     out_w = params.get("output")
@@ -212,8 +219,9 @@ def forward(
     if cfg.final_logit_softcap > 0:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
 
+    adv = jnp.minimum(n_valid, T) if n_valid is not None else T
     new_cache = KVCache(
-        k=new_k, v=new_v, lengths=cache.lengths + T, k_scale=new_ks, v_scale=new_vs
+        k=new_k, v=new_v, lengths=cache.lengths + adv, k_scale=new_ks, v_scale=new_vs
     )
     return logits, new_cache
 

@@ -34,17 +34,18 @@ from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor
 INTERPRET = False
 
 
-def _expand_scales(s, g: int):
-    """[BN, BG] → [BN, BG*g]: repeat each scale g times along lanes.
+def _expand_scales(s, g: int, k_tile: int, col0):
+    """[BN, SG] (scales for the whole K range) → [BN, k_tile]: the scales for
+    columns [col0, col0 + k_tile), each repeated g times.
 
-    Mosaic can't reshape (BN, BG, g) → (BN, BG*g) for g < 128, so expansion
-    is a dot with a constant one-hot expander E[a, k] = (k // g == a) — the
-    compiler folds E and the MXU does the broadcast.
+    Mosaic can't reshape (BN, SG, g) → (BN, SG*g) for g < 128, and scale
+    blocks smaller than a lane aren't loadable — so the whole scale row rides
+    in VMEM (tiny) and a one-hot selector E[a, j] = (a == (col0 + j) // g)
+    does select+broadcast in one MXU dot.  col0 may be traced (program_id).
     """
-    bg = s.shape[1]
-    k = bg * g
-    col_group = jax.lax.broadcasted_iota(jnp.int32, (bg, k), 1) // g
-    row = jax.lax.broadcasted_iota(jnp.int32, (bg, k), 0)
+    sg = s.shape[1]
+    col_group = (col0 + jax.lax.broadcasted_iota(jnp.int32, (sg, k_tile), 1)) // g
+    row = jax.lax.broadcasted_iota(jnp.int32, (sg, k_tile), 0)
     expander = (col_group == row).astype(jnp.float32)
     return jax.lax.dot_general(
         s.astype(jnp.float32), expander, (((1,), (0,)), ((), ())),
@@ -52,18 +53,19 @@ def _expand_scales(s, g: int):
     )
 
 
-def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, n_kb: int):
-    """x_ref [M, 2, BB], qw_ref [BN, BB], s_ref [BN, 2, BB//G], out [M, BN]."""
+def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bb: int):
+    """x_ref [M, 2, BB], qw_ref [BN, BB], s_ref [BN, 2, K/2/G], out [M, BN]."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    col0 = pl.program_id(1) * bb
     q = qw_ref[:].astype(jnp.int32)  # uint8 → int32 (Mosaic lacks u8→bf16)
     lo = (q & 0x0F).astype(jnp.bfloat16)
     hi = (q >> 4).astype(jnp.bfloat16)
-    s_lo = _expand_scales(s_ref[:, 0, :], group).astype(jnp.bfloat16)
-    s_hi = _expand_scales(s_ref[:, 1, :], group).astype(jnp.bfloat16)
+    s_lo = _expand_scales(s_ref[:, 0, :], group, bb, col0).astype(jnp.bfloat16)
+    s_hi = _expand_scales(s_ref[:, 1, :], group, bb, col0).astype(jnp.bfloat16)
     x_lo = x_ref[:, 0, :]
     x_hi = x_ref[:, 1, :]
     acc = jax.lax.dot_general(
@@ -75,15 +77,16 @@ def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, n_kb: int):
     out_ref[:] += acc
 
 
-def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, n_kb: int):
-    """x_ref [M, BK], qw_ref [BN, BK] i8, s_ref [BN, BK//G], out [M, BN]."""
+def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int):
+    """x_ref [M, BK], qw_ref [BN, BK] i8, s_ref [BN, K//G], out [M, BN]."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    col0 = pl.program_id(1) * bk
     w = qw_ref[:].astype(jnp.int32).astype(jnp.bfloat16) * _expand_scales(
-        s_ref[:], group
+        s_ref[:], group, bk, col0
     ).astype(jnp.bfloat16)
     out_ref[:] += jax.lax.dot_general(
         x_ref[:], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -116,13 +119,14 @@ def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     x3 = x.reshape(M, 2, half).astype(jnp.bfloat16)
 
     out = pl.pallas_call(
-        functools.partial(_qmm_i4_kernel, group=G, n_kb=grid[1]),
+        functools.partial(_qmm_i4_kernel, group=G, bb=BB),
         grid=grid,
         in_specs=[
             pl.BlockSpec((M, 2, BB), lambda n, k: (0, 0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, BB), lambda n, k: (n, k), memory_space=pltpu.VMEM),
+            # whole scale row per N-tile (tiny); kernel selects the K slice
             pl.BlockSpec(
-                (BN, 2, BB // G), lambda n, k: (n, 0, k), memory_space=pltpu.VMEM
+                (BN, 2, half // G), lambda n, k: (n, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec((M, BN), lambda n, k: (0, n), memory_space=pltpu.VMEM),
@@ -148,12 +152,12 @@ def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     grid = (N // BN, K // BK)
 
     out = pl.pallas_call(
-        functools.partial(_qmm_i8_kernel, group=G, n_kb=grid[1]),
+        functools.partial(_qmm_i8_kernel, group=G, bk=BK),
         grid=grid,
         in_specs=[
             pl.BlockSpec((M, BK), lambda n, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, BK), lambda n, k: (n, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, BK // G), lambda n, k: (n, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, K // G), lambda n, k: (n, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, BN), lambda n, k: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),

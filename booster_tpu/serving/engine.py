@@ -127,6 +127,49 @@ def _decode_chunk(
     return toks, done, cache, state
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill_batched(params, cfg: ModelConfig, cache: KVCache, tokens, n_valid,
+                     state: SamplerState, vp, admit_mask):
+    """Prefill any subset of slots (n_valid=0 rows are no-ops) and sample the
+    first token for admitted rows."""
+    from booster_tpu.sampling.vector import sample_vectorized
+
+    gather = jnp.maximum(n_valid - 1, 0)
+    logits, cache = forward(
+        params, cfg, tokens, cache, gather_idx=gather, n_valid=n_valid
+    )
+    tok, state = sample_vectorized(logits[:, 0, :], state, vp, mask=admit_mask)
+    return tok, cache, state
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def _decode_chunk_vec(params, cfg: ModelConfig, cache: KVCache, last_tok,
+                      state: SamplerState, vp, active, n_steps: int, eog_mask):
+    """n_steps batched decode iterations with per-slot sampling params.
+
+    Rows become inactive once they emit EOG (their cache stops advancing).
+    Returns (tokens [B, n], emitted [B, n] bool, cache, state).
+    """
+    from booster_tpu.sampling.vector import sample_vectorized
+
+    def step(carry, _):
+        cache, tok, state, live = carry
+        logits, cache = forward(
+            params, cfg, tok, cache, last_only=True,
+            n_valid=live.astype(jnp.int32),
+        )
+        nxt, state = sample_vectorized(logits[:, -1, :], state, vp, mask=live)
+        nxt = jnp.where(live, nxt, tok[:, 0])
+        emitted = live
+        live = live & ~eog_mask[nxt]
+        return (cache, nxt[:, None], state, live), (nxt, emitted)
+
+    (cache, _, state, _), (toks, emitted) = jax.lax.scan(
+        step, (cache, last_tok, state, active), None, length=n_steps
+    )
+    return toks.T, emitted.T, cache, state
+
+
 class Engine:
     """Owns compiled step functions + the KV cache for B slots."""
 
@@ -179,6 +222,92 @@ class Engine:
                 raise ValueError("janus sampling requires a tokenizer")
             self._janus_tables = JanusTables.build(self.tokenizer)
         return self._janus_tables
+
+    # -- slot-based continuous batching API (used by serving.scheduler) ------
+
+    def init_batch_state(self, window: Optional[int] = None) -> None:
+        from booster_tpu.sampling.vector import VectorSampling
+
+        B = self.max_batch
+        self.state = make_sampler_state(B, window or self.history_window, seed=0)
+        self.vp = VectorSampling.from_params([SamplingParams()] * B)
+        if self._eog_mask is None:
+            self._eog_mask = jnp.zeros(self.cfg.n_vocab, bool)
+
+    def reset_slot(self, slot: int, sampling: SamplingParams, seed: int) -> None:
+        """Free/claim a slot: zero its cache length and sampler-state row."""
+        import jax as _jax
+
+        self.cache = dataclasses.replace(
+            self.cache, lengths=self.cache.lengths.at[slot].set(0)
+        )
+        st = self.state
+        self.state = SamplerState(
+            prev_tokens=st.prev_tokens.at[slot].set(-1),
+            prev_pos=st.prev_pos.at[slot].set(0),
+            mirostat_mu=st.mirostat_mu.at[slot].set(0.0),
+            key=st.key.at[slot].set(_jax.random.PRNGKey(seed)),
+        )
+        self.vp = self.vp.set_slot(slot, sampling)
+
+    def prefill_slots(self, jobs: dict[int, list[int]], chunk: int = 512) -> dict[int, int]:
+        """Prefill prompts into their slots (chunked); returns first sampled
+        token per slot.  Slots must have been reset_slot()'d first."""
+        B = self.max_batch
+        remaining = {s: list(ids) for s, ids in jobs.items()}
+        first: dict[int, int] = {}
+        while remaining:
+            max_take = max(min(len(r), chunk) for r in remaining.values())
+            T = max(16, 1 << (max_take - 1).bit_length())
+            T = min(T, chunk)
+            tokens = np.zeros((B, T), np.int32)
+            n_valid = np.zeros(B, np.int32)
+            admit = np.zeros(B, bool)
+            done_slots = []
+            for s, ids in remaining.items():
+                take = min(len(ids), T)
+                tokens[s, :take] = ids[:take]
+                n_valid[s] = take
+                remaining[s] = ids[take:]
+                if not remaining[s]:
+                    admit[s] = True
+                    done_slots.append(s)
+            tok, self.cache, self.state = _prefill_batched(
+                self.params, self.cfg, self.cache, jnp.asarray(tokens),
+                jnp.asarray(n_valid), self.state, self.vp, jnp.asarray(admit),
+            )
+            tok_np = np.asarray(tok)
+            for s in done_slots:
+                first[s] = int(tok_np[s])
+                del remaining[s]
+        return first
+
+    def decode_slots(
+        self, last_tokens: dict[int, int], n_steps: Optional[int] = None
+    ) -> tuple[dict[int, list[int]], dict[int, bool]]:
+        """Batched decode chunk over the active slots.  Returns per-slot
+        generated tokens (stopping at EOG) and an eog flag per slot."""
+        B = self.max_batch
+        n = n_steps or self.decode_chunk
+        active = np.zeros(B, bool)
+        last = np.zeros((B, 1), np.int32)
+        for s, t in last_tokens.items():
+            active[s] = True
+            last[s, 0] = t
+        toks, emitted, self.cache, self.state = _decode_chunk_vec(
+            self.params, self.cfg, self.cache, jnp.asarray(last), self.state,
+            self.vp, jnp.asarray(active), n, self._eog_mask,
+        )
+        toks = np.asarray(toks)
+        emitted = np.asarray(emitted)
+        eog_np = np.asarray(self._eog_mask)
+        out: dict[int, list[int]] = {}
+        hit: dict[int, bool] = {}
+        for s in last_tokens:
+            row = [int(t) for t, e in zip(toks[s], emitted[s]) if e]
+            out[s] = row
+            hit[s] = bool(row and eog_np[row[-1]])
+        return out, hit
 
     # -- single-sequence generation (pod-style; scheduler batches above this)
 

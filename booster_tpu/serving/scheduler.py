@@ -1,0 +1,314 @@
+"""Job queue + continuous-batching scheduler.
+
+Reference behavior being reproduced (and upgraded):
+  - job registry / queue / statuses + deadline eviction
+    (/root/reference/pkg/server/server.go:257-268, :618-692 Engine loop)
+  - prompt templating {DATE}/{PROMPT}/{USER}/{ASSISTANT} + session text
+    history with context-limit reset (server.go:717-808)
+  - partial output polling, cancel, graceful shutdown (server.go:921-1164)
+
+Upgrade over the reference: instead of one pod per concurrent request, one
+engine serves B slots with batched prefill/decode (continuous batching — the
+reference's own roadmap item), with per-slot sampling params.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import datetime
+import time
+import uuid
+from collections import deque
+from typing import Optional
+
+from booster_tpu.sampling import SamplingParams
+from booster_tpu.serving.config import PromptSpec
+from booster_tpu.serving.engine import Engine
+from booster_tpu.tokenizer.core import StreamDetokenizer
+
+STATUS_QUEUED = "queued"
+STATUS_PROCESSING = "processing"
+STATUS_FINISHED = "finished"
+STATUS_STOPPED = "stopped"
+
+
+@dataclasses.dataclass
+class Job:
+    id: str
+    prompt: str
+    session_id: str = ""
+    sampling: Optional[SamplingParams] = None
+    max_tokens: int = 0  # 0 → pod default
+    status: str = STATUS_QUEUED
+    created_at: float = dataclasses.field(default_factory=time.time)
+    started_at: float = 0.0
+    finished_at: float = 0.0
+    full_prompt: str = ""
+    output: str = ""
+    token_ids: list[int] = dataclasses.field(default_factory=list)
+    n_prompt_tokens: int = 0
+    finish_reason: str = ""
+    cancelled: bool = False
+    detok: Optional[StreamDetokenizer] = None
+    _done: asyncio.Event = dataclasses.field(default_factory=asyncio.Event)
+
+    @property
+    def n_generated(self) -> int:
+        return len(self.token_ids)
+
+
+class Scheduler:
+    """Asyncio continuous-batching scheduler over one Engine."""
+
+    def __init__(
+        self,
+        engine: Engine,
+        prompt_spec: Optional[PromptSpec] = None,
+        default_sampling: SamplingParams = SamplingParams(),
+        default_max_tokens: int = 1024,
+        deadline_s: float = 180.0,
+        locale: str = "en_US",
+    ):
+        self.engine = engine
+        self.prompt_spec = prompt_spec or PromptSpec(id="default")
+        self.default_sampling = default_sampling
+        self.default_max_tokens = default_max_tokens
+        self.deadline_s = deadline_s
+        self.locale = locale
+
+        self.jobs: dict[str, Job] = {}
+        self.queue: deque[str] = deque()
+        self.sessions: dict[str, str] = {}
+        self.session_tokens: dict[str, int] = {}
+
+        B = engine.max_batch
+        self.free_slots = list(range(B))
+        self.running: dict[int, Job] = {}
+        self._wake = asyncio.Event()
+        self._shutdown = False
+        self._task: Optional[asyncio.Task] = None
+        self._total_generated = 0
+        self._total_jobs = 0
+        engine.init_batch_state()
+
+    # -- public API ----------------------------------------------------------
+
+    def place_job(
+        self,
+        job_id: str = "",
+        prompt: str = "",
+        session_id: str = "",
+        sampling: Optional[SamplingParams] = None,
+        max_tokens: int = 0,
+        full_prompt: str = "",
+    ) -> Job:
+        """PlaceJob (server.go:921): register + enqueue."""
+        if self._shutdown:
+            raise RuntimeError("server is shutting down")
+        job_id = job_id or str(uuid.uuid4())
+        if job_id in self.jobs:
+            raise ValueError(f"job {job_id} already exists")
+        job = Job(
+            id=job_id,
+            prompt=prompt,
+            session_id=session_id,
+            sampling=sampling,
+            max_tokens=max_tokens or self.default_max_tokens,
+            full_prompt=full_prompt,
+        )
+        self.jobs[job_id] = job
+        self.queue.append(job_id)
+        self._wake.set()
+        return job
+
+    def stop_job(self, job_id: str) -> bool:
+        """DELETE /jobs/:id (server.go:1050): cooperative cancel."""
+        job = self.jobs.get(job_id)
+        if job is None:
+            return False
+        job.cancelled = True
+        if job.status == STATUS_QUEUED:
+            job.status = STATUS_STOPPED
+            job.finish_reason = "cancelled"
+            job._done.set()
+        return True
+
+    async def wait_job(self, job_id: str, timeout: Optional[float] = None) -> Job:
+        job = self.jobs[job_id]
+        await asyncio.wait_for(job._done.wait(), timeout)
+        return job
+
+    def health(self) -> dict:
+        return {
+            "status": "ok" if not self._shutdown else "shutting_down",
+            "slots_total": self.engine.max_batch,
+            "slots_busy": len(self.running),
+            "jobs_queued": len(self.queue),
+            "jobs_total": self._total_jobs,
+            "tokens_generated": self._total_generated,
+        }
+
+    async def shutdown(self, drain: bool = True) -> None:
+        """Graceful shutdown: refuse new jobs, drain the running batch."""
+        self._shutdown = True
+        self._wake.set()
+        if drain:
+            while self.running or self.queue:
+                await asyncio.sleep(0.05)
+        if self._task:
+            self._task.cancel()
+
+    # -- prompt construction (reference Do(), server.go:743-808) -------------
+
+    def build_full_prompt(self, job: Job) -> str:
+        if job.full_prompt:
+            return job.full_prompt
+        spec = self.prompt_spec
+        date = datetime.datetime.now().strftime("%B %d, %Y")
+        system = spec.system.replace(
+            "{PROMPT}", spec.prompt.replace("{DATE}", date)
+        )
+        history = self.sessions.get(job.session_id, "") if job.session_id else ""
+        user = spec.user.replace("{USER}", job.prompt)
+        assistant_prefix = spec.assistant.split("{ASSISTANT}")[0]
+        if history:
+            return history + user + assistant_prefix
+        return system + user + assistant_prefix
+
+    def _save_session(self, job: Job) -> None:
+        if not job.session_id:
+            return
+        spec = self.prompt_spec
+        assistant_parts = spec.assistant.split("{ASSISTANT}")
+        suffix = assistant_parts[1] if len(assistant_parts) > 1 else ""
+        self.sessions[job.session_id] = job.full_prompt + job.output + suffix
+        self.session_tokens[job.session_id] = (
+            self.session_tokens.get(job.session_id, 0)
+            + job.n_prompt_tokens
+            + job.n_generated
+        )
+        # context-limit reset (server.go:730-738): drop history when close
+        limit = self.engine.max_seq - self.default_max_tokens // 2
+        if self.session_tokens[job.session_id] >= limit:
+            self.sessions.pop(job.session_id, None)
+            self.session_tokens[job.session_id] = 0
+
+    # -- main loop -----------------------------------------------------------
+
+    def start(self) -> asyncio.Task:
+        self._task = asyncio.get_event_loop().create_task(self.run())
+        return self._task
+
+    async def run(self) -> None:
+        loop = asyncio.get_event_loop()
+        while not (self._shutdown and not self.running and not self.queue):
+            did_work = False
+
+            # deadline eviction (server.go:646-651)
+            now = time.time()
+            expired = [
+                jid for jid in self.queue
+                if now - self.jobs[jid].created_at > self.deadline_s
+            ]
+            for jid in expired:
+                self.queue.remove(jid)
+                j = self.jobs[jid]
+                j.status = STATUS_STOPPED
+                j.finish_reason = "deadline"
+                j._done.set()
+
+            # admit queued jobs into free slots
+            admits: dict[int, Job] = {}
+            while self.queue and self.free_slots:
+                jid = self.queue.popleft()
+                job = self.jobs[jid]
+                if job.cancelled:
+                    continue
+                slot = self.free_slots.pop()
+                admits[slot] = job
+            if admits:
+                prefill_map: dict[int, list[int]] = {}
+                for slot, job in admits.items():
+                    job.full_prompt = self.build_full_prompt(job)
+                    ids = self.engine.tokenizer.encode(job.full_prompt)
+                    max_prompt = self.engine.max_seq - 8
+                    if len(ids) > max_prompt:
+                        ids = ids[:1] + ids[-(max_prompt - 1):]
+                    job.n_prompt_tokens = len(ids)
+                    job.status = STATUS_PROCESSING
+                    job.started_at = time.time()
+                    job.detok = self.engine.tokenizer.stream()
+                    sp = (job.sampling or self.default_sampling).normalized()
+                    seed = sp.seed if sp.seed >= 0 else (hash(job.id) & 0x7FFFFFFF)
+                    self.engine.reset_slot(slot, sp, seed)
+                    prefill_map[slot] = ids
+                first = await loop.run_in_executor(
+                    None, self.engine.prefill_slots, prefill_map
+                )
+                for slot, job in admits.items():
+                    self.running[slot] = job
+                    self._append_token(job, first[slot])
+                    self._maybe_finish(slot, job, first_token=True)
+                did_work = True
+
+            # batched decode chunk for running slots
+            if self.running:
+                last = {s: j.token_ids[-1] for s, j in self.running.items()}
+                toks, eog = await loop.run_in_executor(
+                    None, self.engine.decode_slots, last
+                )
+                for slot in list(self.running):
+                    job = self.running[slot]
+                    for t in toks.get(slot, []):
+                        self._append_token(job, t)
+                        if len(job.token_ids) >= job.max_tokens:
+                            break
+                    self._maybe_finish(slot, job, eog=eog.get(slot, False))
+                did_work = True
+
+            if not did_work:
+                self._wake.clear()
+                try:
+                    await asyncio.wait_for(self._wake.wait(), timeout=0.5)
+                except asyncio.TimeoutError:
+                    pass
+            else:
+                await asyncio.sleep(0)
+
+    def _append_token(self, job: Job, token: int) -> None:
+        if len(job.token_ids) >= job.max_tokens:
+            return
+        job.token_ids.append(token)
+        job.output += job.detok.push(token)
+        self._total_generated += 1
+
+    def _maybe_finish(self, slot: int, job: Job, eog: bool = False,
+                      first_token: bool = False) -> None:
+        vocab = self.engine.tokenizer.vocab
+        hit_eog = eog or (job.token_ids and vocab.is_eog(job.token_ids[-1]))
+        out_of_space = (
+            int(self.engine.cache.lengths[slot]) + self.engine.decode_chunk
+            >= self.engine.max_seq - 1
+        )
+        reason = None
+        if job.cancelled:
+            reason = "cancelled"
+        elif hit_eog:
+            reason = "stop"
+        elif len(job.token_ids) >= job.max_tokens or out_of_space:
+            reason = "length"
+        if reason is None:
+            return
+        if hit_eog and job.token_ids and vocab.is_eog(job.token_ids[-1]):
+            job.token_ids.pop()  # don't surface the EOG token itself
+        job.output += job.detok.flush()
+        job.finish_reason = reason
+        job.status = STATUS_STOPPED if reason == "cancelled" else STATUS_FINISHED
+        job.finished_at = time.time()
+        self._save_session(job)
+        if slot in self.running:
+            del self.running[slot]
+            self.free_slots.append(slot)
+        self._total_jobs += 1
+        job._done.set()

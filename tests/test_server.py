@@ -1,0 +1,216 @@
+"""HTTP API + scheduler tests (aiohttp test client on a tiny model)."""
+
+import asyncio
+import json
+import sys
+import uuid
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from booster_tpu.models import load_model
+from booster_tpu.sampling import SamplingParams
+from booster_tpu.serving import Engine
+from booster_tpu.serving.config import PromptSpec
+from booster_tpu.serving.scheduler import Scheduler
+from booster_tpu.serving.server import make_app
+from tools.make_test_model import make_model
+
+_MODEL = {}
+
+
+def get_model(tmp_path_factory):
+    if "m" not in _MODEL:
+        path = str(tmp_path_factory.mktemp("srv") / "tiny.gguf")
+        make_model(path, vocab_size=512, hidden=128, layers=2)
+        _MODEL["m"] = load_model(path)
+    return _MODEL["m"]
+
+
+def run_with_client(tmp_path_factory, fn, max_batch=2, **sched_kw):
+    """Spin up scheduler + app + test client inside one event loop."""
+    model = get_model(tmp_path_factory)
+
+    async def runner():
+        engine = Engine(model, max_batch=max_batch, max_seq=128, decode_chunk=4)
+        scheduler = Scheduler(
+            engine,
+            prompt_spec=PromptSpec(id="default"),
+            default_sampling=SamplingParams(temp=0.0),
+            default_max_tokens=12,
+            **sched_kw,
+        )
+        scheduler.start()
+        app = make_app(scheduler, model_name="tiny")
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            return await fn(client, scheduler)
+        finally:
+            await client.close()
+            await scheduler.shutdown(drain=False)
+
+    return asyncio.run(runner())
+
+
+def test_jobs_lifecycle(tmp_path_factory):
+    async def fn(client, scheduler):
+        jid = str(uuid.uuid4())
+        r = await client.post("/jobs", json={"id": jid, "prompt": "hello world"})
+        assert r.status == 201
+        body = await r.json()
+        assert body["status"] == "queued"
+
+        # duplicate id rejected
+        r2 = await client.post("/jobs", json={"id": jid, "prompt": "x"})
+        assert r2.status == 400
+
+        # bad uuid rejected
+        r3 = await client.post("/jobs", json={"id": "nope", "prompt": "x"})
+        assert r3.status == 400
+
+        # poll until finished; partial output allowed meanwhile
+        for _ in range(200):
+            r = await client.get(f"/jobs/{jid}")
+            body = await r.json()
+            if body["status"] == "finished":
+                break
+            await asyncio.sleep(0.05)
+        assert body["status"] == "finished"
+        assert body["completion_tokens"] > 0
+        assert body["finish_reason"] in ("stop", "length")
+
+        r = await client.get("/jobs/does-not-exist")
+        assert r.status == 404
+
+    run_with_client(tmp_path_factory, fn)
+
+
+def test_job_cancel(tmp_path_factory):
+    async def fn(client, scheduler):
+        jid = str(uuid.uuid4())
+        await client.post("/jobs", json={"id": jid, "prompt": "hello", "max_tokens": 1000})
+        r = await client.delete(f"/jobs/{jid}")
+        assert r.status == 200
+        for _ in range(100):
+            r = await client.get(f"/jobs/{jid}")
+            body = await r.json()
+            if body["status"] in ("stopped", "finished"):
+                break
+            await asyncio.sleep(0.05)
+        assert body["status"] in ("stopped", "finished")
+
+    run_with_client(tmp_path_factory, fn)
+
+
+def test_openai_chat(tmp_path_factory):
+    async def fn(client, scheduler):
+        r = await client.post(
+            "/v1/chat/completions",
+            json={"messages": [{"role": "user", "content": "hello"}],
+                  "max_tokens": 8},
+        )
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "chat.completion"
+        assert body["choices"][0]["message"]["role"] == "assistant"
+        assert body["usage"]["completion_tokens"] > 0
+
+        r = await client.get("/v1/models")
+        body = await r.json()
+        assert body["data"][0]["id"] == "tiny"
+
+    run_with_client(tmp_path_factory, fn)
+
+
+def test_openai_stream(tmp_path_factory):
+    async def fn(client, scheduler):
+        r = await client.post(
+            "/v1/chat/completions",
+            json={"messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 6, "stream": True},
+        )
+        assert r.status == 200
+        raw = await r.text()
+        events = [l for l in raw.splitlines() if l.startswith("data: ")]
+        assert events[-1] == "data: [DONE]"
+        last = json.loads(events[-2][6:])
+        assert last["choices"][0]["finish_reason"] in ("stop", "length")
+
+    run_with_client(tmp_path_factory, fn)
+
+
+def test_ollama_chat_stream(tmp_path_factory):
+    async def fn(client, scheduler):
+        r = await client.post(
+            "/api/chat",
+            json={"messages": [{"role": "user", "content": "hello"}]},
+        )
+        assert r.status == 200
+        lines = [json.loads(l) for l in (await r.text()).splitlines() if l.strip()]
+        assert lines[-1]["done"] is True
+        assert lines[-1]["done_reason"] in ("stop", "length")
+
+        r = await client.get("/api/tags")
+        body = await r.json()
+        assert body["models"][0]["name"] == "tiny"
+        r = await client.get("/api/version")
+        assert (await r.json())["version"]
+
+    run_with_client(tmp_path_factory, fn)
+
+
+def test_health_and_concurrency(tmp_path_factory):
+    async def fn(client, scheduler):
+        # two concurrent jobs share the batch (2 slots)
+        ids = [str(uuid.uuid4()) for _ in range(3)]
+        for jid in ids:
+            await client.post("/jobs", json={"id": jid, "prompt": f"hello {jid[:4]}"})
+        r = await client.get("/health")
+        h = await r.json()
+        assert h["slots_total"] == 2
+        done = 0
+        for _ in range(400):
+            done = 0
+            for jid in ids:
+                r = await client.get(f"/jobs/{jid}")
+                if (await r.json())["status"] == "finished":
+                    done += 1
+            if done == 3:
+                break
+            await asyncio.sleep(0.05)
+        assert done == 3
+        h = await (await client.get("/health")).json()
+        assert h["jobs_total"] >= 3
+        assert h["tokens_generated"] > 0
+
+    run_with_client(tmp_path_factory, fn)
+
+
+def test_sessions(tmp_path_factory):
+    async def fn(client, scheduler):
+        session = str(uuid.uuid4())
+        r = await client.post("/jobs", json={"prompt": "hello", "session": session})
+        jid = (await r.json())["id"]
+        for _ in range(200):
+            body = await (await client.get(f"/jobs/{jid}")).json()
+            if body["status"] == "finished":
+                break
+            await asyncio.sleep(0.05)
+        assert session in scheduler.sessions
+        hist1 = scheduler.sessions[session]
+        # second turn includes the first turn's history in the full prompt
+        r = await client.post("/jobs", json={"prompt": "again", "session": session})
+        jid2 = (await r.json())["id"]
+        for _ in range(200):
+            body = await (await client.get(f"/jobs/{jid2}")).json()
+            if body["status"] == "finished":
+                break
+            await asyncio.sleep(0.05)
+        assert scheduler.jobs[jid2].full_prompt.startswith(hist1)
+
+    run_with_client(tmp_path_factory, fn)
