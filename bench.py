@@ -65,7 +65,10 @@ def main() -> None:
     model = load_model(path)
     sys.stderr.write(f"[bench] loaded+repacked in {time.time()-t0:.0f}s\n")
 
-    engine = Engine(model, max_batch=1, max_seq=1024, decode_chunk=32)
+    engine = Engine(
+        model, max_batch=1, max_seq=1024,
+        decode_chunk=int(os.environ.get("BENCH_CHUNK", "128")),
+    )
     prompt = engine.tokenizer.encode("hello world, this is a benchmark of the engine")
     sp = SamplingParams(temp=0.0)
 

@@ -94,9 +94,16 @@ def _layer(
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
-    q = qlinear(h, lp["wq"], lp.get("bq")).reshape(B, T, H, D)
-    k = qlinear(h, lp["wk"], lp.get("bk")).reshape(B, T, Hkv, D)
-    v = qlinear(h, lp["wv"], lp.get("bv")).reshape(B, T, Hkv, D)
+    if "wqkv" in lp:  # fused projection (loader folds q+k+v rows)
+        qkv = qlinear(h, lp["wqkv"])
+        d_q, d_kv = H * D, Hkv * D
+        q = qkv[..., :d_q].reshape(B, T, H, D)
+        k = qkv[..., d_q : d_q + d_kv].reshape(B, T, Hkv, D)
+        v = qkv[..., d_q + d_kv :].reshape(B, T, Hkv, D)
+    else:
+        q = qlinear(h, lp["wq"], lp.get("bq")).reshape(B, T, H, D)
+        k = qlinear(h, lp["wk"], lp.get("bk")).reshape(B, T, Hkv, D)
+        v = qlinear(h, lp["wv"], lp.get("bv")).reshape(B, T, Hkv, D)
 
     if cfg.q_norm:  # qwen3: per-head rmsnorm before rope
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
@@ -138,6 +145,10 @@ def _layer(
     h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
     if cfg.n_experts > 0:
         ffn_out = _moe_ffn(h, lp, cfg)
+    elif "w_gateup" in lp:  # fused gate+up (loader folds rows)
+        gu = qlinear(h, lp["w_gateup"])
+        ff = gu.shape[-1] // 2
+        ffn_out = qlinear(_act(gu[..., :ff], cfg.act) * gu[..., ff:], lp["w_down"])
     else:
         gate = qlinear(h, lp["w_gate"])
         up = qlinear(h, lp["w_up"])

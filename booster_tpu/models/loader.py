@@ -75,6 +75,31 @@ def _stack_qtensors(qts: list[QTensor]) -> QTensor:
     )
 
 
+def _concat_rows(qts: list[QTensor]) -> Optional[QTensor]:
+    """Fuse weights along out-features (e.g. q+k+v → qkv, gate+up → gateup):
+    one big matmul kernel instead of several — decode is launch-overhead
+    bound.  Requires identical kind/group/in_features; returns None if not."""
+    q0 = qts[0]
+    for q in qts[1:]:
+        if (q.kind, q.group, q.shape[1]) != (q0.kind, q0.group, q0.shape[1]):
+            return None
+        if (q.scales is None) != (q0.scales is None) or (q.mins is None) != (q0.mins is None):
+            return None
+    return QTensor(
+        kind=q0.kind,
+        qw=np.concatenate([np.asarray(q.qw) for q in qts], axis=0),
+        scales=None if q0.scales is None else np.concatenate(
+            [np.asarray(q.scales) for q in qts], axis=0
+        ),
+        mins=None if q0.mins is None else np.concatenate(
+            [np.asarray(q.mins) for q in qts], axis=0
+        ),
+        group=q0.group,
+        shape=(sum(q.shape[0] for q in qts), q0.shape[1]),
+        source_type=q0.source_type,
+    )
+
+
 def _split_rows(qt: QTensor, sizes: list[int]) -> list[QTensor]:
     """Split a QTensor along the out-features axis (e.g. fused qkv → q,k,v)."""
     out = []
@@ -110,6 +135,7 @@ def load_model(
     path: str,
     device_put: Optional[Callable[[Any, str], Any]] = None,
     keep_reader: bool = False,
+    fuse: bool = True,
 ) -> LoadedModel:
     """Read a GGUF file and build the params pytree (host numpy arrays unless
     `device_put(array, role)` is given — the parallel layer supplies one that
@@ -120,7 +146,13 @@ def load_model(
     if "tokenizer.ggml.tokens" in reader.metadata:
         tokenizer = Tokenizer.from_gguf_metadata(reader.metadata)
 
-    put = device_put or (lambda arr, role: arr)
+    # commit weights to device ONCE — numpy leaves would be re-transferred on
+    # every jit dispatch (catastrophic through a remote-TPU tunnel)
+    put = device_put or (lambda arr, role: jnp.asarray(arr))
+    if device_put is not None:
+        # fused qkv rows would split across tp shards at q/k/v-mixing
+        # boundaries; keep projections separate under explicit sharding
+        fuse = False
     file_types: dict[str, GGMLType] = {}
 
     def load_dense(name: str, dtype=np.float32) -> Optional[np.ndarray]:
@@ -179,6 +211,18 @@ def load_model(
             lp["wq"], lp["wk"], lp["wv"] = _split_rows(qkv, [d_q, d_kv, d_kv])
         if "w_gate" not in lp and "w_up" in lp and lp["w_up"].shape[0] == 2 * cfg.n_ff:
             lp["w_gate"], lp["w_up"] = _split_rows(lp["w_up"], [cfg.n_ff, cfg.n_ff])
+
+        # fuse q/k/v and gate/up into single matmuls (decode launch overhead)
+        if fuse and {"wq", "wk", "wv"} <= set(lp) and "bq" not in lp and not cfg.q_norm:
+            fused = _concat_rows([lp["wq"], lp["wk"], lp["wv"]])
+            if fused is not None:
+                lp["wqkv"] = fused
+                del lp["wq"], lp["wk"], lp["wv"]
+        if fuse and {"w_gate", "w_up"} <= set(lp):
+            fused = _concat_rows([lp["w_gate"], lp["w_up"]])
+            if fused is not None:
+                lp["w_gateup"] = fused
+                del lp["w_gate"], lp["w_up"]
         layer_dicts.append(lp)
 
     if not layer_dicts:

@@ -94,17 +94,27 @@ def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int):
 
 
 def _pick_tiles(n: int, kk: int, m: int) -> tuple[int, int]:
-    """Choose (BN, BKB) tiles: lane-aligned, VMEM-bounded."""
-    bn = 256 if n % 256 == 0 else (128 if n % 128 == 0 else n)
-    # K tile (in bytes for i4, elems for i8): big tiles amortize grid overhead
+    """Choose (BN, BKB) tiles: lane-aligned, few big grid steps.
+
+    Grid-step fixed overhead dominates decode (M small), so prefer the whole
+    K range in one step (BKB = kk when ≤ 4096) and the largest N tile whose
+    working set (payload + dequant temporaries, ~6×) fits VMEM comfortably.
+    """
     bkb = kk
-    for cand in (2048, 1024, 512, 256, 128):
-        if kk % cand == 0:
-            bkb = cand
+    if kk > 4096:
+        for cand in (4096, 2816, 2048, 1408, 1024, 512, 256, 128):
+            if kk % cand == 0:
+                bkb = cand
+                break
+    budget = 1536 * 1024  # payload bytes per tile (~6x that with temporaries)
+    bn = 128
+    for cand in (1280, 1024, 768, 640, 512, 384, 256, 128):
+        if n % cand == 0 and cand * bkb <= budget:
+            bn = cand
             break
-    # VMEM guard: qw tile + dequant tile + x tile + out tile (very rough)
-    while bn * bkb * 4 > 6 * 1024 * 1024 and bn > 128:
-        bn //= 2
+    else:
+        if n % 128 != 0:
+            bn = n
     return bn, bkb
 
 

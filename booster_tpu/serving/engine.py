@@ -383,12 +383,39 @@ class Engine:
             if self._eog_mask is not None
             else jnp.zeros(cfg.n_vocab, bool)
         )
-        while len(generated) < max_new_tokens:
+        # host-tracked cache occupancy: avoids a device→host sync per chunk
+        host_len = len(prompt_ids)
+
+        def consume(chunk_out) -> bool:
+            """Pull a finished chunk's tokens to host; True → generation ends."""
+            nonlocal finish
+            toks_np = np.asarray(chunk_out[0])[0]
+            done_np = np.asarray(chunk_out[1])[0]
+            for i, t in enumerate(toks_np):
+                if len(generated) >= max_new_tokens:
+                    return True
+                generated.append(int(t))
+                if on_token:
+                    on_token(int(t))
+                if done_np[i]:
+                    finish = "stop"
+                    return True
+            return len(generated) >= max_new_tokens
+
+        device_tok = tok[:, None]  # [B, 1] on device, no host round-trip
+        inflight = None
+        while True:
             if stop_check and stop_check():
                 finish = "cancelled"
                 break
-            if int(np.asarray(cache.lengths)[0]) + chunk >= self.max_seq - 1:
-                # context shift: keep n_keep, drop half of the rest, re-prefill
+            if host_len + chunk >= self.max_seq - 1:
+                # drain pipeline, then context shift: keep n_keep tokens,
+                # drop half of the rest, re-prefill (bridge.cpp:487-507)
+                if inflight is not None:
+                    if consume(inflight):
+                        inflight = None
+                        break
+                    inflight = None
                 kept = list(prompt_ids[:n_keep]) if n_keep else []
                 tail = (list(prompt_ids[n_keep:]) + generated)
                 tail = tail[len(tail) // 2 :]
@@ -396,40 +423,30 @@ class Engine:
                 ids = np.zeros((self.max_batch, len(kept) + len(tail)), np.int32)
                 ids[0] = kept + tail
                 _, cache = forward(self.params, cfg, jnp.asarray(ids), cache, last_only=True)
-            cur = np.zeros((self.max_batch, 1), np.int32)
-            cur[0, 0] = generated[-1]
-            if chunk > 1:
-                toks, done, cache, state = _decode_chunk(
-                    self.params, cfg, cache, jnp.asarray(cur), state, sampling,
-                    jnp.float32(max_new_tokens), chunk, eog_mask, **janus_args,
-                )
-                toks = np.asarray(toks)[0]
-                done = np.asarray(done)[0]
-                n_steps += chunk
-                for i, t in enumerate(toks):
-                    if len(generated) >= max_new_tokens:
-                        break
-                    generated.append(int(t))
-                    if on_token:
-                        on_token(int(t))
-                    if done[i]:
-                        finish = "stop"
-                        break
-                if finish == "stop":
-                    break
-            else:
-                tok, cache, state = _decode_step(
-                    self.params, cfg, cache, jnp.asarray(cur), state, sampling,
-                    jnp.float32(max_new_tokens), **janus_args,
-                )
-                n_steps += 1
-                t = int(np.asarray(tok)[0])
-                generated.append(t)
-                if on_token:
-                    on_token(t)
-                if vocab is not None and vocab.is_eog(t):
-                    finish = "stop"
-                    break
+                host_len = len(kept) + len(tail)
+                cur = np.zeros((self.max_batch, 1), np.int32)
+                cur[0, 0] = generated[-1]
+                device_tok = jnp.asarray(cur)
+            if len(generated) + (chunk if inflight is not None else 0) >= max_new_tokens:
+                # enough tokens already dispatched
+                if inflight is not None and consume(inflight):
+                    inflight = None
+                break
+            # dispatch the next chunk (async), then consume the previous one —
+            # the host readback overlaps with device compute
+            toks, done, cache, state = _decode_chunk(
+                self.params, cfg, cache, device_tok, state, sampling,
+                jnp.float32(max_new_tokens), chunk, eog_mask, **janus_args,
+            )
+            device_tok = toks[:, -1:]
+            host_len += chunk
+            n_steps += chunk
+            if inflight is not None and consume(inflight):
+                inflight = None
+                break
+            inflight = (toks, done)
+        if inflight is not None:
+            consume(inflight)
         t_gen = time.perf_counter() - t1
 
         text = self.tokenizer.decode(generated) if self.tokenizer else ""
