@@ -311,6 +311,90 @@ class Engine:
 
     # -- single-sequence generation (pod-style; scheduler batches above this)
 
+    def generate_grammar(
+        self,
+        prompt_ids: list[int],
+        grammar_gbnf: str,
+        sampling: SamplingParams = SamplingParams(),
+        max_new_tokens: int = 128,
+        stop_check: Optional[Callable[[], bool]] = None,
+        on_token: Optional[Callable[[int], None]] = None,
+    ) -> GenerationResult:
+        """GBNF-constrained generation (reference: grammar sampling chain,
+        common/sampling.cpp:430 — sample, validate, resample on violation).
+
+        The automaton runs on host between single-token device steps; each
+        step samples from the grammar-feasible candidate set."""
+        from booster_tpu.grammar import GrammarSampler, parse_gbnf
+
+        sampling = sampling.normalized()
+        gs = GrammarSampler(parse_gbnf(grammar_gbnf), self.tokenizer)
+        cfg = self.cfg
+        rng = np.random.default_rng(
+            sampling.seed if sampling.seed >= 0 else None
+        )
+        cache = self._new_cache()
+        ids = np.zeros((self.max_batch, len(prompt_ids)), np.int32)
+        ids[0] = prompt_ids
+
+        t0 = time.perf_counter()
+        logits, cache = forward(self.params, cfg, jnp.asarray(ids), cache, last_only=True)
+        t_prompt = time.perf_counter() - t0
+
+        def pick(row: np.ndarray) -> int:
+            order = np.argsort(row)[::-1]
+            if sampling.temp <= 0:
+                for tid in order:
+                    if gs.token_allowed(int(tid)):
+                        return int(tid)
+                raise RuntimeError("no grammar-feasible token")
+            cand = [int(t) for t in order[:128] if gs.token_allowed(int(t))]
+            if not cand:
+                cand = [int(t) for t in order[128:] if gs.token_allowed(int(t))][:1]
+            if not cand:
+                raise RuntimeError("no grammar-feasible token")
+            lg = row[cand] / max(sampling.temp, 1e-6)
+            p = np.exp(lg - lg.max())
+            p /= p.sum()
+            return int(rng.choice(cand, p=p))
+
+        generated: list[int] = []
+        finish = "length"
+        t1 = time.perf_counter()
+        vocab = self.tokenizer.vocab
+        while len(generated) < max_new_tokens:
+            if stop_check and stop_check():
+                finish = "cancelled"
+                break
+            row = np.asarray(logits)[0, -1]
+            try:
+                tok = pick(row)
+            except RuntimeError:
+                # grammar complete with no continuation: clean stop
+                finish = "stop" if gs.can_stop else "error"
+                break
+            if vocab.is_eog(tok):
+                finish = "stop"
+                break
+            gs.accept(tok)
+            generated.append(tok)
+            if on_token:
+                on_token(tok)
+            cur = np.zeros((self.max_batch, 1), np.int32)
+            cur[0, 0] = tok
+            logits, cache = forward(self.params, cfg, jnp.asarray(cur), cache, last_only=True)
+        t_gen = time.perf_counter() - t1
+
+        return GenerationResult(
+            token_ids=generated,
+            text=self.tokenizer.decode(generated),
+            n_prompt=len(prompt_ids),
+            n_generated=len(generated),
+            prompt_ms_per_token=1000.0 * t_prompt / max(len(prompt_ids), 1),
+            gen_ms_per_token=1000.0 * t_gen / max(len(generated), 1),
+            finish_reason=finish,
+        )
+
     def generate(
         self,
         prompt_ids: list[int],

@@ -39,6 +39,7 @@ class Job:
     prompt: str
     session_id: str = ""
     sampling: Optional[SamplingParams] = None
+    grammar: str = ""  # GBNF text; constrained decoding when set
     max_tokens: int = 0  # 0 → pod default
     status: str = STATUS_QUEUED
     created_at: float = dataclasses.field(default_factory=time.time)
@@ -102,6 +103,7 @@ class Scheduler:
         sampling: Optional[SamplingParams] = None,
         max_tokens: int = 0,
         full_prompt: str = "",
+        grammar: str = "",
     ) -> Job:
         """PlaceJob (server.go:921): register + enqueue."""
         if self._shutdown:
@@ -114,6 +116,7 @@ class Scheduler:
             prompt=prompt,
             session_id=session_id,
             sampling=sampling,
+            grammar=grammar,
             max_tokens=max_tokens or self.default_max_tokens,
             full_prompt=full_prompt,
         )
@@ -218,6 +221,14 @@ class Scheduler:
                 j.finish_reason = "deadline"
                 j._done.set()
 
+            # grammar-constrained jobs run on the dedicated single-step path
+            for jid in [j for j in self.queue if self.jobs[j].grammar]:
+                self.queue.remove(jid)
+                job = self.jobs[jid]
+                if not job.cancelled:
+                    asyncio.get_event_loop().create_task(self._run_grammar_job(job))
+                did_work = True
+
             # admit queued jobs into free slots
             admits: dict[int, Job] = {}
             while self.queue and self.free_slots:
@@ -275,6 +286,40 @@ class Scheduler:
                     pass
             else:
                 await asyncio.sleep(0)
+
+    async def _run_grammar_job(self, job: Job) -> None:
+        loop = asyncio.get_event_loop()
+        job.full_prompt = self.build_full_prompt(job)
+        ids = self.engine.tokenizer.encode(job.full_prompt)
+        job.n_prompt_tokens = len(ids)
+        job.status = STATUS_PROCESSING
+        job.started_at = time.time()
+        job.detok = self.engine.tokenizer.stream()
+        sp = (job.sampling or self.default_sampling).normalized()
+
+        def on_token(t: int) -> None:
+            job.token_ids.append(t)
+            job.output += job.detok.push(t)
+            self._total_generated += 1
+
+        try:
+            result = await loop.run_in_executor(
+                None,
+                lambda: self.engine.generate_grammar(
+                    ids, job.grammar, sp, max_new_tokens=job.max_tokens,
+                    stop_check=lambda: job.cancelled, on_token=on_token,
+                ),
+            )
+            job.output += job.detok.flush()
+            job.finish_reason = result.finish_reason
+        except Exception as e:  # grammar parse errors etc.
+            job.finish_reason = "error"
+            job.output = job.output or f"error: {e}"
+        job.status = STATUS_STOPPED if job.finish_reason == "cancelled" else STATUS_FINISHED
+        job.finished_at = time.time()
+        self._save_session(job)
+        self._total_jobs += 1
+        job._done.set()
 
     def _append_token(self, job: Job, token: int) -> None:
         if len(job.token_ids) >= job.max_tokens:

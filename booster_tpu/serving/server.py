@@ -104,6 +104,7 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
                 session_id=str(body.get("session", "") or ""),
                 sampling=sampling,
                 max_tokens=int(body.get("max_tokens", 0) or 0),
+                grammar=str(body.get("grammar", "") or ""),
             )
         except RuntimeError:
             return web.json_response({"error": "shutting down"}, status=503)
@@ -135,11 +136,23 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
             {k: body[k] for k in ("temperature", "top_p", "top_k", "seed")
              if k in body}
         ) if any(k in body for k in ("temperature", "top_p", "top_k", "seed")) else None
+        grammar = ""
+        rf = body.get("response_format") or {}
+        if rf.get("type") == "json_schema":
+            from booster_tpu.grammar import json_schema_to_gbnf
+
+            schema = (rf.get("json_schema") or {}).get("schema", rf.get("json_schema"))
+            grammar = json_schema_to_gbnf(schema or {})
+        elif rf.get("type") == "json_object":
+            from booster_tpu.grammar import json_schema_to_gbnf
+
+            grammar = json_schema_to_gbnf({"type": "object"})
         job = scheduler.place_job(
             prompt="",
             full_prompt=full_prompt,
             sampling=sampling,
             max_tokens=int(body.get("max_tokens", 0) or 0),
+            grammar=grammar,
         )
         created = int(time.time())
         if body.get("stream"):
