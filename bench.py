@@ -48,6 +48,49 @@ def build_model(path: str, small: bool) -> str:
     )
 
 
+def bench_batch(model, n_streams: int, n_tokens: int, kv_quant: bool) -> dict:
+    """Aggregate decode throughput with continuous batching (config 3 analog:
+    many streams, optionally int8 KV)."""
+    import time
+
+    import numpy as np
+
+    from booster_tpu.sampling import SamplingParams
+    from booster_tpu.serving import Engine
+
+    engine = Engine(model, max_batch=n_streams, max_seq=512,
+                    kv_quantized=kv_quant, decode_chunk=32)
+    engine.init_batch_state()
+    prompts = {}
+    for s in range(n_streams):
+        engine.reset_slot(s, SamplingParams(temp=0.8, top_k=40, seed=s), seed=s)
+        prompts[s] = engine.tokenizer.encode(f"stream {s} benchmark prompt")
+    first = engine.prefill_slots(prompts)
+    last = dict(first)
+    # warmup chunk (compile)
+    toks, _ = engine.decode_slots(last, n_steps=32)
+    for s, row in toks.items():
+        if row:
+            last[s] = row[-1]
+    t0 = time.perf_counter()
+    done_tokens = 0
+    steps = 0
+    while steps < n_tokens:
+        toks, _ = engine.decode_slots(last, n_steps=32)
+        steps += 32
+        for s, row in toks.items():
+            done_tokens += len(row)
+            if row:
+                last[s] = row[-1]
+    dt = time.perf_counter() - t0
+    return {
+        "streams": n_streams,
+        "agg_tps": done_tokens / dt,
+        "per_stream_tps": done_tokens / dt / n_streams,
+        "kv_quant": kv_quant,
+    }
+
+
 def main() -> None:
     small = os.environ.get("BENCH_SMALL") == "1"
     n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
@@ -83,6 +126,19 @@ def main() -> None:
         f"decode {r.gen_ms_per_token:.2f} ms/tok ({gen_tps:.1f} tok/s), "
         f"{r.n_generated} tokens\n"
     )
+
+    if os.environ.get("BENCH_BATCH", "1") == "1":
+        streams = int(os.environ.get("BENCH_STREAMS", "16"))
+        try:
+            b = bench_batch(model, streams, min(n_tokens, 128),
+                            kv_quant=os.environ.get("BENCH_KV_QUANT") == "1")
+            sys.stderr.write(
+                f"[bench] continuous batching {b['streams']} streams: "
+                f"{b['agg_tps']:.1f} tok/s aggregate "
+                f"({b['per_stream_tps']:.1f}/stream)\n"
+            )
+        except Exception as e:
+            sys.stderr.write(f"[bench] batch bench failed: {e}\n")
 
     print(
         json.dumps(

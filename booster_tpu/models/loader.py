@@ -62,7 +62,7 @@ def _stack_qtensors(qts: list[QTensor]) -> QTensor:
     """Stack per-layer QTensors along a new leading axis (for lax.scan)."""
     q0 = qts[0]
     for q in qts[1:]:
-        if (q.kind, q.group, q.shape) != (q0.kind, q0.group, q0.shape):
+        if (q.kind, q.group, q.shape, q.zero) != (q0.kind, q0.group, q0.shape, q0.zero):
             raise ValueError("cannot stack heterogeneous layer tensors")
     return QTensor(
         kind=q0.kind,
@@ -72,6 +72,7 @@ def _stack_qtensors(qts: list[QTensor]) -> QTensor:
         group=q0.group,
         shape=q0.shape,
         source_type=q0.source_type,
+        zero=q0.zero,
     )
 
 
@@ -81,7 +82,7 @@ def _concat_rows(qts: list[QTensor]) -> Optional[QTensor]:
     bound.  Requires identical kind/group/in_features; returns None if not."""
     q0 = qts[0]
     for q in qts[1:]:
-        if (q.kind, q.group, q.shape[1]) != (q0.kind, q0.group, q0.shape[1]):
+        if (q.kind, q.group, q.shape[1], q.zero) != (q0.kind, q0.group, q0.shape[1], q0.zero):
             return None
         if (q.scales is None) != (q0.scales is None) or (q.mins is None) != (q0.mins is None):
             return None
@@ -97,6 +98,7 @@ def _concat_rows(qts: list[QTensor]) -> Optional[QTensor]:
         group=q0.group,
         shape=(sum(q.shape[0] for q in qts), q0.shape[1]),
         source_type=q0.source_type,
+        zero=q0.zero,
     )
 
 
@@ -115,6 +117,7 @@ def _split_rows(qt: QTensor, sizes: list[int]) -> list[QTensor]:
                 group=qt.group,
                 shape=(s, qt.shape[1]),
                 source_type=qt.source_type,
+                zero=qt.zero,
             )
         )
         start += s

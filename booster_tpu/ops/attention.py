@@ -9,12 +9,17 @@ with the flash-attn / KQ-softmax paths.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+# materialized-score budget above which the online-softmax chunked path runs
+_CHUNK_THRESHOLD = 32 * 1024 * 1024  # elements in [B, H, T, S]
+_KV_CHUNK = 512
 
 
 def attention(
@@ -33,6 +38,12 @@ def attention(
     S = k_cache.shape[1]
     Hkv = k_cache.shape[2]
     groups = H // Hkv
+
+    if B * H * T * S > _CHUNK_THRESHOLD and S % _KV_CHUNK == 0:
+        return _attention_chunked(
+            q, k_cache, v_cache, q_positions, kv_valid_len, scale,
+            logit_softcap, sliding_window,
+        )
 
     qf = q.astype(jnp.float32) * scale
     kf = k_cache.astype(jnp.float32)
@@ -54,5 +65,61 @@ def attention(
 
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bhsd->bhgtd", probs, vf.transpose(0, 2, 1, 3))
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, D)
+    return out.astype(q.dtype)
+
+
+def _attention_chunked(
+    q: jnp.ndarray,  # [B, T, H, D]
+    k_cache: jnp.ndarray,  # [B, S, H_kv, D]
+    v_cache: jnp.ndarray,
+    q_positions: jnp.ndarray,  # [B, T]
+    kv_valid_len: jnp.ndarray,  # [B]
+    scale: float,
+    logit_softcap: float = 0.0,
+    sliding_window=None,
+) -> jnp.ndarray:
+    """Online-softmax attention over KV chunks (flash-attention recurrence in
+    XLA): peak memory O(B·H·T·CHUNK) instead of O(B·H·T·S).  Numerics match
+    the dense path to f32 rounding."""
+    B, T, H, D = q.shape
+    S = k_cache.shape[1]
+    Hkv = k_cache.shape[2]
+    groups = H // Hkv
+    C = _KV_CHUNK
+    n_chunks = S // C
+
+    qf = (q.astype(jnp.float32) * scale).reshape(B, T, Hkv, groups, D)
+    qf = qf.transpose(0, 2, 3, 1, 4)  # [B, Hkv, G, T, D]
+    kf = k_cache.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B, Hkv, S, D]
+    vf = v_cache.astype(jnp.float32).transpose(0, 2, 1, 3)
+    qpos = q_positions[:, :, None]  # [B, T, 1]
+
+    def body(carry, c_idx):
+        m, l, acc = carry
+        start = c_idx * C
+        kc = jax.lax.dynamic_slice_in_dim(kf, start, C, axis=2)
+        vc = jax.lax.dynamic_slice_in_dim(vf, start, C, axis=2)
+        s_chunk = jnp.einsum("bhgtd,bhsd->bhgts", qf, kc)
+        if logit_softcap > 0.0:
+            s_chunk = logit_softcap * jnp.tanh(s_chunk / logit_softcap)
+        kv_idx = start + jnp.arange(C)[None, None, :]
+        mask = (kv_idx <= qpos) & (kv_idx < kv_valid_len[:, None, None])
+        if sliding_window is not None:
+            mask &= kv_idx > qpos - sliding_window
+        s_chunk = jnp.where(mask[:, None, None, :, :], s_chunk, NEG_INF)
+
+        m_new = jnp.maximum(m, s_chunk.max(axis=-1))
+        p = jnp.exp(s_chunk - m_new[..., None])
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum("bhgts,bhsd->bhgtd", p, vc)
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((B, Hkv, groups, T), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, groups, T), jnp.float32)
+    acc0 = jnp.zeros((B, Hkv, groups, T, D), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(n_chunks))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
     out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, D)
     return out.astype(q.dtype)

@@ -61,7 +61,7 @@ def _expand_scales(s, g: int, k_tile: int, col0):
 
 
 def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
-                   bb: int, has_mins: bool):
+                   bb: int, has_mins: bool, zero: int):
     """x_ref [M, 2, BB] bf16, qw_ref [BN, BB] u8, s_ref [BN, 2(+2), SG]
     (scale rows, then min rows when has_mins), out [M, BN] f32.
 
@@ -79,8 +79,8 @@ def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
     for j in range(bb // sub):
         sl = slice(j * sub, (j + 1) * sub)
         q = qw_ref[:, sl].astype(jnp.int32)  # u8→i32 (Mosaic lacks u8→bf16)
-        lo = (q & 0x0F).astype(jnp.bfloat16)
-        hi = (q >> 4).astype(jnp.bfloat16)
+        lo = ((q & 0x0F) - zero).astype(jnp.bfloat16)
+        hi = ((q >> 4) - zero).astype(jnp.bfloat16)
         c0 = col0 + j * sub
         w_lo = lo * _expand_scales(s_ref[:, 0, :], group, sub, c0).astype(jnp.bfloat16)
         w_hi = hi * _expand_scales(s_ref[:, 1, :], group, sub, c0).astype(jnp.bfloat16)
@@ -167,7 +167,8 @@ def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
         s3 = jnp.concatenate([s3, w.mins.reshape(N, 2, sg)], axis=1)  # [N,4,sg]
 
     return pl.pallas_call(
-        functools.partial(_qmm_i4_kernel, group=G, bb=BB, has_mins=has_mins),
+        functools.partial(_qmm_i4_kernel, group=G, bb=BB, has_mins=has_mins,
+                          zero=w.zero),
         grid=grid,
         in_specs=[
             pl.BlockSpec((M, 2, BB), lambda n, k: (0, 0, k), memory_space=pltpu.VMEM),

@@ -63,6 +63,7 @@ class QTensor:
     group: int  # elements per scale group
     shape: tuple[int, int]  # logical (out, in) before padding
     source_type: GGMLType  # original GGUF type
+    zero: int = 0  # integer zero point: value = (q - zero) * scale - min
 
     @property
     def out_features(self) -> int:
@@ -94,14 +95,14 @@ class QTensor:
 
 def _tree_flatten(qt: QTensor):
     children = (qt.qw, qt.scales, qt.mins)
-    aux = (qt.kind, qt.group, qt.shape, qt.source_type)
+    aux = (qt.kind, qt.group, qt.shape, qt.source_type, qt.zero)
     return children, aux
 
 
 def _tree_unflatten(aux, children):
-    kind, group, shape, source_type = aux
+    kind, group, shape, source_type, zero = aux
     qw, scales, mins = children
-    return QTensor(kind, qw, scales, mins, group, shape, source_type)
+    return QTensor(kind, qw, scales, mins, group, shape, source_type, zero)
 
 
 if jax is not None:
@@ -136,7 +137,8 @@ def _repack_q4_0(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
     qs = b[:, 2:18]
     q = np.concatenate([(qs & 0x0F), (qs >> 4)], axis=1)  # block order 0..31
     q = q.reshape(out_f, in_f)
-    return QTensor("i4p", _pack_nibbles_planar(q), d, 8.0 * d, 32, (out_f, in_f), GGMLType.Q4_0)
+    return QTensor("i4p", _pack_nibbles_planar(q), d, None, 32, (out_f, in_f),
+                   GGMLType.Q4_0, zero=8)
 
 
 def _repack_q4_1(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
@@ -262,8 +264,8 @@ def _repack_q3_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
     # store q' = q2 + 4*hbit ∈ 0..7; value = scale*(q' ) - 4*scale
     qp = (q2 + (hb << 2)).reshape(-1, 256).reshape(out_f, in_f)
     scales = (d * sc6).reshape(out_f, in_f // 16).astype(np.float32)
-    mins = 4.0 * scales
-    return QTensor("i4p", _pack_nibbles_planar(qp), scales, mins, 16, (out_f, in_f), GGMLType.Q3_K)
+    return QTensor("i4p", _pack_nibbles_planar(qp), scales, None, 16, (out_f, in_f),
+                   GGMLType.Q3_K, zero=4)
 
 
 def _repack_iq4_nl(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
@@ -349,6 +351,8 @@ def dequantize_qtensor_np(qt: QTensor) -> np.ndarray:
     else:
         q = np.asarray(qt.qw, dtype=np.float32)
     out_f, in_f = qt.shape
+    if qt.zero:
+        q = q - float(qt.zero)
     s = np.repeat(np.asarray(qt.scales, dtype=np.float32), qt.group, axis=1)
     v = q.reshape(out_f, in_f) * s
     if qt.mins is not None:
@@ -370,6 +374,8 @@ def dequantize_qtensor(qt: QTensor, dtype=None):
     else:
         q = jnp.asarray(qt.qw).astype(jnp.float32)
     g = qt.group
+    if qt.zero:
+        q = q - float(qt.zero)
     s = jnp.asarray(qt.scales)
     v = (q.reshape(out_f, in_f // g, g) * s[:, :, None])
     if qt.mins is not None:
