@@ -4,7 +4,9 @@ import numpy as np
 
 import jax.numpy as jnp
 
-import booster_tpu.ops.attention as att
+import importlib
+
+att = importlib.import_module("booster_tpu.ops.attention")
 
 
 def run_both(B=1, T=64, S=1024, H=4, Hkv=2, D=32, window=None, softcap=0.0):
