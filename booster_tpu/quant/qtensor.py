@@ -132,6 +132,12 @@ def unpack_nibbles_planar(p: np.ndarray) -> np.ndarray:
 
 
 def _repack_q4_0(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    from booster_tpu.quant import native
+
+    nr = native.repack_q4_0(raw, out_f, in_f)
+    if nr is not None:
+        qw, d = nr
+        return QTensor("i4p", qw, d, None, 32, (out_f, in_f), GGMLType.Q4_0, zero=8)
     b = _blocks(raw, TYPE_TRAITS[GGMLType.Q4_0].type_size)
     d = _f16(b[:, 0:2]).reshape(out_f, in_f // 32)
     qs = b[:, 2:18]
@@ -151,6 +157,12 @@ def _repack_q4_1(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
 
 
 def _repack_q8_0(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    from booster_tpu.quant import native
+
+    nr = native.repack_q8_0(raw, out_f, in_f)
+    if nr is not None:
+        qw, d = nr
+        return QTensor("i8", qw, d, None, 32, (out_f, in_f), GGMLType.Q8_0)
     b = _blocks(raw, TYPE_TRAITS[GGMLType.Q8_0].type_size)
     d = _f16(b[:, 0:2]).reshape(out_f, in_f // 32)
     q = b[:, 2:34].view(np.int8).reshape(out_f, in_f).copy()
@@ -181,6 +193,12 @@ def _repack_q5_1(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
 
 
 def _repack_q4_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    from booster_tpu.quant import native
+
+    nr = native.repack_q4_k(raw, out_f, in_f)
+    if nr is not None:
+        qw, scales, mins = nr
+        return QTensor("i4p", qw, scales, mins, 32, (out_f, in_f), GGMLType.Q4_K)
     b = _blocks(raw, TYPE_TRAITS[GGMLType.Q4_K].type_size)
     d = _f16(b[:, 0:2])
     dmin = _f16(b[:, 2:4])
@@ -194,6 +212,12 @@ def _repack_q4_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
 
 
 def _repack_q5_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    from booster_tpu.quant import native
+
+    nr = native.repack_q5_k(raw, out_f, in_f)
+    if nr is not None:
+        qw, scales, mins = nr
+        return QTensor("i8", qw, scales, mins, 32, (out_f, in_f), GGMLType.Q5_K)
     b = _blocks(raw, TYPE_TRAITS[GGMLType.Q5_K].type_size)
     d = _f16(b[:, 0:2])
     dmin = _f16(b[:, 2:4])
@@ -213,6 +237,12 @@ def _repack_q5_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
 
 
 def _repack_q6_k(raw: np.ndarray, out_f: int, in_f: int) -> QTensor:
+    from booster_tpu.quant import native
+
+    nr = native.repack_q6_k(raw, out_f, in_f)
+    if nr is not None:
+        qw, scales = nr
+        return QTensor("i8", qw, scales, None, 16, (out_f, in_f), GGMLType.Q6_K)
     b = _blocks(raw, TYPE_TRAITS[GGMLType.Q6_K].type_size)
     ql = b[:, 0:128].reshape(-1, 2, 64)
     qh = b[:, 128:192].reshape(-1, 2, 32)
