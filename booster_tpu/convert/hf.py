@@ -67,6 +67,7 @@ def convert_state_dict(
         return np.asarray(t, dtype=np.float32)
 
     out: dict[str, np.ndarray] = {}
+    experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
     layer_map = _HF_LAYER_MAP_GEMMA2 if arch == "gemma2" else _HF_LAYER_MAP
     for name, tensor in state_dict.items():
         w = to_np(tensor)
@@ -79,6 +80,18 @@ def convert_state_dict(
         elif name.startswith("model.layers."):
             rest = name[len("model.layers.") :]
             idx, _, sub = rest.partition(".")
+            if sub == "block_sparse_moe.gate.weight":
+                out[f"blk.{idx}.ffn_gate_inp.weight"] = w
+                continue
+            if sub.startswith("block_sparse_moe.experts."):
+                # experts.N.w1 (gate) / w2 (down) / w3 (up)
+                _, _, tail = sub.partition("experts.")
+                e_idx, _, wname = tail.partition(".")
+                which = {"w1.weight": "ffn_gate_exps", "w2.weight": "ffn_down_exps",
+                         "w3.weight": "ffn_up_exps"}.get(wname)
+                if which:
+                    experts.setdefault((int(idx), which), {})[int(e_idx)] = w
+                continue
             gguf_sub = layer_map.get(sub)
             if gguf_sub is None:
                 continue
@@ -87,6 +100,9 @@ def convert_state_dict(
             elif permute and sub.startswith("self_attn.k_proj"):
                 w = permute_rope(w, n_kv)
             out[f"blk.{idx}.{gguf_sub}"] = w
+    for (idx, which), emap in experts.items():
+        stacked = np.stack([emap[e] for e in sorted(emap)], axis=0)  # [E, out, in]
+        out[f"blk.{idx}.{which}.weight"] = stacked
     return out
 
 
@@ -106,8 +122,11 @@ def convert_hf_model(
     hf_archs = hf_cfg.get("architectures") or [type(model).__name__]
     arch = arch or {"LlamaForCausalLM": "llama", "MistralForCausalLM": "llama",
                     "Qwen2ForCausalLM": "qwen2", "Gemma2ForCausalLM": "gemma2",
+                    "MixtralForCausalLM": "mixtral",
                     }.get(hf_archs[0], "llama")
     tensors = convert_state_dict(model.state_dict(), hf_cfg, arch=arch)
+    if hf_cfg.get("tie_word_embeddings"):
+        tensors.pop("output.weight", None)  # tied: lm head reuses token_embd
 
     w = GGUFWriter()
     w.add("general.architecture", arch)
@@ -132,13 +151,16 @@ def convert_hf_model(
     if arch == "gemma2":
         w.add(f"{arch}.attn_logit_softcapping", float(hf_cfg.get("attn_logit_softcapping", 50.0)))
         w.add(f"{arch}.final_logit_softcapping", float(hf_cfg.get("final_logit_softcapping", 30.0)))
+    if hf_cfg.get("num_local_experts"):
+        w.add(f"{arch}.expert_count", int(hf_cfg["num_local_experts"]))
+        w.add(f"{arch}.expert_used_count", int(hf_cfg.get("num_experts_per_tok", 2)))
     for key, val in (tokenizer_vocab or {}).items():
         w.add(key, val)
 
     from booster_tpu.gguf.constants import TYPE_TRAITS
 
     for name, arr in tensors.items():
-        is_matrix = arr.ndim == 2 and "norm" not in name
+        is_matrix = arr.ndim >= 2 and "norm" not in name
         tt = quant_type if is_matrix else GGMLType.F32
         if tt != GGMLType.F32 and arr.shape[-1] % TYPE_TRAITS[tt].block_size != 0:
             tt = GGMLType.F32  # fallback for non-block-aligned rows
