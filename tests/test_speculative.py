@@ -19,9 +19,10 @@ def engines(tmp_path_factory):
     d = tmp_path_factory.mktemp("spec")
     tpath = str(d / "target.gguf")
     dpath = str(d / "draft.gguf")
-    make_model(tpath, vocab_size=512, hidden=128, layers=2, seed=0)
+    # sharper weights → decisive argmax (bf16 rounding can't flip near-ties)
+    make_model(tpath, vocab_size=512, hidden=128, layers=2, seed=0, weight_scale=0.3)
     # different draft (different weights): exercises the rejection path
-    make_model(dpath, vocab_size=512, hidden=64, layers=1, seed=7)
+    make_model(dpath, vocab_size=512, hidden=64, layers=1, seed=7, weight_scale=0.3)
     target = Engine(load_model(tpath), max_batch=1, max_seq=256)
     draft_same = Engine(load_model(tpath), max_batch=1, max_seq=256)
     draft_diff = Engine(load_model(dpath), max_batch=1, max_seq=256)

@@ -57,6 +57,7 @@ def make_model(
     ff: int = 256,
     quant: GGMLType = GGMLType.Q4_0,
     seed: int = 0,
+    weight_scale: float = 0.05,
 ) -> str:
     rng = np.random.default_rng(seed)
     tokens, scores, types = build_vocab(vocab_size)
@@ -89,7 +90,7 @@ def make_model(
             qt = GGMLType.F32
         w.add_tensor(name, quantize(arr, qt), arr.shape, qt)
 
-    s = 0.05
+    s = weight_scale
     head_dim = hidden // heads
     add("token_embd.weight", rng.standard_normal((vocab_size, hidden)).astype(np.float32) * s)
     add("output_norm.weight", np.ones(hidden, np.float32))
