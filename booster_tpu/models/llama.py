@@ -83,7 +83,8 @@ def _layer(
     v_slice: jnp.ndarray,
     ks_slice: Optional[jnp.ndarray],
     vs_slice: Optional[jnp.ndarray],
-    positions: jnp.ndarray,  # [B, T]
+    positions: jnp.ndarray,  # [B, T] causal-mask positions (cache order)
+    rope_pos: jnp.ndarray,  # [B, T] rope positions (may be compressed)
     offsets: jnp.ndarray,  # [B]
     kv_valid: jnp.ndarray,  # [B]
     inv_freq: jnp.ndarray,
@@ -109,8 +110,8 @@ def _layer(
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
 
-    q = apply_rope(q, positions, inv_freq, cfg.rope_style, mscale)
-    k = apply_rope(k, positions, inv_freq, cfg.rope_style, mscale)
+    q = apply_rope(q, rope_pos, inv_freq, cfg.rope_style, mscale)
+    k = apply_rope(k, rope_pos, inv_freq, cfg.rope_style, mscale)
 
     k_slice, v_slice, ks_slice, vs_slice = update_layer(
         k_slice, v_slice, k, v, offsets, ks_slice, vs_slice
@@ -168,6 +169,7 @@ def forward(
     last_only: bool = False,
     gather_idx: Optional[jnp.ndarray] = None,  # [B]: per-row position for lm head
     n_valid: Optional[jnp.ndarray] = None,  # [B]: real token count (≤ T, padding)
+    rope_positions: Optional[jnp.ndarray] = None,  # [B, T] override for rope only
 ) -> tuple[jnp.ndarray, KVCache]:
     """Run the decoder; returns (logits [B, T or 1, V], updated cache).
 
@@ -180,6 +182,9 @@ def forward(
     B, T = tokens.shape
     offsets = cache.lengths
     positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    # Self-Extend group attention (reference: grp_attn_n/w, bridge.cpp:509-525)
+    # feeds compressed positions to rope while causal masking keeps cache order
+    rope_pos = positions if rope_positions is None else rope_positions
     kv_valid = cache.lengths + (jnp.minimum(n_valid, T) if n_valid is not None else T)
 
     emb = params["tok_embd"]
@@ -194,7 +199,7 @@ def forward(
         lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice = scanned
         x, updated = _layer(
             x, lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice,
-            positions, offsets, kv_valid, inv_freq, mscale, cfg,
+            positions, rope_pos, offsets, kv_valid, inv_freq, mscale, cfg,
         )
         return x, updated
 

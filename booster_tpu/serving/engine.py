@@ -48,7 +48,17 @@ class GenerationResult:
     finish_reason: str  # "stop" | "length" | "cancelled"
 
 
-@partial(jax.jit, static_argnames=("cfg", "params_sampling"))
+def _se_rope_positions(lengths, se_group: int, se_window: int):
+    """Self-Extend position compression (bridge.cpp:509-525 semantics):
+    positions beyond the window advance at 1/g — the effective rope range
+    stays within the trained context."""
+    pos = lengths[:, None]
+    return jnp.where(
+        pos < se_window, pos, se_window + (pos - se_window) // se_group
+    ).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "params_sampling", "se_group", "se_window"))
 def _decode_step(
     params,
     cfg: ModelConfig,
@@ -61,8 +71,15 @@ def _decode_step(
     janus_types=None,
     janus_pedantic=None,
     janus_eos: int = 0,
+    se_group: int = 0,
+    se_window: int = 0,
 ):
-    logits, cache = forward(params, cfg, tokens, cache, last_only=True)
+    rope_positions = (
+        _se_rope_positions(cache.lengths, se_group, se_window)
+        if se_group > 1 else None
+    )
+    logits, cache = forward(params, cfg, tokens, cache, last_only=True,
+                            rope_positions=rope_positions)
     lg = logits[:, -1, :]
     if params_sampling.janus:
         keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.key, 2)
@@ -87,7 +104,8 @@ def _decode_step(
     return next_tok, cache, state
 
 
-@partial(jax.jit, static_argnames=("cfg", "params_sampling", "n_steps"))
+@partial(jax.jit, static_argnames=("cfg", "params_sampling", "n_steps",
+                                   "se_group", "se_window"))
 def _decode_chunk(
     params,
     cfg: ModelConfig,
@@ -102,6 +120,8 @@ def _decode_chunk(
     janus_types=None,
     janus_pedantic=None,
     janus_eos: int = 0,
+    se_group: int = 0,
+    se_window: int = 0,
 ):
     """Run `n_steps` decode iterations fully on device (one dispatch).
 
@@ -116,6 +136,7 @@ def _decode_chunk(
         next_tok, cache, state = _decode_step(
             params, cfg, cache, tok, state, params_sampling, max_predict,
             janus_scales, janus_types, janus_pedantic, janus_eos,
+            se_group, se_window,
         )
         return (cache, next_tok[:, None], state), next_tok
 
@@ -188,7 +209,8 @@ class Engine:
         self.params = model.params
         self.tokenizer = model.tokenizer
         self.max_batch = max_batch
-        self.max_seq = min(max_seq, model.cfg.n_ctx_train) if model.cfg.n_ctx_train else max_seq
+        # not clamped to n_ctx_train: Self-Extend / YaRN legitimately exceed it
+        self.max_seq = max_seq
         self.kv_quantized = kv_quantized
         self.kv_dtype = kv_dtype
         self.history_window = history_window
@@ -403,9 +425,12 @@ class Engine:
         n_keep: int = 0,
         stop_check: Optional[Callable[[], bool]] = None,
         on_token: Optional[Callable[[int], None]] = None,
+        self_extend_group: int = 0,
+        self_extend_window: int = 512,
     ) -> GenerationResult:
         """Generate on slot 0 (single sequence).  Mirrors do_inference's
-        shape: prompt rejection, context shift, EOG stop, per-phase timings."""
+        shape: prompt rejection, context shift, EOG stop, per-phase timings;
+        `self_extend_group/window` enable grp_attn position compression."""
         sampling = sampling.normalized()
         cfg = self.cfg
         if len(prompt_ids) > self.max_seq - 4:
@@ -429,10 +454,22 @@ class Engine:
 
         ids = np.zeros((self.max_batch, len(prompt_ids)), np.int32)
         ids[0] = prompt_ids
+        se_g, se_w = self_extend_group, self_extend_window
+
+        def se_map(pos: np.ndarray) -> np.ndarray:
+            return np.where(pos < se_w, pos, se_w + (pos - se_w) // se_g)
+
+        rope_prefill = None
+        if se_g > 1:
+            rope_prefill = jnp.asarray(
+                np.tile(se_map(np.arange(len(prompt_ids)))[None, :],
+                        (self.max_batch, 1)).astype(np.int32)
+            )
 
         t0 = time.perf_counter()
         logits, cache = forward(
-            self.params, cfg, jnp.asarray(ids), cache, last_only=True
+            self.params, cfg, jnp.asarray(ids), cache, last_only=True,
+            rope_positions=rope_prefill,
         )
         lg = logits[:, -1, :]
         if sampling.janus:
