@@ -121,10 +121,24 @@ def main() -> None:
 
     r = engine.generate(prompt, sp, max_new_tokens=n_tokens)
     gen_tps = 1000.0 / r.gen_ms_per_token
+
+    # p50 TTFT (BASELINE.md metric): prefill + first sampled token, warm
+    import time as _t
+
+    ttfts = []
+    for _ in range(5):
+        t0 = _t.perf_counter()
+        seen = []
+        engine.generate(prompt, sp, max_new_tokens=1,
+                        on_token=lambda t: seen.append(_t.perf_counter() - t0))
+        ttfts.append(seen[0] * 1000.0)
+    ttfts.sort()
+    ttft_p50 = ttfts[len(ttfts) // 2]
+
     sys.stderr.write(
         f"[bench] prompt {r.prompt_ms_per_token:.2f} ms/tok, "
         f"decode {r.gen_ms_per_token:.2f} ms/tok ({gen_tps:.1f} tok/s), "
-        f"{r.n_generated} tokens\n"
+        f"{r.n_generated} tokens, p50 TTFT {ttft_p50:.1f} ms\n"
     )
 
     if os.environ.get("BENCH_BATCH", "1") == "1":

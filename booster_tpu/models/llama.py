@@ -75,6 +75,25 @@ def _moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     return jnp.einsum("btec,bte->btc", y, weights.astype(y.dtype)).astype(x.dtype)
 
 
+def _lin(h: jnp.ndarray, lp: dict, key: str, bias=None) -> jnp.ndarray:
+    """qlinear + optional LoRA low-rank delta (llm_build_lora_mm parity:
+    y = W·x + scale·B·(A·x); scale folded into the stored B)."""
+    y = qlinear(h, lp[key], bias)
+    a = lp.get(f"lora_a_{key}")
+    if a is not None:
+        b = lp[f"lora_b_{key}"]
+        down = jax.lax.dot_general(
+            h.astype(a.dtype), a, (((h.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jax.lax.dot_general(
+            down.astype(b.dtype), b, (((down.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + delta.astype(y.dtype)
+    return y
+
+
 def _layer(
     x: jnp.ndarray,  # [B, T, C]
     lp: dict[str, Any],
@@ -102,9 +121,9 @@ def _layer(
         k = qkv[..., d_q : d_q + d_kv].reshape(B, T, Hkv, D)
         v = qkv[..., d_q + d_kv :].reshape(B, T, Hkv, D)
     else:
-        q = qlinear(h, lp["wq"], lp.get("bq")).reshape(B, T, H, D)
-        k = qlinear(h, lp["wk"], lp.get("bk")).reshape(B, T, Hkv, D)
-        v = qlinear(h, lp["wv"], lp.get("bv")).reshape(B, T, Hkv, D)
+        q = _lin(h, lp, "wq", lp.get("bq")).reshape(B, T, H, D)
+        k = _lin(h, lp, "wk", lp.get("bk")).reshape(B, T, Hkv, D)
+        v = _lin(h, lp, "wv", lp.get("bv")).reshape(B, T, Hkv, D)
 
     if cfg.q_norm:  # qwen3: per-head rmsnorm before rope
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
@@ -138,7 +157,7 @@ def _layer(
         logit_softcap=cfg.attn_logit_softcap,
         sliding_window=window,
     )
-    attn_out = qlinear(attn_out.reshape(B, T, H * D), lp["wo"])
+    attn_out = _lin(attn_out.reshape(B, T, H * D), lp, "wo")
     if cfg.post_norms:
         attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
     x = x + attn_out
@@ -149,14 +168,16 @@ def _layer(
     elif "w_gateup" in lp:  # fused gate+up (loader folds rows)
         gu = qlinear(h, lp["w_gateup"])
         ff = gu.shape[-1] // 2
-        ffn_out = qlinear(_act(gu[..., :ff], cfg.act) * gu[..., ff:], lp["w_down"])
+        ffn_out = _lin(_act(gu[..., :ff], cfg.act) * gu[..., ff:], lp, "w_down")
     else:
-        gate = qlinear(h, lp["w_gate"])
-        up = qlinear(h, lp["w_up"])
-        ffn_out = qlinear(_act(gate, cfg.act) * up, lp["w_down"])
+        gate = _lin(h, lp, "w_gate")
+        up = _lin(h, lp, "w_up")
+        ffn_out = _lin(_act(gate, cfg.act) * up, lp, "w_down")
     if cfg.post_norms:
         ffn_out = rms_norm(ffn_out, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
     x = x + ffn_out
+    if "cvec" in lp:  # control vector (llama_control_vector_apply parity)
+        x = x + lp["cvec"].astype(x.dtype)
     return x, (k_slice, v_slice, ks_slice, vs_slice)
 
 
