@@ -276,6 +276,55 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
         await resp.write_eof()
         return resp
 
+    async def ollama_generate(request: web.Request) -> web.StreamResponse:
+        """Ollama /api/generate: raw-prompt NDJSON streaming."""
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"error": "invalid JSON"}, status=400)
+        prompt = str(body.get("prompt", "") or "")
+        if not prompt:
+            return web.json_response({"error": "prompt required"}, status=400)
+        raw = bool(body.get("raw", False))
+        job = scheduler.place_job(
+            prompt="" if raw else prompt,
+            full_prompt=prompt if raw else "",
+        )
+        if not body.get("stream", True):
+            await scheduler.wait_job(job.id, timeout=scheduler.deadline_s)
+            return web.json_response({
+                "model": model_name,
+                "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "response": job.output,
+                "done": True,
+                "done_reason": job.finish_reason or "stop",
+            })
+        resp = web.StreamResponse(headers={"Content-Type": "application/x-ndjson"})
+        await resp.prepare(request)
+        sent = 0
+        while True:
+            await asyncio.sleep(0.05)
+            delta = job.output[sent:]
+            if delta:
+                sent += len(delta)
+                await resp.write((json.dumps({
+                    "model": model_name,
+                    "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "response": delta,
+                    "done": False,
+                }) + "\n").encode())
+            if job._done.is_set() and sent >= len(job.output):
+                await resp.write((json.dumps({
+                    "model": model_name,
+                    "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "response": "",
+                    "done": True,
+                    "done_reason": job.finish_reason or "stop",
+                }) + "\n").encode())
+                break
+        await resp.write_eof()
+        return resp
+
     async def ollama_tags(request: web.Request) -> web.Response:
         return web.json_response({"models": [{
             "name": model_name, "model": model_name,
@@ -295,6 +344,7 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_get("/v1/models", list_models)
     app.router.add_post("/api/chat", ollama_chat)
+    app.router.add_post("/api/generate", ollama_generate)
     app.router.add_get("/api/tags", ollama_tags)
     app.router.add_get("/api/version", version)
     app.router.add_get("/health", health)

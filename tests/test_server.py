@@ -214,3 +214,22 @@ def test_sessions(tmp_path_factory):
         assert scheduler.jobs[jid2].full_prompt.startswith(hist1)
 
     run_with_client(tmp_path_factory, fn)
+
+
+def test_ollama_generate(tmp_path_factory):
+    async def fn(client, scheduler):
+        r = await client.post("/api/generate",
+                              json={"prompt": "hello", "stream": False})
+        assert r.status == 200
+        body = await r.json()
+        assert body["done"] is True
+        assert "response" in body
+
+        r = await client.post("/api/generate", json={"prompt": "hi", "raw": True})
+        lines = [json.loads(l) for l in (await r.text()).splitlines() if l.strip()]
+        assert lines[-1]["done"] is True
+
+        r = await client.post("/api/generate", json={})
+        assert r.status == 400
+
+    run_with_client(tmp_path_factory, fn)
