@@ -90,9 +90,29 @@ def main(argv=None) -> int:
     )
 
     if args.prompt and not args.server and not args.chat:
-        # one-shot generation
+        # one-shot generation (plain / speculative / grammar-constrained)
         ids = model.tokenizer.encode(args.prompt)
-        result = engine.generate(ids, sampling, max_new_tokens=model_spec.predict)
+        if args.model_draft:
+            from booster_tpu.serving.speculative import generate_speculative
+
+            draft_model = load_model(os.path.expanduser(args.model_draft))
+            draft = Engine(draft_model, max_batch=1, max_seq=model_spec.context)
+            result = generate_speculative(
+                engine, draft, ids, max_new_tokens=model_spec.predict,
+                k=args.draft_k,
+            )
+            log.info(f"speculative acceptance {result.acceptance_rate:.0%}")
+        elif args.grammar_file:
+            gbnf = open(args.grammar_file).read()
+            result = engine.generate_grammar(
+                ids, gbnf, sampling, max_new_tokens=model_spec.predict
+            )
+        else:
+            result = engine.generate(
+                ids, sampling, max_new_tokens=model_spec.predict,
+                self_extend_group=args.se_group,
+                self_extend_window=args.se_window,
+            )
         print(result.text)
         log.info(
             f"prompt {result.prompt_ms_per_token:.1f} ms/tok · "

@@ -219,6 +219,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--mirostat-ent", type=float, default=5.0, dest="mirostat_tau")
     ap.add_argument("--mirostat-lr", type=float, default=0.1, dest="mirostat_eta")
     ap.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
+    ap.add_argument("--model-draft", default="", dest="model_draft",
+                    help="draft model GGUF for speculative decoding")
+    ap.add_argument("--draft-k", type=int, default=8, dest="draft_k",
+                    help="draft tokens per speculative round")
+    ap.add_argument("--grammar-file", default="", dest="grammar_file",
+                    help="GBNF grammar constraining generation")
+    ap.add_argument("--self-extend-group", type=int, default=0, dest="se_group")
+    ap.add_argument("--self-extend-window", type=int, default=512, dest="se_window")
     ap.add_argument("--decode-chunk", type=int, default=8, dest="decode_chunk")
     ap.add_argument("--tp", type=int, default=0, help="tensor-parallel degree (0=auto)")
     ap.add_argument("--profile", action="store_true", help="write JAX profiler trace")
