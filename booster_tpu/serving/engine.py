@@ -253,6 +253,12 @@ class Engine:
         B = self.max_batch
         self.state = make_sampler_state(B, window or self.history_window, seed=0)
         self.vp = VectorSampling.from_params([SamplingParams()] * B)
+        # device-resident last sampled token per slot: lets consecutive decode
+        # chunks chain on device with zero host round-trips (pipelining)
+        self._last_dev = jnp.zeros((B, 1), jnp.int32)
+        # host-side upper bound of each slot's cache occupancy (avoids device
+        # syncs in the scheduler's flow control)
+        self.slot_lengths = np.zeros(B, np.int64)
         if self._eog_mask is None:
             self._eog_mask = jnp.zeros(self.cfg.n_vocab, bool)
 
@@ -271,6 +277,8 @@ class Engine:
             key=st.key.at[slot].set(_jax.random.PRNGKey(seed)),
         )
         self.vp = self.vp.set_slot(slot, sampling)
+        if hasattr(self, "slot_lengths"):
+            self.slot_lengths[slot] = 0
 
     def prefill_slots(self, jobs: dict[int, list[int]], chunk: int = 512) -> dict[int, int]:
         """Prefill prompts into their slots (chunked); returns first sampled
@@ -290,46 +298,74 @@ class Engine:
                 take = min(len(ids), T)
                 tokens[s, :take] = ids[:take]
                 n_valid[s] = take
+                self.slot_lengths[s] += take
                 remaining[s] = ids[take:]
                 if not remaining[s]:
                     admit[s] = True
                     done_slots.append(s)
+            admit_dev = jnp.asarray(admit)
             tok, self.cache, self.state = _prefill_batched(
                 self.params, self.cfg, self.cache, jnp.asarray(tokens),
-                jnp.asarray(n_valid), self.state, self.vp, jnp.asarray(admit),
+                jnp.asarray(n_valid), self.state, self.vp, admit_dev,
             )
+            self._last_dev = jnp.where(admit_dev[:, None], tok[:, None], self._last_dev)
             tok_np = np.asarray(tok)
             for s in done_slots:
                 first[s] = int(tok_np[s])
                 del remaining[s]
         return first
 
-    def decode_slots(
-        self, last_tokens: dict[int, int], n_steps: Optional[int] = None
-    ) -> tuple[dict[int, list[int]], dict[int, bool]]:
-        """Batched decode chunk over the active slots.  Returns per-slot
-        generated tokens (stopping at EOG) and an eog flag per slot."""
+    def decode_slots_start(
+        self, active_slots, n_steps: Optional[int] = None,
+        last_tokens: Optional[dict[int, int]] = None,
+    ):
+        """Dispatch one batched decode chunk (async).  Chains from the
+        device-resident last tokens (or explicit host overrides)."""
         B = self.max_batch
         n = n_steps or self.decode_chunk
         active = np.zeros(B, bool)
-        last = np.zeros((B, 1), np.int32)
-        for s, t in last_tokens.items():
+        for s in active_slots:
             active[s] = True
-            last[s, 0] = t
+        last = self._last_dev
+        if last_tokens:
+            host = np.zeros((B, 1), np.int32)
+            mask = np.zeros(B, bool)
+            for s, t in last_tokens.items():
+                host[s, 0] = t
+                mask[s] = True
+            last = jnp.where(jnp.asarray(mask)[:, None], jnp.asarray(host), last)
+        for s in active_slots:
+            self.slot_lengths[s] += n
+        active_dev = jnp.asarray(active)
         toks, emitted, self.cache, self.state = _decode_chunk_vec(
-            self.params, self.cfg, self.cache, jnp.asarray(last), self.state,
-            self.vp, jnp.asarray(active), n, self._eog_mask,
+            self.params, self.cfg, self.cache, last, self.state,
+            self.vp, active_dev, n, self._eog_mask,
         )
-        toks = np.asarray(toks)
-        emitted = np.asarray(emitted)
+        self._last_dev = jnp.where(active_dev[:, None], toks[:, -1:], self._last_dev)
+        return (toks, emitted, list(active_slots))
+
+    def decode_slots_finish(self, handle):
+        """Block on a dispatched chunk; returns per-slot tokens + eog flags."""
+        toks_dev, emitted_dev, slots = handle
+        toks = np.asarray(toks_dev)
+        emitted = np.asarray(emitted_dev)
         eog_np = np.asarray(self._eog_mask)
         out: dict[int, list[int]] = {}
         hit: dict[int, bool] = {}
-        for s in last_tokens:
+        for s in slots:
             row = [int(t) for t, e in zip(toks[s], emitted[s]) if e]
             out[s] = row
             hit[s] = bool(row and eog_np[row[-1]])
         return out, hit
+
+    def decode_slots(
+        self, last_tokens: dict[int, int], n_steps: Optional[int] = None
+    ) -> tuple[dict[int, list[int]], dict[int, bool]]:
+        """Batched decode chunk over the active slots (dispatch + wait)."""
+        handle = self.decode_slots_start(
+            list(last_tokens), n_steps=n_steps, last_tokens=last_tokens
+        )
+        return self.decode_slots_finish(handle)
 
     # -- single-sequence generation (pod-style; scheduler batches above this)
 

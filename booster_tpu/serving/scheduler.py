@@ -205,6 +205,9 @@ class Scheduler:
 
     async def run(self) -> None:
         loop = asyncio.get_event_loop()
+        # pipelining: one decode chunk stays in flight while the previous
+        # chunk's readback/distribution happens — hides the device round-trip
+        pending: Optional[tuple] = None  # (handle, {slot: job})
         while not (self._shutdown and not self.running and not self.queue):
             did_work = False
 
@@ -238,6 +241,10 @@ class Scheduler:
                     continue
                 slot = self.free_slots.pop()
                 admits[slot] = job
+            if admits and pending is not None:
+                # drain the pipeline before mutating slot assignments
+                await self._consume(loop, pending)
+                pending = None
             if admits:
                 prefill_map: dict[int, list[int]] = {}
                 for slot, job in admits.items():
@@ -263,19 +270,20 @@ class Scheduler:
                     self._maybe_finish(slot, job, first_token=True)
                 did_work = True
 
-            # batched decode chunk for running slots
+            # batched decode chunk for running slots (dispatch-ahead)
             if self.running:
-                last = {s: j.token_ids[-1] for s, j in self.running.items()}
-                toks, eog = await loop.run_in_executor(
-                    None, self.engine.decode_slots, last
+                slots = list(self.running)
+                handle = await loop.run_in_executor(
+                    None, self.engine.decode_slots_start, slots
                 )
-                for slot in list(self.running):
-                    job = self.running[slot]
-                    for t in toks.get(slot, []):
-                        self._append_token(job, t)
-                        if len(job.token_ids) >= job.max_tokens:
-                            break
-                    self._maybe_finish(slot, job, eog=eog.get(slot, False))
+                snapshot = dict(self.running)
+                if pending is not None:
+                    await self._consume(loop, pending)
+                pending = (handle, snapshot)
+                did_work = True
+            elif pending is not None:
+                await self._consume(loop, pending)
+                pending = None
                 did_work = True
 
             if not did_work:
@@ -286,6 +294,21 @@ class Scheduler:
                     pass
             else:
                 await asyncio.sleep(0)
+
+    async def _consume(self, loop, pending) -> None:
+        """Read back a finished chunk and distribute tokens to its jobs."""
+        handle, snapshot = pending
+        toks, eog = await loop.run_in_executor(
+            None, self.engine.decode_slots_finish, handle
+        )
+        for slot, job in snapshot.items():
+            if job.status not in (STATUS_PROCESSING,):
+                continue  # finished/cancelled while this chunk was in flight
+            for t in toks.get(slot, []):
+                self._append_token(job, t)
+                if len(job.token_ids) >= job.max_tokens:
+                    break
+            self._maybe_finish(slot, job, eog=eog.get(slot, False))
 
     async def _run_grammar_job(self, job: Job) -> None:
         loop = asyncio.get_event_loop()
@@ -333,7 +356,7 @@ class Scheduler:
         vocab = self.engine.tokenizer.vocab
         hit_eog = eog or (job.token_ids and vocab.is_eog(job.token_ids[-1]))
         out_of_space = (
-            int(self.engine.cache.lengths[slot]) + self.engine.decode_chunk
+            int(self.engine.slot_lengths[slot]) + self.engine.decode_chunk
             >= self.engine.max_seq - 1
         )
         reason = None
