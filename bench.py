@@ -72,16 +72,19 @@ def bench_batch(model, n_streams: int, n_tokens: int, kv_quant: bool) -> dict:
     for s, row in toks.items():
         if row:
             last[s] = row[-1]
+    slots = list(prompts)
     t0 = time.perf_counter()
     done_tokens = 0
-    steps = 0
+    steps = 32
+    handle = engine.decode_slots_start(slots, n_steps=32)
     while steps < n_tokens:
-        toks, _ = engine.decode_slots(last, n_steps=32)
+        nxt = engine.decode_slots_start(slots, n_steps=32)  # pipelined
+        toks, _ = engine.decode_slots_finish(handle)
+        done_tokens += sum(len(r) for r in toks.values())
+        handle = nxt
         steps += 32
-        for s, row in toks.items():
-            done_tokens += len(row)
-            if row:
-                last[s] = row[-1]
+    toks, _ = engine.decode_slots_finish(handle)
+    done_tokens += sum(len(r) for r in toks.values())
     dt = time.perf_counter() - t0
     return {
         "streams": n_streams,

@@ -15,6 +15,8 @@ from booster_tpu.gguf import GGMLType, GGUFWriter
 from booster_tpu.quant import quantize
 
 _HF_LAYER_MAP = {
+    "self_attn.qkv_proj.weight": "attn_qkv.weight",  # phi3 fused
+    "mlp.gate_up_proj.weight": "ffn_up.weight",  # phi3 fused (loader splits)
     "self_attn.q_proj.weight": "attn_q.weight",
     "self_attn.k_proj.weight": "attn_k.weight",
     "self_attn.v_proj.weight": "attn_v.weight",
@@ -122,7 +124,7 @@ def convert_hf_model(
     hf_archs = hf_cfg.get("architectures") or [type(model).__name__]
     arch = arch or {"LlamaForCausalLM": "llama", "MistralForCausalLM": "llama",
                     "Qwen2ForCausalLM": "qwen2", "Gemma2ForCausalLM": "gemma2",
-                    "MixtralForCausalLM": "mixtral",
+                    "MixtralForCausalLM": "mixtral", "Phi3ForCausalLM": "phi3",
                     }.get(hf_archs[0], "llama")
     tensors = convert_state_dict(model.state_dict(), hf_cfg, arch=arch)
     if hf_cfg.get("tie_word_embeddings"):

@@ -81,3 +81,21 @@ def test_mixtral_moe(tmp_path):
     assert loaded.cfg.n_experts == 4
     assert loaded.cfg.n_experts_used == 2
     assert "gate_exps" in loaded.params["layers"]
+
+
+def test_phi3(tmp_path):
+    cfg = transformers.Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Phi3ForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = check_model(hf, str(tmp_path / "phi3.gguf"), ids)
+    assert loaded.cfg.arch == "phi3"
+    assert loaded.cfg.rope_style == "neox"
+    # loader split the fused qkv / gate_up projections
+    keys = set(loaded.params["layers"])
+    assert ("wq" in keys or "wqkv" in keys)
