@@ -16,8 +16,8 @@ Layout contract (see quant/qtensor.py):
        two mask ops, no lane shuffles; halves are consumed as two dots
        against x[:, :K/2] and x[:, K/2:].
   i8:  qw [N, K] int8.
-  scales/mins: f32 [N, K/G]; x group-sums ride in as a [M, K/G] input for
-       the mins correction:  x·(q·s − m)^T = x·(q·s)^T − xg·m^T.
+  scales/mins: f32 [N, K/G]; affine mins are folded into the dequantized
+       tile in-kernel (w_eff = q·s − m).
 """
 
 from __future__ import annotations
@@ -144,11 +144,6 @@ def _pick_tiles(n: int, kk: int) -> tuple[int, int]:
         if n % 128 != 0:
             bn = n
     return bn, bkb
-
-
-def _group_sums(x2: jnp.ndarray, g: int) -> jnp.ndarray:
-    M, K = x2.shape
-    return x2.astype(jnp.float32).reshape(M, K // g, g).sum(axis=2)
 
 
 def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:

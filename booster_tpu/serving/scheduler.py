@@ -224,12 +224,21 @@ class Scheduler:
                 j.finish_reason = "deadline"
                 j._done.set()
 
-            # grammar-constrained jobs run on the dedicated single-step path
-            for jid in [j for j in self.queue if self.jobs[j].grammar]:
+            # grammar / janus / mirostat jobs run on the dedicated generate
+            # path (the vectorized batch sampler covers the standard chain;
+            # janus+mirostat keep exact reference semantics there)
+            def needs_dedicated(j: Job) -> bool:
+                sp = j.sampling or self.default_sampling
+                return bool(j.grammar or sp.janus or sp.mirostat)
+
+            for jid in [j for j in self.queue if needs_dedicated(self.jobs[j])]:
                 self.queue.remove(jid)
                 job = self.jobs[jid]
                 if not job.cancelled:
-                    asyncio.get_event_loop().create_task(self._run_grammar_job(job))
+                    if job.grammar:
+                        asyncio.get_event_loop().create_task(self._run_grammar_job(job))
+                    else:
+                        asyncio.get_event_loop().create_task(self._run_dedicated_job(job))
                 did_work = True
 
             # admit queued jobs into free slots
@@ -309,6 +318,48 @@ class Scheduler:
                 if len(job.token_ids) >= job.max_tokens:
                     break
             self._maybe_finish(slot, job, eog=eog.get(slot, False))
+
+    async def _run_dedicated_job(self, job: Job) -> None:
+        """Janus / mirostat jobs: exact single-sequence semantics via
+        engine.generate (serialized by a lock; the pod-per-request model the
+        reference uses for everything)."""
+        loop = asyncio.get_event_loop()
+        if not hasattr(self, "_dedicated_lock"):
+            self._dedicated_lock = asyncio.Lock()
+        async with self._dedicated_lock:
+            job.full_prompt = self.build_full_prompt(job)
+            ids = self.engine.tokenizer.encode(job.full_prompt)
+            job.n_prompt_tokens = len(ids)
+            job.status = STATUS_PROCESSING
+            job.started_at = time.time()
+            job.detok = self.engine.tokenizer.stream()
+            sp = (job.sampling or self.default_sampling).normalized()
+
+            def on_token(t: int) -> None:
+                job.token_ids.append(t)
+                job.output += job.detok.push(t)
+                self._total_generated += 1
+
+            try:
+                result = await loop.run_in_executor(
+                    None,
+                    lambda: self.engine.generate(
+                        ids, sp, max_new_tokens=job.max_tokens,
+                        stop_check=lambda: job.cancelled, on_token=on_token,
+                    ),
+                )
+                job.output += job.detok.flush()
+                job.finish_reason = result.finish_reason
+            except Exception as e:
+                job.finish_reason = "error"
+                job.output = job.output or f"error: {e}"
+            job.status = (
+                STATUS_STOPPED if job.finish_reason == "cancelled" else STATUS_FINISHED
+            )
+            job.finished_at = time.time()
+            self._save_session(job)
+            self._total_jobs += 1
+            job._done.set()
 
     async def _run_grammar_job(self, job: Job) -> None:
         loop = asyncio.get_event_loop()

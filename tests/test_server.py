@@ -233,3 +233,23 @@ def test_ollama_generate(tmp_path_factory):
         assert r.status == 400
 
     run_with_client(tmp_path_factory, fn)
+
+
+def test_janus_job_routed_dedicated(tmp_path_factory):
+    async def fn(client, scheduler):
+        r = await client.post("/jobs", json={
+            "id": str(uuid.uuid4()), "prompt": "hello",
+            "sampling": {"janus": 1, "depth": 50}, "max_tokens": 6,
+        })
+        assert r.status == 201
+        jid = (await r.json())["id"]
+        for _ in range(400):
+            body = await (await client.get(f"/jobs/{jid}")).json()
+            if body["status"] in ("finished", "stopped"):
+                break
+            await asyncio.sleep(0.05)
+        assert body["status"] == "finished"
+        assert body["finish_reason"] in ("stop", "length")
+        assert body["completion_tokens"] >= 1
+
+    run_with_client(tmp_path_factory, fn)
