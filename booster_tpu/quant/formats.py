@@ -241,6 +241,146 @@ def _dequant_iq4_xs(b: np.ndarray) -> np.ndarray:
     return ((d[:, :, None] * ls[:, :, None]) * q).reshape(-1, QK_K)
 
 
+# -- i-quants (lattice codebooks; grids extracted into iq_grids.npz) --------
+
+_IQ_GRIDS = None
+
+
+def _iq_grids():
+    global _IQ_GRIDS
+    if _IQ_GRIDS is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "iq_grids.npz")
+        data = np.load(path)
+        # sign helper tables are generated: mask bit j selects element j;
+        # ksigns[i] = i with bit7 = parity(i)
+        par = np.array([bin(i).count("1") & 1 for i in range(128)], np.uint8)
+        _IQ_GRIDS = {
+            **{k: data[k] for k in data.files},
+            "ksigns": (np.arange(128, dtype=np.uint8) | (par << 7)),
+        }
+    return _IQ_GRIDS
+
+
+def _grid_bytes(grid: np.ndarray, idx: np.ndarray, width: int) -> np.ndarray:
+    """codebook rows as unpacked bytes: grid[idx] → [..., width]."""
+    g = grid[idx]  # uint32/uint64 rows
+    shifts = (8 * np.arange(width)).astype(g.dtype)
+    return ((g[..., None] >> shifts) & 0xFF).astype(np.float32)
+
+
+def _signs_bits(sign_bytes: np.ndarray) -> np.ndarray:
+    """[...,] uint8 → [..., 8] ±1 from per-bit sign flags."""
+    bits = (sign_bytes[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return np.where(bits != 0, -1.0, 1.0).astype(np.float32)
+
+
+def _dequant_iq2_xxs(b: np.ndarray) -> np.ndarray:
+    G = _iq_grids()
+    d = _f16(b[:, 0:2])  # [n,1]
+    q = np.ascontiguousarray(b[:, 2:66]).view("<u4").reshape(-1, 8, 2)
+    aux8 = np.ascontiguousarray(q[:, :, 0:1]).view(np.uint8).reshape(-1, 8, 4)
+    db = d * (0.5 + (q[:, :, 1] >> 28)) * 0.25  # [n,8]
+    vals = _grid_bytes(G["iq2xxs_grid"], aux8, 8)  # [n,8,4,8]
+    sidx = (q[:, :, 1, None] >> (7 * np.arange(4))) & 127
+    signs = _signs_bits(G["ksigns"][sidx])  # [n,8,4,8]
+    y = db[:, :, None, None] * vals * signs
+    return y.reshape(-1, QK_K)
+
+
+def _dequant_iq2_xs(b: np.ndarray) -> np.ndarray:
+    G = _iq_grids()
+    d = _f16(b[:, 0:2])
+    q16 = np.ascontiguousarray(b[:, 2:66]).view("<u2").reshape(-1, 8, 4)
+    scales = b[:, 66:74]  # [n,8]
+    db = np.stack([
+        d * (0.5 + (scales & 0xF)) * 0.25,
+        d * (0.5 + (scales >> 4)) * 0.25,
+    ], axis=2)  # [n,8,2]
+    vals = _grid_bytes(G["iq2xs_grid"], q16 & 511, 8)  # [n,8,4,8]
+    signs = _signs_bits(G["ksigns"][q16 >> 9])
+    dl = db[:, :, (np.arange(4) // 2)]  # [n,8,4]
+    return (dl[..., None] * vals * signs).reshape(-1, QK_K)
+
+
+def _dequant_iq2_s(b: np.ndarray) -> np.ndarray:
+    G = _iq_grids()
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:34].reshape(-1, 8, 4)
+    sign_bytes = b[:, 34:66].reshape(-1, 8, 4)
+    qh = b[:, 66:74]  # [n,8]
+    scales = b[:, 74:82]
+    db = np.stack([
+        d * (0.5 + (scales & 0xF)) * 0.25,
+        d * (0.5 + (scales >> 4)) * 0.25,
+    ], axis=2)
+    l = np.arange(4)
+    hi = (qh[:, :, None].astype(np.uint16) << (8 - 2 * l)) & 0x300
+    idx = qs.astype(np.uint16) | hi
+    vals = _grid_bytes(G["iq2s_grid"], idx, 8)
+    signs = _signs_bits(sign_bytes)
+    dl = db[:, :, (np.arange(4) // 2)]
+    return (dl[..., None] * vals * signs).reshape(-1, QK_K)
+
+
+def _dequant_iq3_xxs(b: np.ndarray) -> np.ndarray:
+    G = _iq_grids()
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:66].reshape(-1, 8, 8)  # grid byte indices, 8 per 32-group
+    aux = np.ascontiguousarray(b[:, 66:98]).view("<u4").reshape(-1, 8)
+    db = d * (0.5 + (aux >> 28)) * 0.5  # [n,8]
+    vals = _grid_bytes(G["iq3xxs_grid"], qs, 4)  # [n,8,8,4] → pairs of grids
+    sidx = (aux[:, :, None] >> (7 * np.arange(4))) & 127
+    signs8 = _signs_bits(G["ksigns"][sidx])  # [n,8,4,8]
+    vals = vals.reshape(-1, 8, 4, 8)  # two 4-wide grids per l
+    y = db[:, :, None, None] * vals * signs8
+    return y.reshape(-1, QK_K)
+
+
+def _dequant_iq1_s(b: np.ndarray) -> np.ndarray:
+    G = _iq_grids()
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:34].reshape(-1, 8, 4)
+    qh = np.ascontiguousarray(b[:, 34:50]).view("<u2").reshape(-1, 8)
+    dl = d * (2 * ((qh >> 12) & 7) + 1).astype(np.float32)  # [n,8]
+    delta = np.where((qh & 0x8000) != 0, -0.125, 0.125)  # IQ1S_DELTA
+    l = np.arange(4)
+    idx = qs.astype(np.uint16) | (((qh[:, :, None] >> (3 * l)) & 7) << 8)
+    vals = _grid_bytes(G["iq1s_grid"].view(np.uint64), idx, 8)
+    # iq1s grid entries are int8 bytes
+    vals = np.where(vals > 127, vals - 256, vals)
+    y = dl[:, :, None, None] * (vals + delta[:, :, None, None])
+    return y.reshape(-1, QK_K)
+
+
+def _dequant_iq3_s(b: np.ndarray) -> np.ndarray:
+    G = _iq_grids()
+    d = _f16(b[:, 0:2])  # [n,1]
+    qs = b[:, 2:66].reshape(-1, 8, 8)
+    qh = b[:, 66:74]  # [n,8]
+    sign_bytes = b[:, 74:106].reshape(-1, 8, 4)
+    scales = b[:, 106:110]  # [n,4]
+    db = np.stack([
+        d * (1 + 2 * (scales & 0xF).astype(np.float32)),
+        d * (1 + 2 * (scales >> 4).astype(np.float32)),
+    ], axis=2).reshape(-1, 8)  # [n, 8] per-32 block scale... careful ordering
+    # scale for ib32 pair: db1 applies to even ib32, db2 to odd
+    dbs = np.empty((d.shape[0], 8), np.float32)
+    dbs[:, 0::2] = d * (1 + 2 * (scales & 0xF).astype(np.float32))
+    dbs[:, 1::2] = d * (1 + 2 * (scales >> 4).astype(np.float32))
+    m = np.arange(8)
+    # qs index high bit from qh: element pair 2l, 2l+1 within ib32
+    idx = qs.astype(np.uint16).copy()
+    for l in range(4):
+        idx[:, :, 2 * l] |= ((qh.astype(np.uint16) << (8 - 2 * l)) & 256)
+        idx[:, :, 2 * l + 1] |= ((qh.astype(np.uint16) << (7 - 2 * l)) & 256)
+    vals = _grid_bytes(G["iq3s_grid"], idx, 4).reshape(-1, 8, 4, 8)
+    signs = _signs_bits(sign_bytes)
+    y = dbs[:, :, None, None] * vals * signs
+    return y.reshape(-1, QK_K)
+
+
 _DEQUANT = {
     GGMLType.Q4_0: _dequant_q4_0,
     GGMLType.Q4_1: _dequant_q4_1,
@@ -255,6 +395,12 @@ _DEQUANT = {
     GGMLType.Q8_K: _dequant_q8_k,
     GGMLType.IQ4_NL: _dequant_iq4_nl,
     GGMLType.IQ4_XS: _dequant_iq4_xs,
+    GGMLType.IQ2_XXS: _dequant_iq2_xxs,
+    GGMLType.IQ2_XS: _dequant_iq2_xs,
+    GGMLType.IQ2_S: _dequant_iq2_s,
+    GGMLType.IQ3_XXS: _dequant_iq3_xxs,
+    GGMLType.IQ3_S: _dequant_iq3_s,
+    GGMLType.IQ1_S: _dequant_iq1_s,
 }
 
 SUPPORTED_DECODE = frozenset(_DEQUANT) | {
