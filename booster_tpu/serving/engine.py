@@ -488,8 +488,16 @@ class Engine:
             janus_eos=jt.eos_id if jt else 0,
         )
 
-        ids = np.zeros((self.max_batch, len(prompt_ids)), np.int32)
-        ids[0] = prompt_ids
+        # bucket the prompt length to a power of two: one compiled prefill
+        # per bucket instead of one per distinct prompt length
+        n_prompt = len(prompt_ids)
+        T = min(max(16, 1 << (n_prompt - 1).bit_length()), self.max_seq)
+        ids = np.zeros((self.max_batch, T), np.int32)
+        ids[0, :n_prompt] = prompt_ids
+        n_valid = np.zeros(self.max_batch, np.int32)
+        n_valid[0] = n_prompt
+        gather = np.zeros(self.max_batch, np.int32)
+        gather[0] = n_prompt - 1
         se_g, se_w = self_extend_group, self_extend_window
 
         def se_map(pos: np.ndarray) -> np.ndarray:
@@ -498,13 +506,14 @@ class Engine:
         rope_prefill = None
         if se_g > 1:
             rope_prefill = jnp.asarray(
-                np.tile(se_map(np.arange(len(prompt_ids)))[None, :],
+                np.tile(se_map(np.arange(T))[None, :],
                         (self.max_batch, 1)).astype(np.int32)
             )
 
         t0 = time.perf_counter()
         logits, cache = forward(
-            self.params, cfg, jnp.asarray(ids), cache, last_only=True,
+            self.params, cfg, jnp.asarray(ids), cache,
+            gather_idx=jnp.asarray(gather), n_valid=jnp.asarray(n_valid),
             rope_positions=rope_prefill,
         )
         lg = logits[:, -1, :]
@@ -577,10 +586,15 @@ class Engine:
                 tail = (list(prompt_ids[n_keep:]) + generated)
                 tail = tail[len(tail) // 2 :]
                 cache = self._new_cache()
-                ids = np.zeros((self.max_batch, len(kept) + len(tail)), np.int32)
-                ids[0] = kept + tail
-                _, cache = forward(self.params, cfg, jnp.asarray(ids), cache, last_only=True)
-                host_len = len(kept) + len(tail)
+                keep_ids = kept + tail
+                Ts = min(max(16, 1 << (len(keep_ids) - 1).bit_length()), self.max_seq)
+                ids = np.zeros((self.max_batch, Ts), np.int32)
+                ids[0, : len(keep_ids)] = keep_ids
+                nv = np.zeros(self.max_batch, np.int32)
+                nv[0] = len(keep_ids)
+                _, cache = forward(self.params, cfg, jnp.asarray(ids), cache,
+                                   last_only=True, n_valid=jnp.asarray(nv))
+                host_len = len(keep_ids)
                 cur = np.zeros((self.max_batch, 1), np.int32)
                 cur[0, 0] = generated[-1]
                 device_tok = jnp.asarray(cur)

@@ -88,3 +88,23 @@ def test_truncated(tmp_path):
     trunc.write_bytes(data[: len(data) - 32])
     with pytest.raises(ValueError):
         GGUFReader(str(trunc))
+
+
+def test_gguf_v2_reads(tmp_path):
+    """GGUF v2 files (same layout, older version id) parse identically."""
+    import struct
+
+    w = GGUFWriter()
+    w.add("general.architecture", "llama")
+    w.add_tensor("x", np.arange(16, dtype=np.float32), (16,), GGMLType.F32)
+    path = str(tmp_path / "v2.gguf")
+    w.write(path)
+    data = bytearray(open(path, "rb").read())
+    data[4:8] = struct.pack("<I", 2)  # rewrite version field
+    v2 = tmp_path / "real_v2.gguf"
+    v2.write_bytes(bytes(data))
+    with GGUFReader(str(v2)) as r:
+        assert r.version == 2
+        np.testing.assert_array_equal(
+            r.tensor_bytes("x").view(np.float32), np.arange(16, dtype=np.float32)
+        )
