@@ -216,6 +216,44 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
             },
         })
 
+    async def completions(request: web.Request) -> web.Response:
+        """OpenAI legacy /v1/completions (raw prompt, non-chat)."""
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"error": "invalid JSON"}, status=400)
+        prompt = body.get("prompt")
+        if isinstance(prompt, list):
+            prompt = prompt[0] if prompt else ""
+        if not prompt:
+            return web.json_response({"error": "prompt required"}, status=400)
+        sampling = _sampling_from_dict(
+            {k: body[k] for k in ("temperature", "top_p", "top_k", "seed")
+             if k in body}
+        ) if any(k in body for k in ("temperature", "top_p", "top_k", "seed")) else None
+        job = scheduler.place_job(
+            prompt="", full_prompt=str(prompt), sampling=sampling,
+            max_tokens=int(body.get("max_tokens", 0) or 0),
+        )
+        try:
+            await scheduler.wait_job(job.id, timeout=scheduler.deadline_s)
+        except asyncio.TimeoutError:
+            scheduler.stop_job(job.id)
+            return web.json_response({"error": "deadline exceeded"}, status=504)
+        return web.json_response({
+            "id": f"cmpl-{job.id}",
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": model_name,
+            "choices": [{"index": 0, "text": job.output,
+                         "finish_reason": job.finish_reason or "stop"}],
+            "usage": {
+                "prompt_tokens": job.n_prompt_tokens,
+                "completion_tokens": job.n_generated,
+                "total_tokens": job.n_prompt_tokens + job.n_generated,
+            },
+        })
+
     async def list_models(request: web.Request) -> web.Response:
         return web.json_response({
             "object": "list",
@@ -342,6 +380,7 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
     app.router.add_get("/jobs/{id}", get_job)
     app.router.add_delete("/jobs/{id}", delete_job)
     app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/completions", completions)
     app.router.add_get("/v1/models", list_models)
     app.router.add_post("/api/chat", ollama_chat)
     app.router.add_post("/api/generate", ollama_generate)

@@ -253,3 +253,17 @@ def test_janus_job_routed_dedicated(tmp_path_factory):
         assert body["completion_tokens"] >= 1
 
     run_with_client(tmp_path_factory, fn)
+
+
+def test_openai_completions(tmp_path_factory):
+    async def fn(client, scheduler):
+        r = await client.post("/v1/completions",
+                              json={"prompt": "hello", "max_tokens": 6})
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "text_completion"
+        assert body["usage"]["completion_tokens"] > 0
+        r = await client.post("/v1/completions", json={})
+        assert r.status == 400
+
+    run_with_client(tmp_path_factory, fn)
