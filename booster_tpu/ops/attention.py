@@ -45,13 +45,18 @@ def attention(
             logit_softcap, sliding_window,
         )
 
-    qf = q.astype(jnp.float32) * scale
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    # matmuls run on bf16 inputs with f32 accumulation (casting the whole
+    # cache to f32 costs more VPU time than the attention itself at high B)
+    qf = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    kf = k_cache.astype(jnp.bfloat16)
+    vf = v_cache.astype(jnp.bfloat16)
 
     # [B, Hkv, G, T, D] x [B, Hkv, S, D] → [B, Hkv, G, T, S]
     qg = qf.reshape(B, T, Hkv, groups, D).transpose(0, 2, 3, 1, 4)
-    scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, kf.transpose(0, 2, 1, 3))
+    scores = jnp.einsum(
+        "bhgtd,bhsd->bhgts", qg, kf.transpose(0, 2, 1, 3),
+        preferred_element_type=jnp.float32,
+    )
 
     if logit_softcap > 0.0:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
@@ -63,8 +68,11 @@ def attention(
         mask &= kv_idx > qpos - sliding_window
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
 
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgts,bhsd->bhgtd", probs, vf.transpose(0, 2, 1, 3))
+    probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "bhgts,bhsd->bhgtd", probs, vf.transpose(0, 2, 1, 3),
+        preferred_element_type=jnp.float32,
+    )
     out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, D)
     return out.astype(q.dtype)
 
@@ -89,10 +97,10 @@ def _attention_chunked(
     C = _KV_CHUNK
     n_chunks = S // C
 
-    qf = (q.astype(jnp.float32) * scale).reshape(B, T, Hkv, groups, D)
-    qf = qf.transpose(0, 2, 3, 1, 4)  # [B, Hkv, G, T, D]
-    kf = k_cache.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B, Hkv, S, D]
-    vf = v_cache.astype(jnp.float32).transpose(0, 2, 1, 3)
+    qf = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    qf = qf.reshape(B, T, Hkv, groups, D).transpose(0, 2, 3, 1, 4)  # [B,Hkv,G,T,D]
+    kf = k_cache.astype(jnp.bfloat16).transpose(0, 2, 1, 3)  # [B, Hkv, S, D]
+    vf = v_cache.astype(jnp.bfloat16).transpose(0, 2, 1, 3)
     qpos = q_positions[:, :, None]  # [B, T, 1]
 
     def body(carry, c_idx):
@@ -100,7 +108,8 @@ def _attention_chunked(
         start = c_idx * C
         kc = jax.lax.dynamic_slice_in_dim(kf, start, C, axis=2)
         vc = jax.lax.dynamic_slice_in_dim(vf, start, C, axis=2)
-        s_chunk = jnp.einsum("bhgtd,bhsd->bhgts", qf, kc)
+        s_chunk = jnp.einsum("bhgtd,bhsd->bhgts", qf, kc,
+                             preferred_element_type=jnp.float32)
         if logit_softcap > 0.0:
             s_chunk = logit_softcap * jnp.tanh(s_chunk / logit_softcap)
         kv_idx = start + jnp.arange(C)[None, None, :]
@@ -113,7 +122,10 @@ def _attention_chunked(
         p = jnp.exp(s_chunk - m_new[..., None])
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + p.sum(axis=-1)
-        acc_new = acc * alpha[..., None] + jnp.einsum("bhgts,bhsd->bhgtd", p, vc)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhgts,bhsd->bhgtd", p.astype(jnp.bfloat16), vc,
+            preferred_element_type=jnp.float32,
+        )
         return (m_new, l_new, acc_new), None
 
     m0 = jnp.full((B, Hkv, groups, T), NEG_INF, jnp.float32)
