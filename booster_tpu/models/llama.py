@@ -23,7 +23,7 @@ from booster_tpu.models.config import ModelConfig
 from booster_tpu.ops.attention import attention
 from booster_tpu.ops.kv_cache import KVCache, dequant_kv, update_layer
 from booster_tpu.ops.linear import qlinear
-from booster_tpu.ops.rope import apply_rope
+from booster_tpu.ops.rope import apply_rope_tables, rope_tables
 from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor
 
 
@@ -103,11 +103,10 @@ def _layer(
     ks_slice: Optional[jnp.ndarray],
     vs_slice: Optional[jnp.ndarray],
     positions: jnp.ndarray,  # [B, T] causal-mask positions (cache order)
-    rope_pos: jnp.ndarray,  # [B, T] rope positions (may be compressed)
+    rope_cos: jnp.ndarray,  # [B, T, 1, D/2] precomputed rope tables
+    rope_sin: jnp.ndarray,
     offsets: jnp.ndarray,  # [B]
     kv_valid: jnp.ndarray,  # [B]
-    inv_freq: jnp.ndarray,
-    mscale: jnp.ndarray,
     cfg: ModelConfig,
 ):
     B, T, C = x.shape
@@ -129,8 +128,8 @@ def _layer(
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
 
-    q = apply_rope(q, rope_pos, inv_freq, cfg.rope_style, mscale)
-    k = apply_rope(k, rope_pos, inv_freq, cfg.rope_style, mscale)
+    q = apply_rope_tables(q, rope_cos, rope_sin, cfg.rope_style)
+    k = apply_rope_tables(k, rope_cos, rope_sin, cfg.rope_style)
 
     k_slice, v_slice, ks_slice, vs_slice = update_layer(
         k_slice, v_slice, k, v, offsets, ks_slice, vs_slice
@@ -213,14 +212,16 @@ def forward(
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
 
-    inv_freq = params["rope"]["inv_freq"]
-    mscale = params["rope"]["mscale"]
+    # rope tables depend only on positions: compute once, not per layer
+    rope_cos, rope_sin = rope_tables(
+        rope_pos, params["rope"]["inv_freq"], params["rope"]["mscale"]
+    )
 
     def body(x, scanned):
         lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice = scanned
         x, updated = _layer(
             x, lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice,
-            positions, rope_pos, offsets, kv_valid, inv_freq, mscale, cfg,
+            positions, rope_cos, rope_sin, offsets, kv_valid, cfg,
         )
         return x, updated
 

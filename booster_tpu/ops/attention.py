@@ -24,8 +24,8 @@ _KV_CHUNK = 512
 
 def attention(
     q: jnp.ndarray,  # [B, T, H, D] (already roped)
-    k_cache: jnp.ndarray,  # [B, S, H_kv, D]
-    v_cache: jnp.ndarray,  # [B, S, H_kv, D]
+    k_cache: jnp.ndarray,  # [B, H_kv, S, D] (heads-major cache layout)
+    v_cache: jnp.ndarray,  # [B, H_kv, S, D]
     q_positions: jnp.ndarray,  # [B, T] absolute position of each query token
     kv_valid_len: jnp.ndarray,  # [B] number of valid kv entries (incl. new)
     scale: float,
@@ -35,8 +35,8 @@ def attention(
     """Returns [B, T, H, D].  kv index j attends iff j <= q_pos and
     j < kv_valid_len and (no window or q_pos - j < window)."""
     B, T, H, D = q.shape
-    S = k_cache.shape[1]
-    Hkv = k_cache.shape[2]
+    Hkv = k_cache.shape[1]
+    S = k_cache.shape[2]
     groups = H // Hkv
 
     if B * H * T * S > _CHUNK_THRESHOLD and S % _KV_CHUNK == 0:
@@ -54,7 +54,7 @@ def attention(
     # [B, Hkv, G, T, D] x [B, Hkv, S, D] → [B, Hkv, G, T, S]
     qg = qf.reshape(B, T, Hkv, groups, D).transpose(0, 2, 3, 1, 4)
     scores = jnp.einsum(
-        "bhgtd,bhsd->bhgts", qg, kf.transpose(0, 2, 1, 3),
+        "bhgtd,bhsd->bhgts", qg, kf,
         preferred_element_type=jnp.float32,
     )
 
@@ -70,7 +70,7 @@ def attention(
 
     probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
     out = jnp.einsum(
-        "bhgts,bhsd->bhgtd", probs, vf.transpose(0, 2, 1, 3),
+        "bhgts,bhsd->bhgtd", probs, vf,
         preferred_element_type=jnp.float32,
     )
     out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, D)
@@ -79,7 +79,7 @@ def attention(
 
 def _attention_chunked(
     q: jnp.ndarray,  # [B, T, H, D]
-    k_cache: jnp.ndarray,  # [B, S, H_kv, D]
+    k_cache: jnp.ndarray,  # [B, H_kv, S, D]
     v_cache: jnp.ndarray,
     q_positions: jnp.ndarray,  # [B, T]
     kv_valid_len: jnp.ndarray,  # [B]
@@ -91,16 +91,16 @@ def _attention_chunked(
     XLA): peak memory O(B·H·T·CHUNK) instead of O(B·H·T·S).  Numerics match
     the dense path to f32 rounding."""
     B, T, H, D = q.shape
-    S = k_cache.shape[1]
-    Hkv = k_cache.shape[2]
+    Hkv = k_cache.shape[1]
+    S = k_cache.shape[2]
     groups = H // Hkv
     C = _KV_CHUNK
     n_chunks = S // C
 
     qf = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
     qf = qf.reshape(B, T, Hkv, groups, D).transpose(0, 2, 3, 1, 4)  # [B,Hkv,G,T,D]
-    kf = k_cache.astype(jnp.bfloat16).transpose(0, 2, 1, 3)  # [B, Hkv, S, D]
-    vf = v_cache.astype(jnp.bfloat16).transpose(0, 2, 1, 3)
+    kf = k_cache.astype(jnp.bfloat16)  # already [B, Hkv, S, D]
+    vf = v_cache.astype(jnp.bfloat16)
     qpos = q_positions[:, :, None]  # [B, T, 1]
 
     def body(carry, c_idx):

@@ -19,12 +19,16 @@ import jax.numpy as jnp
 
 @dataclass
 class KVCache:
-    """Pytree: k/v [L, B, S, H_kv, D] (+ scales when quantized), lengths [B]."""
+    """Pytree: k/v [L, B, H_kv, S, D] (+ scales when quantized), lengths [B].
+
+    Heads-major layout: attention consumes [B, H, S, D] directly — no
+    per-step transposes of the whole cache (each saved kernel matters, see
+    ROUND1_NOTES on per-kernel overhead)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     lengths: jnp.ndarray  # [B] int32: tokens already stored per slot
-    k_scale: Optional[jnp.ndarray] = None  # [L, B, S, H_kv, 1] f32 when int8
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, H_kv, S, 1] f32 when int8
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -33,7 +37,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @classmethod
     def create(
@@ -47,7 +51,7 @@ class KVCache:
         quantized: bool = False,
     ) -> "KVCache":
         if quantized:
-            shape = (n_layers, batch, max_len, n_kv_heads, head_dim)
+            shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
@@ -55,7 +59,7 @@ class KVCache:
                 k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
                 v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
             )
-        shape = (n_layers, batch, max_len, n_kv_heads, head_dim)
+        shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -72,23 +76,25 @@ def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def update_layer(
-    layer_k: jnp.ndarray,  # [B, S, H, D] (cache slice for one layer)
+    layer_k: jnp.ndarray,  # [B, H, S, D] (cache slice for one layer)
     layer_v: jnp.ndarray,
     new_k: jnp.ndarray,  # [B, T, H, D]
     new_v: jnp.ndarray,
     offsets: jnp.ndarray,  # [B] int32 write positions
-    layer_k_scale: Optional[jnp.ndarray] = None,  # [B, S, H, 1]
+    layer_k_scale: Optional[jnp.ndarray] = None,  # [B, H, S, 1]
     layer_v_scale: Optional[jnp.ndarray] = None,
 ):
     """Write new tokens at per-slot offsets; returns updated slices."""
+    new_k = new_k.transpose(0, 2, 1, 3)  # → [B, H, T, D]
+    new_v = new_v.transpose(0, 2, 1, 3)
 
     if layer_k_scale is not None:
         qk, sk = _quantize_kv(new_k)
         qv, sv = _quantize_kv(new_v)
 
         def write_row(cache, scale_cache, q, s, off):
-            cache = jax.lax.dynamic_update_slice(cache, q, (off, 0, 0))
-            scale_cache = jax.lax.dynamic_update_slice(scale_cache, s, (off, 0, 0))
+            cache = jax.lax.dynamic_update_slice(cache, q, (0, off, 0))
+            scale_cache = jax.lax.dynamic_update_slice(scale_cache, s, (0, off, 0))
             return cache, scale_cache
 
         layer_k, layer_k_scale = jax.vmap(write_row)(layer_k, layer_k_scale, qk, sk, offsets)
@@ -96,7 +102,7 @@ def update_layer(
         return layer_k, layer_v, layer_k_scale, layer_v_scale
 
     def write_row(cache, new, off):
-        return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), (off, 0, 0))
+        return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), (0, off, 0))
 
     layer_k = jax.vmap(write_row)(layer_k, new_k, offsets)
     layer_v = jax.vmap(write_row)(layer_v, new_v, offsets)

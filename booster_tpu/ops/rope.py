@@ -64,6 +64,50 @@ def yarn_params(cfg: ModelConfig) -> tuple[np.ndarray, float]:
     return pos_scale.astype(np.float32), float(mscale)
 
 
+def rope_tables(
+    positions: jnp.ndarray,  # [B, T] int32
+    inv_freq: jnp.ndarray,  # [D_rot/2]
+    mscale=1.0,
+):
+    """cos/sin tables [B, T, 1, D/2] — computed once per forward (they only
+    depend on positions, not on the layer)."""
+    angles = positions[..., None].astype(jnp.float32) * inv_freq
+    cos = (jnp.cos(angles) * mscale)[:, :, None, :]
+    sin = (jnp.sin(angles) * mscale)[:, :, None, :]
+    return cos, sin
+
+
+def apply_rope_tables(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                      style: str) -> jnp.ndarray:
+    """Rotate with precomputed tables (see rope_tables)."""
+    d_rot = 2 * cos.shape[-1]
+    orig_dtype = x.dtype
+    xr = x[..., :d_rot].astype(jnp.float32)
+    x_pass = x[..., d_rot:]
+
+    if style == ROPE_NORM:
+        x0 = xr[..., 0::2]
+        x1 = xr[..., 1::2]
+        r0 = x0 * cos - x1 * sin
+        r1 = x0 * sin + x1 * cos
+        rotated = jnp.stack([r0, r1], axis=-1).reshape(xr.shape)
+    elif style == ROPE_NEOX:
+        half = d_rot // 2
+        x0 = xr[..., :half]
+        x1 = xr[..., half:]
+        r0 = x0 * cos - x1 * sin
+        r1 = x0 * sin + x1 * cos
+        rotated = jnp.concatenate([r0, r1], axis=-1)
+    else:
+        return x
+    out = (
+        jnp.concatenate([rotated, x_pass.astype(jnp.float32)], axis=-1)
+        if x_pass.shape[-1]
+        else rotated
+    )
+    return out.astype(orig_dtype)
+
+
 def apply_rope(
     x: jnp.ndarray,  # [B, T, H, D]
     positions: jnp.ndarray,  # [B, T] int32

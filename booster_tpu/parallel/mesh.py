@@ -117,7 +117,7 @@ def make_device_put(mesh: Mesh) -> Callable[[Any, str], Any]:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    """Place the KV cache: [L, B, S, H_kv, D] → dp on B, tp on H_kv."""
+    """Place the KV cache: [L, B, H_kv, S, D] → dp on B, tp on H_kv."""
 
     def put(arr, spec):
         if arr is None:
@@ -127,7 +127,7 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
             parts.append(ax if ax is not None and dim % mesh.shape[ax] == 0 else None)
         return jax.device_put(arr, NamedSharding(mesh, P(*parts)))
 
-    kv_spec = (None, "dp", None, "tp", None)
+    kv_spec = (None, "dp", "tp", None, None)
     return KVCache(
         k=put(cache.k, kv_spec),
         v=put(cache.v, kv_spec),

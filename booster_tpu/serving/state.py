@@ -34,13 +34,13 @@ def save_slot_state(engine, slot: int, token_ids: list[int]) -> bytes:
         return a
 
     arrays = {
-        "k": storable(cache.k[:, slot, :length]),
-        "v": storable(cache.v[:, slot, :length]),
+        "k": storable(cache.k[:, slot, :, :length]),
+        "v": storable(cache.v[:, slot, :, :length]),
         "tokens": np.asarray(token_ids, np.int32),
     }
     if cache.k_scale is not None:
-        arrays["k_scale"] = np.asarray(cache.k_scale[:, slot, :length])
-        arrays["v_scale"] = np.asarray(cache.v_scale[:, slot, :length])
+        arrays["k_scale"] = np.asarray(cache.k_scale[:, slot, :, :length])
+        arrays["v_scale"] = np.asarray(cache.v_scale[:, slot, :, :length])
     meta = {
         "magic": STATE_MAGIC,
         "kv_dtype": str(np.asarray(cache.k[:1, 0, :1]).dtype),
@@ -84,12 +84,12 @@ def load_slot_state(engine, slot: int, blob: bytes) -> list[int]:
             return a.view(ml_dtypes.bfloat16)
         return a
 
-    k = cache.k.at[:, slot, :length].set(jnp.asarray(restore(data["k"])))
-    v = cache.v.at[:, slot, :length].set(jnp.asarray(restore(data["v"])))
+    k = cache.k.at[:, slot, :, :length].set(jnp.asarray(restore(data["k"])))
+    v = cache.v.at[:, slot, :, :length].set(jnp.asarray(restore(data["v"])))
     ks = vs = None
     if cache.k_scale is not None:
-        ks = cache.k_scale.at[:, slot, :length].set(jnp.asarray(data["k_scale"]))
-        vs = cache.v_scale.at[:, slot, :length].set(jnp.asarray(data["v_scale"]))
+        ks = cache.k_scale.at[:, slot, :, :length].set(jnp.asarray(data["k_scale"]))
+        vs = cache.v_scale.at[:, slot, :, :length].set(jnp.asarray(data["v_scale"]))
     engine.cache = dataclasses.replace(
         cache,
         k=k,

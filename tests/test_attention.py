@@ -12,8 +12,8 @@ att = importlib.import_module("booster_tpu.ops.attention")
 def run_both(B=1, T=64, S=1024, H=4, Hkv=2, D=32, window=None, softcap=0.0):
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)).astype(np.float32))
     pos = jnp.asarray(np.tile(np.arange(100, 100 + T, dtype=np.int32), (B, 1)))
     valid = jnp.asarray(np.full(B, 100 + T, np.int32))
     dense = att.attention(q, k, v, pos, valid, scale=0.1,
