@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from booster_tpu.models.config import ModelConfig
-from booster_tpu.ops.attention import attention
+from booster_tpu.ops.attention import attention, build_mask
 from booster_tpu.ops.kv_cache import KVCache, dequant_kv, update_layer
 from booster_tpu.ops.linear import qlinear
 from booster_tpu.ops.rope import apply_rope_tables, rope_tables
@@ -105,6 +105,8 @@ def _layer(
     positions: jnp.ndarray,  # [B, T] causal-mask positions (cache order)
     rope_cos: jnp.ndarray,  # [B, T, 1, D/2] precomputed rope tables
     rope_sin: jnp.ndarray,
+    mask_base: jnp.ndarray,  # [B, T, S] causal mask (no window)
+    mask_swa,  # [B, T, S] windowed variant or None
     offsets: jnp.ndarray,  # [B]
     kv_valid: jnp.ndarray,  # [B]
     cfg: ModelConfig,
@@ -136,14 +138,13 @@ def _layer(
     )
 
     # sliding window: gemma2 applies SWA on even layers only
-    if cfg.sliding_window > 0:
-        if cfg.sliding_window_pattern > 1:
-            use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
-            window = jnp.where(use_swa, cfg.sliding_window, jnp.iinfo(jnp.int32).max)
-        else:
-            window = jnp.int32(cfg.sliding_window)
+    if mask_swa is not None and cfg.sliding_window_pattern > 1:
+        use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
+        mask = jnp.where(use_swa, mask_swa, mask_base)
+    elif mask_swa is not None:
+        mask = mask_swa
     else:
-        window = None
+        mask = mask_base
 
     scale = cfg.attn_scale if cfg.attn_scale > 0 else 1.0 / (D**0.5)
     attn_out = attention(
@@ -154,7 +155,7 @@ def _layer(
         kv_valid,
         scale=scale,
         logit_softcap=cfg.attn_logit_softcap,
-        sliding_window=window,
+        mask=mask,
     )
     attn_out = _lin(attn_out.reshape(B, T, H * D), lp, "wo")
     if cfg.post_norms:
@@ -212,16 +213,23 @@ def forward(
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
 
-    # rope tables depend only on positions: compute once, not per layer
+    # rope tables + causal masks depend only on positions: compute once
     rope_cos, rope_sin = rope_tables(
         rope_pos, params["rope"]["inv_freq"], params["rope"]["mscale"]
+    )
+    S = cache.max_len
+    mask_base = build_mask(positions, kv_valid, S)
+    mask_swa = (
+        build_mask(positions, kv_valid, S, jnp.int32(cfg.sliding_window))
+        if cfg.sliding_window > 0 else None
     )
 
     def body(x, scanned):
         lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice = scanned
         x, updated = _layer(
             x, lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice,
-            positions, rope_cos, rope_sin, offsets, kv_valid, cfg,
+            positions, rope_cos, rope_sin, mask_base, mask_swa,
+            offsets, kv_valid, cfg,
         )
         return x, updated
 

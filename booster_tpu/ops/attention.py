@@ -17,6 +17,16 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+
+def build_mask(q_positions, kv_valid_len, S: int, sliding_window=None):
+    """[B, T, S] attention mask (position-only: hoistable out of layer scans)."""
+    kv_idx = jnp.arange(S)[None, None, :]
+    qpos = q_positions[:, :, None]
+    mask = (kv_idx <= qpos) & (kv_idx < kv_valid_len[:, None, None])
+    if sliding_window is not None:
+        mask = mask & (kv_idx > qpos - sliding_window)
+    return mask
+
 # materialized-score budget above which the online-softmax chunked path runs
 _CHUNK_THRESHOLD = 32 * 1024 * 1024  # elements in [B, H, T, S]
 _KV_CHUNK = 512
@@ -31,6 +41,7 @@ def attention(
     scale: float,
     logit_softcap: float = 0.0,
     sliding_window=None,  # int32 scalar (traced ok); None disables
+    mask=None,  # [B, T, S] bool precomputed (hoisted out of the layer scan)
 ) -> jnp.ndarray:
     """Returns [B, T, H, D].  kv index j attends iff j <= q_pos and
     j < kv_valid_len and (no window or q_pos - j < window)."""
@@ -61,11 +72,8 @@ def attention(
     if logit_softcap > 0.0:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
 
-    kv_idx = jnp.arange(S)[None, None, :]  # [1, 1, S]
-    qpos = q_positions[:, :, None]  # [B, T, 1]
-    mask = (kv_idx <= qpos) & (kv_idx < kv_valid_len[:, None, None])
-    if sliding_window is not None:
-        mask &= kv_idx > qpos - sliding_window
+    if mask is None:
+        mask = build_mask(q_positions, kv_valid_len, S, sliding_window)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
