@@ -58,7 +58,8 @@ def _se_rope_positions(lengths, se_group: int, se_window: int):
     ).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "params_sampling", "se_group", "se_window"))
+@partial(jax.jit, static_argnames=("cfg", "params_sampling", "se_group", "se_window"),
+         donate_argnames=("cache", "state"))
 def _decode_step(
     params,
     cfg: ModelConfig,
@@ -105,7 +106,8 @@ def _decode_step(
 
 
 @partial(jax.jit, static_argnames=("cfg", "params_sampling", "n_steps",
-                                   "se_group", "se_window"))
+                                   "se_group", "se_window"),
+         donate_argnames=("cache", "state"))
 def _decode_chunk(
     params,
     cfg: ModelConfig,
@@ -148,7 +150,7 @@ def _decode_chunk(
     return toks, done, cache, state
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache", "state"))
 def _prefill_batched(params, cfg: ModelConfig, cache: KVCache, tokens, n_valid,
                      state: SamplerState, vp, admit_mask):
     """Prefill any subset of slots (n_valid=0 rows are no-ops) and sample the
@@ -163,7 +165,8 @@ def _prefill_batched(params, cfg: ModelConfig, cache: KVCache, tokens, n_valid,
     return tok, cache, state
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("cache", "state"))
 def _decode_chunk_vec(params, cfg: ModelConfig, cache: KVCache, last_tok,
                       state: SamplerState, vp, active, n_steps: int, eog_mask):
     """n_steps batched decode iterations with per-slot sampling params.
