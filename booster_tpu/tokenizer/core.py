@@ -25,9 +25,14 @@ class Tokenizer:
             self._inner = SPMTokenizer(vocab)
         elif vocab.model == "gpt2":
             self._inner = BPETokenizer(vocab)
+        elif vocab.model == "bert":
+            from booster_tpu.tokenizer.wpm import WPMTokenizer
+
+            self._inner = WPMTokenizer(vocab)
         else:
             raise NotImplementedError(
-                f"tokenizer model {vocab.model!r} not supported yet (have: llama, gpt2)"
+                f"tokenizer model {vocab.model!r} not supported yet "
+                "(have: llama, gpt2, bert)"
             )
         self._specials = vocab.special_tokens()
 

@@ -99,3 +99,34 @@ def test_phi3(tmp_path):
     # loader split the fused qkv / gate_up projections
     keys = set(loaded.params["layers"])
     assert ("wq" in keys or "wqkv" in keys)
+
+
+def test_qwen3(tmp_path):
+    """qwen3: per-head q/k rmsnorm before rope."""
+    cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Qwen3ForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = check_model(hf, str(tmp_path / "qwen3.gguf"), ids, arch="qwen3")
+    assert loaded.cfg.q_norm
+    assert "q_norm" in loaded.params["layers"]
+
+
+def test_gemma1(tmp_path):
+    cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512,
+        hidden_act="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(0)
+    hf = transformers.GemmaForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = check_model(hf, str(tmp_path / "gemma1.gguf"), ids, arch="gemma")
+    assert loaded.cfg.norm_eps_add_one
+    assert loaded.cfg.embedding_scale == 8.0  # sqrt(64)
+    assert loaded.params["output"] is None

@@ -189,3 +189,25 @@ def test_vocab_from_gguf_metadata():
     assert v.bos_id == 1 and v.eos_id == 2
     assert v.is_eog(2)
     assert not v.is_eog(3)
+
+
+def test_wpm_tokenizer():
+    """BERT-style WordPiece: greedy longest match with ▁-prefixed words."""
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]",
+            "▁hello", "▁wor", "ld", "▁!", "▁,", "▁the"]
+    n = len(toks)
+    v = Vocab(
+        model="bert", pre="default", tokens=toks,
+        scores=np.zeros(n, np.float32),
+        token_types=np.array([TokenType.CONTROL]*4 + [TokenType.NORMAL]*(n-4), np.int32),
+        bos_id=2, eos_id=3, unk_id=1, add_bos=False, add_eos=False,
+        add_space_prefix=False,
+    )
+    tok = Tokenizer(v)
+    ids = tok.encode("Hello world!", add_bos=False)
+    pieces = [toks[i] for i in ids]
+    assert pieces == ["▁hello", "▁wor", "ld", "▁!"]
+    # lowercasing + punctuation splitting + unknown word → [UNK]
+    ids2 = tok.encode("HELLO zzz", add_bos=False)
+    assert toks[ids2[0]] == "▁hello"
+    assert ids2[1] == 1  # UNK
