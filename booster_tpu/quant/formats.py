@@ -354,6 +354,43 @@ def _dequant_iq1_s(b: np.ndarray) -> np.ndarray:
     return y.reshape(-1, QK_K)
 
 
+def _dequant_iq1_m(b: np.ndarray) -> np.ndarray:
+    G = _iq_grids()
+    # layout (ggml-common.h block_iq1_m): qs[32], qh[16], scales[8] — the
+    # fp16 super-scale is scattered in the top nibbles of the 4 scale words
+    qs = b[:, 0:32].reshape(-1, 8, 4)
+    qh = b[:, 32:48].reshape(-1, 8, 2)
+    sc = np.ascontiguousarray(b[:, 48:56]).view("<u2")  # [n,4]
+    scale_u16 = (
+        (sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+        | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000)
+    ).astype(np.uint16)
+    d = scale_u16.view("<f2").astype(np.float32)[:, None]  # [n,1]
+    ib = np.arange(8)
+    half = ib % 2
+    sc_ib = sc[:, ib // 2]  # [n,8]
+    dl1 = d * (2 * ((sc_ib >> (6 * half + 0)) & 7) + 1)  # [n,8]
+    dl2 = d * (2 * ((sc_ib >> (6 * half + 3)) & 7) + 1)
+    dl = np.stack([dl1, dl1, dl2, dl2], axis=2)  # [n,8,4] per-l scales
+
+    qh16 = qh.astype(np.uint16)
+    idx = np.stack([
+        qs[:, :, 0] | ((qh16[:, :, 0] << 8) & 0x700),
+        qs[:, :, 1] | ((qh16[:, :, 0] << 4) & 0x700),
+        qs[:, :, 2] | ((qh16[:, :, 1] << 8) & 0x700),
+        qs[:, :, 3] | ((qh16[:, :, 1] << 4) & 0x700),
+    ], axis=2)  # [n,8,4]
+    delta_bits = np.stack([
+        qh[:, :, 0] & 0x08, qh[:, :, 0] & 0x80,
+        qh[:, :, 1] & 0x08, qh[:, :, 1] & 0x80,
+    ], axis=2)
+    delta = np.where(delta_bits != 0, -0.125, 0.125)  # IQ1M_DELTA
+    vals = _grid_bytes(G["iq1s_grid"], idx, 8)
+    vals = np.where(vals > 127, vals - 256, vals)
+    y = dl[..., None] * (vals + delta[..., None])
+    return y.reshape(-1, QK_K)
+
+
 def _dequant_iq3_s(b: np.ndarray) -> np.ndarray:
     G = _iq_grids()
     d = _f16(b[:, 0:2])  # [n,1]
@@ -401,6 +438,7 @@ _DEQUANT = {
     GGMLType.IQ3_XXS: _dequant_iq3_xxs,
     GGMLType.IQ3_S: _dequant_iq3_s,
     GGMLType.IQ1_S: _dequant_iq1_s,
+    GGMLType.IQ1_M: _dequant_iq1_m,
 }
 
 SUPPORTED_DECODE = frozenset(_DEQUANT) | {

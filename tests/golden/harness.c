@@ -33,6 +33,7 @@ int main(void) {
         case 21: dequantize_row_iq3_s((void*)buf, out, nelem); break;
         case 22: dequantize_row_iq2_s((void*)buf, out, nelem); break;
         case 23: dequantize_row_iq4_xs((void*)buf, out, nelem); break;
+        case 29: dequantize_row_iq1_m((void*)buf, out, nelem); break;
         default: return 2;
     }
     fwrite(out, sizeof(float), nelem, stdout);

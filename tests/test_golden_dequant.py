@@ -27,7 +27,7 @@ FORMATS = [
     GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
     GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
     GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
-    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
     GGMLType.IQ4_NL, GGMLType.IQ4_XS,
 ]
 
@@ -73,6 +73,7 @@ def make_blocks(fmt: GGMLType, n_blocks: int, rng) -> bytes:
         GGMLType.Q4_K: [0, 2], GGMLType.Q5_K: [0, 2], GGMLType.Q6_K: [208],
         GGMLType.IQ2_XXS: [0], GGMLType.IQ2_XS: [0], GGMLType.IQ2_S: [0],
         GGMLType.IQ3_XXS: [0], GGMLType.IQ3_S: [0], GGMLType.IQ1_S: [0],
+        GGMLType.IQ1_M: [],  # scattered fp16 scale; random nibbles are fine
         GGMLType.IQ4_NL: [0], GGMLType.IQ4_XS: [0],
     }[fmt]
     for off in f16_offsets:
