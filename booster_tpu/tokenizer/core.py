@@ -29,10 +29,14 @@ class Tokenizer:
             from booster_tpu.tokenizer.wpm import WPMTokenizer
 
             self._inner = WPMTokenizer(vocab)
+        elif vocab.model == "t5":
+            from booster_tpu.tokenizer.ugm import UGMTokenizer
+
+            self._inner = UGMTokenizer(vocab)
         else:
             raise NotImplementedError(
                 f"tokenizer model {vocab.model!r} not supported yet "
-                "(have: llama, gpt2, bert)"
+                "(have: llama, gpt2, bert, t5)"
             )
         self._specials = vocab.special_tokens()
 

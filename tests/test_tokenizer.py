@@ -211,3 +211,25 @@ def test_wpm_tokenizer():
     ids2 = tok.encode("HELLO zzz", add_bos=False)
     assert toks[ids2[0]] == "▁hello"
     assert ids2[1] == 1  # UNK
+
+
+def test_ugm_tokenizer():
+    """T5-style unigram: Viterbi picks the max-score segmentation."""
+    toks = ["<unk>", "<s>", "</s>", "▁", "h", "e", "l", "o",
+            "▁hello", "▁hell", "lo", "▁he", "llo"]
+    scores = np.array([0, 0, 0, -5, -6, -6, -6, -6,
+                       -2.0, -4.0, -3.0, -3.5, -3.2], np.float32)
+    n = len(toks)
+    v = Vocab(
+        model="t5", pre="default", tokens=toks, scores=scores,
+        token_types=np.array([2, 3, 3] + [1]*(n-3), np.int32),
+        bos_id=-1, eos_id=2, unk_id=0, add_bos=False, add_eos=False,
+        add_space_prefix=True,
+    )
+    tok = Tokenizer(v)
+    ids = tok.encode("hello", add_bos=False)
+    # "▁hello" (-2.0) beats "▁hell"+"o" (-10) and "▁he"+"llo" (-6.7)
+    assert [toks[i] for i in ids] == ["▁hello"]
+    # unknown chars collapse into UNK
+    ids2 = tok.encode("hexx", add_bos=False)
+    assert 0 in ids2
