@@ -1,7 +1,8 @@
 """Attention over the KV cache (GQA, causal + sliding-window masks, softcap).
 
-XLA einsum formulation with f32 softmax; the Pallas flash/paged-attention
-kernels (ops/pallas_attention.py) replace this on TPU for long contexts.
+XLA einsum formulation with f32 softmax — the correctness baseline and the
+prefill path.  The fused (quantized-KV) decode attention Pallas kernel lives
+in ops/pallas_attention.py and replaces this on TPU for batched decode.
 
 Reference analog: llm_build_kqv (/root/reference/cpp/src/llama.cpp:8188-8280)
 with the flash-attn / KQ-softmax paths.

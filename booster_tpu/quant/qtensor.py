@@ -11,8 +11,10 @@ At load time every GGUF block format is *losslessly* repacked into:
 
 with payload ``qw`` either
 
-    kind="i4p"  uint8 [out, in // 2]  two 4-bit codes per byte along `in`
-                (byte b → elements 2b (low nibble) and 2b+1 (high nibble))
+    kind="i4p"  uint8 [out, in // 2]  two 4-bit codes per byte, split-half
+                packing: byte b → element b (low nibble) and element
+                b + in/2 (high nibble), see _pack_nibbles_planar — kernels
+                unpack with two mask ops and no lane shuffles
     kind="i8"   int8  [out, in]
     kind="dense" bf16/f32 [out, in]   (no scales)
 

@@ -202,44 +202,52 @@ class JanusTables:
 
 def janus_sample(
     logits: jnp.ndarray,  # [B, V]
-    last_tokens: jnp.ndarray,  # [B, N] ring of generated tokens (-1 = empty)
-    n_generated: jnp.ndarray,  # [B] tokens generated so far (pos - promptLen)
-    max_predict,  # scalar (static or traced): predict limit for the EOS boost
+    last_tokens: jnp.ndarray,  # [B, N] ring of accepted tokens (-1 = empty)
+    prev_pos: jnp.ndarray,  # [B] total accepted tokens (ring idx = pos % N)
+    prompt_len: jnp.ndarray,  # [B] accepted tokens that came from the prompt
+    max_predict,  # scalar or [B] (static or traced): predict limit, EOS boost
     tables_scales: jnp.ndarray,  # [V]
     tables_types: jnp.ndarray,  # [V]
     tables_pedantic: jnp.ndarray,  # [V] bool
     eos_id: int,
     params: SamplingParams,
     key: jnp.ndarray,  # [B, 2] per-slot keys
+    depth=None,  # [B] i32 per-row override of params.janus_depth
+    hi=None,  # [B] f32 per-row override of params.janus_hi
+    lo=None,  # [B] f32 per-row override of params.janus_lo
 ) -> jnp.ndarray:
-    """Vectorized sample_janus_token (janus.cpp:191-331)."""
+    """Vectorized sample_janus_token (janus.cpp:191-331).
+
+    The repeat-pessimization window covers *generated* tokens only
+    (depth = min(depth, pos − promptLen), janus.cpp:239) while lastToken is
+    the most recent accepted token — at the first sample that is the last
+    prompt token, exactly like the reference's full-context ring."""
     p = params.normalized()
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
+    n_generated = prev_pos - prompt_len
 
     valid = last_tokens >= 0
     tok = jnp.where(valid, last_tokens, 0)
 
-    # last generated token and its type (defaults harmless when none yet)
-    has_any = jnp.any(valid, axis=-1)
-    # ring: the most recent token is the one at (n_generated - 1) mod N — the
-    # engine maintains the ring so that the newest entry is the largest index
-    # with a valid token; we take it via argmax over cumulative validity
-    last_idx = jnp.sum(valid, axis=-1) - 1  # engine appends left-to-right
-    last_tok = jnp.where(has_any, tok[jnp.arange(B), jnp.maximum(last_idx, 0)], 0)
+    # most recent accepted token lives at ring slot (prev_pos - 1) mod N
+    N = last_tokens.shape[1]
+    has_any = prev_pos > 0
+    last_idx = jnp.mod(prev_pos - 1, N)
+    last_tok = jnp.where(has_any, tok[jnp.arange(B), last_idx], 0)
     last_type = tables_types[last_tok]
     last_is_ru = (last_type == SPACE_RU) | (last_type == LANG_RU)
 
     # 1. EOS boost toward the predict limit
     max_p = jnp.asarray(max_predict, jnp.float32)
     boost = 1.0 + jnp.log1p(n_generated.astype(jnp.float32) / max_p) * 0.05
-    logits = logits.at[:, eos_id].multiply(boost)
+    logits = logits.at[:, eos_id].multiply(jnp.reshape(boost, (B,)))
 
     # 2. depth-limited repeat pessimization: factor^count per token
-    depth = jnp.minimum(p.janus_depth, n_generated)  # [B]
-    N = last_tokens.shape[1]
-    recency = (last_idx[:, None] - jnp.arange(N)[None, :])  # 0 = newest
-    in_window = valid & (recency >= 0) & (recency < depth[:, None])
+    d = p.janus_depth if depth is None else depth
+    eff_depth = jnp.minimum(d, n_generated)  # [B]
+    recency = jnp.mod(prev_pos[:, None] - 1 - jnp.arange(N)[None, :], N)  # 0 = newest
+    in_window = valid & (recency < eff_depth[:, None]) & (recency < prev_pos[:, None])
     counts = jnp.zeros((B, V), jnp.float32).at[
         jnp.arange(B)[:, None], tok
     ].add(in_window.astype(jnp.float32))
@@ -262,9 +270,15 @@ def janus_sample(
     use_hi = (
         tables_pedantic[top_idx] | (top_type == LANG_RU) | (top_type == LANG_EN)
     )
-    cutoff = jnp.where(use_hi, p.janus_hi, p.janus_lo)
-    # reference truncates the desc-sorted list at the first logit/top < cutoff;
-    # for the normal top_logit > 0 case that equals this elementwise threshold
+    hi_v = p.janus_hi if hi is None else hi
+    lo_v = p.janus_lo if lo is None else lo
+    cutoff = jnp.where(use_hi, hi_v, lo_v)
+    # reference truncates the desc-sorted list at the first logit/top < cutoff.
+    # The elementwise ratio test is equivalent in every sign case: top > 0 →
+    # identical thresholds; top < 0 → every ratio ≥ 1 ≥ cutoff so neither
+    # truncates; mixed signs → both drop exactly the negative tail
+    # (property-tested against a sort-based reimplementation in
+    # tests/test_sampling.py).
     keep = (logits / top_logit[:, None] >= cutoff[:, None]) | (
         jnp.arange(V)[None, :] == top_idx[:, None]
     )

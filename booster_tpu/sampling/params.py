@@ -30,6 +30,9 @@ class SamplingParams:
     mirostat: int = 0
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
+    # classifier-free guidance (llama_sample_apply_guidance_impl); 1.0 → off
+    cfg_scale: float = 1.0
+    cfg_negative_prompt: str = ""
     # janus: 0 off, 1 on (replaces the whole chain, like the reference does)
     janus: int = 0
     janus_depth: int = 200

@@ -1,11 +1,18 @@
 """Per-slot vectorized sampling: every parameter is a traced [B] array, so
 one compiled decode step serves a continuous batch of heterogeneous requests
-(different temp/top-k/top-p/min-p/penalties per slot) with zero recompiles.
+(different temp/top-k/top-p/min-p/penalties/mirostat/janus per slot) with a
+tiny, static set of compile variants.
 
 The filters reproduce llama-sampling.cpp semantics like samplers.py, but with
 runtime parameters: the per-row top-k cutoff comes from the descending sort
 (kth largest via gather), top-p from the cumulative softmax over that same
 sort — one sort feeds every filter.
+
+Janus and mirostat ride the same [B, V] step (the reference runs Janus on
+*every* request concurrently, cpp/bridge.cpp:586-599; here per-row selects
+pick between the standard chain, mirostat v1/v2, and Janus).  The `features`
+tuple is a static jit arg: batches with no janus/mirostat rows compile and
+run none of that code.
 """
 
 from __future__ import annotations
@@ -17,7 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from booster_tpu.sampling.params import SamplingParams
-from booster_tpu.sampling.samplers import SamplerState
+from booster_tpu.sampling.samplers import (
+    SamplerState,
+    _mirostat_v1,
+    _mirostat_v2,
+    history_window_mask,
+)
 
 NEG_INF = -jnp.inf
 
@@ -33,9 +45,29 @@ class VectorSampling:
     penalty_repeat: jnp.ndarray  # f32; 1.0 → disabled
     penalty_freq: jnp.ndarray
     penalty_present: jnp.ndarray
+    penalty_last_n: jnp.ndarray  # i32; window over the history ring (-1 → all)
+    penalize_nl: jnp.ndarray  # bool; False → NL logit restored post-penalty
+    mirostat: jnp.ndarray  # i32; 0 off, 1 v1, 2 v2
+    mirostat_tau: jnp.ndarray  # f32
+    mirostat_eta: jnp.ndarray  # f32
+    janus: jnp.ndarray  # bool; True → Janus replaces the whole chain
+    janus_depth: jnp.ndarray  # i32
+    janus_hi: jnp.ndarray  # f32
+    janus_lo: jnp.ndarray  # f32
+    max_predict: jnp.ndarray  # f32; per-slot predict limit (Janus EOS boost)
+
+    _FIELDS = (
+        "temp", "top_k", "top_p", "min_p",
+        "penalty_repeat", "penalty_freq", "penalty_present",
+        "penalty_last_n", "penalize_nl",
+        "mirostat", "mirostat_tau", "mirostat_eta",
+        "janus", "janus_depth", "janus_hi", "janus_lo", "max_predict",
+    )
 
     @classmethod
-    def from_params(cls, plist: list[SamplingParams]) -> "VectorSampling":
+    def from_params(
+        cls, plist: list[SamplingParams], max_predict: int = 1024
+    ) -> "VectorSampling":
         def arr(f, dt=np.float32):
             return jnp.asarray(np.array([f(p) for p in plist], dt))
 
@@ -47,25 +79,43 @@ class VectorSampling:
             penalty_repeat=arr(lambda p: p.penalty_repeat),
             penalty_freq=arr(lambda p: p.penalty_freq),
             penalty_present=arr(lambda p: p.penalty_present),
+            penalty_last_n=arr(lambda p: p.penalty_last_n, np.int32),
+            penalize_nl=arr(lambda p: p.penalize_nl, bool),
+            mirostat=arr(lambda p: p.mirostat, np.int32),
+            mirostat_tau=arr(lambda p: p.mirostat_tau),
+            mirostat_eta=arr(lambda p: p.mirostat_eta),
+            janus=arr(lambda p: bool(p.janus), bool),
+            janus_depth=arr(lambda p: p.janus_depth, np.int32),
+            janus_hi=arr(lambda p: p.janus_hi),
+            janus_lo=arr(lambda p: p.janus_lo),
+            max_predict=jnp.full(len(plist), float(max_predict), jnp.float32),
         )
 
-    def set_slot(self, slot: int, p: SamplingParams) -> "VectorSampling":
-        return VectorSampling(
-            temp=self.temp.at[slot].set(p.temp),
-            top_k=self.top_k.at[slot].set(p.top_k),
-            top_p=self.top_p.at[slot].set(p.top_p),
-            min_p=self.min_p.at[slot].set(p.min_p),
-            penalty_repeat=self.penalty_repeat.at[slot].set(p.penalty_repeat),
-            penalty_freq=self.penalty_freq.at[slot].set(p.penalty_freq),
-            penalty_present=self.penalty_present.at[slot].set(p.penalty_present),
+    def set_slot(
+        self, slot: int, p: SamplingParams, max_predict: int | None = None
+    ) -> "VectorSampling":
+        p = p.normalized()
+        updates = dict(
+            temp=p.temp, top_k=p.top_k, top_p=p.top_p, min_p=p.min_p,
+            penalty_repeat=p.penalty_repeat, penalty_freq=p.penalty_freq,
+            penalty_present=p.penalty_present, penalty_last_n=p.penalty_last_n,
+            penalize_nl=p.penalize_nl,
+            mirostat=p.mirostat, mirostat_tau=p.mirostat_tau,
+            mirostat_eta=p.mirostat_eta,
+            janus=bool(p.janus), janus_depth=p.janus_depth,
+            janus_hi=p.janus_hi, janus_lo=p.janus_lo,
         )
+        if max_predict is not None:
+            updates["max_predict"] = float(max_predict)
+        return VectorSampling(**{
+            name: (getattr(self, name).at[slot].set(updates[name])
+                   if name in updates else getattr(self, name))
+            for name in self._FIELDS
+        })
 
 
 def _vs_flatten(v: VectorSampling):
-    return (
-        v.temp, v.top_k, v.top_p, v.min_p,
-        v.penalty_repeat, v.penalty_freq, v.penalty_present,
-    ), None
+    return tuple(getattr(v, n) for n in VectorSampling._FIELDS), None
 
 
 jax.tree_util.register_pytree_node(
@@ -78,41 +128,52 @@ def sample_vectorized(
     state: SamplerState,
     vp: VectorSampling,
     mask=None,  # [B] bool: rows to actually sample/advance (None = all)
+    features: tuple = (),  # static: subset of ("janus", "mirostat")
+    janus_tables=None,  # (scales [V], types [V], pedantic [V], eos_id) when janus
+    nl_token: int = -1,
 ) -> tuple[jnp.ndarray, SamplerState]:
     B, V = logits.shape
-    lg = logits.astype(jnp.float32)
+    raw = logits.astype(jnp.float32)
+    lg = raw
 
-    # penalties (traced per-row scalars)
-    valid = state.prev_tokens >= 0
-    tok = jnp.where(valid, state.prev_tokens, 0)
+    # penalties (traced per-row scalars, windowed by penalty_last_n)
+    window = history_window_mask(state.prev_tokens, state.prev_pos, vp.penalty_last_n)
+    tok = jnp.where(window, state.prev_tokens, 0)
     counts = jnp.zeros((B, V), jnp.float32).at[
         jnp.arange(B)[:, None], tok
-    ].add(valid.astype(jnp.float32))
+    ].add(window.astype(jnp.float32))
     seen = counts > 0
     pr = vp.penalty_repeat[:, None]
     scaled = jnp.where(lg <= 0, lg * pr, lg / pr)
     lg = jnp.where(seen, scaled, lg)
     lg = lg - counts * vp.penalty_freq[:, None] - seen * vp.penalty_present[:, None]
+    if nl_token >= 0:  # restore NL logit for rows with penalize_nl=False
+        lg = lg.at[:, nl_token].set(
+            jnp.where(vp.penalize_nl, lg[:, nl_token], raw[:, nl_token])
+        )
 
     greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
 
     # top-K shortlist instead of a full-vocab sort (64×V sorts dominated the
-    # batched decode step).  Exact for top_k ≤ K; top-p/min-p operate on the
+    # batched decode step).  Exact for top_k ≤ K; top-p operates on the
     # shortlist — exact whenever the shortlist carries ≥ p of the mass, which
-    # holds for every practical temperature.
+    # holds for every practical temperature.  Rows with a filter disabled get
+    # a -inf cutoff (no shortlist clamp at all).
     K = min(256, V)
     sorted_lg, _ = jax.lax.top_k(lg, K)  # [B, K] descending
     probs = jax.nn.softmax(sorted_lg, axis=-1)  # shortlist-renormalized
     cum = jnp.cumsum(probs, axis=-1)
 
-    # top-k cutoff: kth largest logit (disabled → K)
-    k = jnp.where(vp.top_k <= 0, K, jnp.minimum(vp.top_k, K))
+    # top-k cutoff: kth largest logit (disabled → no cutoff)
+    k = jnp.clip(jnp.minimum(vp.top_k, K), 1, K)
     k_cut = jnp.take_along_axis(sorted_lg, (k - 1)[:, None], axis=-1)
+    k_cut = jnp.where(vp.top_k[:, None] <= 0, -jnp.inf, k_cut)
 
     # top-p: smallest prefix with mass >= p (tokens whose preceding mass < p)
     keep_sorted = (cum - probs) < vp.top_p[:, None]
     n_keep = jnp.maximum(keep_sorted.sum(axis=-1), 1)
     p_cut = jnp.take_along_axis(sorted_lg, (n_keep - 1)[:, None], axis=-1)
+    p_cut = jnp.where(vp.top_p[:, None] >= 1.0, -jnp.inf, p_cut)
 
     # min-p relative threshold
     m_cut = sorted_lg[:, :1] + jnp.log(jnp.maximum(vp.min_p[:, None], 1e-20))
@@ -128,6 +189,30 @@ def sample_vectorized(
         step_key, filtered / t
     ).astype(jnp.int32)
     tokens = jnp.where(vp.temp <= 0, greedy_tok, sampled)
+    mu = state.mirostat_mu
+
+    if "mirostat" in features:
+        tok1, mu1 = _mirostat_v1(lg / t[:, :1], mu, vp.mirostat_tau,
+                                 vp.mirostat_eta, step_key)
+        tok2, mu2 = _mirostat_v2(lg / t[:, :1], mu, vp.mirostat_tau,
+                                 vp.mirostat_eta, step_key)
+        is_m1 = vp.mirostat == 1
+        is_m2 = vp.mirostat == 2
+        use_mir = (is_m1 | is_m2) & (vp.temp > 0)
+        tokens = jnp.where(use_mir, jnp.where(is_m2, tok2, tok1), tokens)
+        mu = jnp.where(use_mir, jnp.where(is_m2, mu2, mu1), mu)
+
+    if "janus" in features:
+        from booster_tpu.sampling.janus import janus_sample
+
+        scales, types, pedantic, eos_id = janus_tables
+        j_tok = janus_sample(
+            raw, state.prev_tokens, state.prev_pos, state.prompt_len,
+            vp.max_predict, scales, types, pedantic, eos_id,
+            SamplingParams(), step_key,
+            depth=vp.janus_depth, hi=vp.janus_hi, lo=vp.janus_lo,
+        )
+        tokens = jnp.where(vp.janus, j_tok, tokens)
 
     # push into history ring (masked rows keep their state untouched)
     N = state.prev_tokens.shape[1]
@@ -138,5 +223,7 @@ def sample_vectorized(
     prev = state.prev_tokens.at[jnp.arange(B), idx].set(write)
     pos = state.prev_pos + (1 if mask is None else mask.astype(jnp.int32))
     key_out = next_key if mask is None else jnp.where(mask[:, None], next_key, state.key)
-    new_state = SamplerState(prev, pos, state.mirostat_mu, key_out)
+    if mask is not None:
+        mu = jnp.where(mask, mu, state.mirostat_mu)
+    new_state = SamplerState(prev, pos, mu, key_out, state.prompt_len)
     return tokens, new_state

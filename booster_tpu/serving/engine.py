@@ -34,7 +34,12 @@ from booster_tpu.sampling import (
     janus_sample,
     make_sampler_state,
 )
-from booster_tpu.sampling.samplers import accept_token, sample
+from booster_tpu.sampling.samplers import (
+    accept_token,
+    apply_guidance,
+    sample,
+    seed_prompt_row,
+)
 
 
 @dataclasses.dataclass
@@ -58,7 +63,8 @@ def _se_rope_positions(lengths, se_group: int, se_window: int):
     ).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "params_sampling", "se_group", "se_window"),
+@partial(jax.jit, static_argnames=("cfg", "params_sampling", "se_group",
+                                   "se_window", "nl_token"),
          donate_argnames=("cache", "state"))
 def _decode_step(
     params,
@@ -74,6 +80,7 @@ def _decode_step(
     janus_eos: int = 0,
     se_group: int = 0,
     se_window: int = 0,
+    nl_token: int = -1,
 ):
     rope_positions = (
         _se_rope_positions(cache.lengths, se_group, se_window)
@@ -85,11 +92,11 @@ def _decode_step(
     if params_sampling.janus:
         keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.key, 2)
         step_key, next_key = keys[:, 0], keys[:, 1]
-        n_generated = state.prev_pos
         next_tok = janus_sample(
             lg,
             state.prev_tokens,
-            n_generated,
+            state.prev_pos,
+            state.prompt_len,
             max_predict,
             janus_scales,
             janus_types,
@@ -98,15 +105,16 @@ def _decode_step(
             params_sampling,
             step_key,
         )
-        state = SamplerState(state.prev_tokens, state.prev_pos, state.mirostat_mu, next_key)
+        state = SamplerState(state.prev_tokens, state.prev_pos,
+                             state.mirostat_mu, next_key, state.prompt_len)
         state = accept_token(state, next_tok)
     else:
-        next_tok, state = sample(lg, state, params_sampling)
+        next_tok, state = sample(lg, state, params_sampling, nl_token)
     return next_tok, cache, state
 
 
 @partial(jax.jit, static_argnames=("cfg", "params_sampling", "n_steps",
-                                   "se_group", "se_window"),
+                                   "se_group", "se_window", "nl_token"),
          donate_argnames=("cache", "state"))
 def _decode_chunk(
     params,
@@ -124,6 +132,7 @@ def _decode_chunk(
     janus_eos: int = 0,
     se_group: int = 0,
     se_window: int = 0,
+    nl_token: int = -1,
 ):
     """Run `n_steps` decode iterations fully on device (one dispatch).
 
@@ -138,7 +147,7 @@ def _decode_chunk(
         next_tok, cache, state = _decode_step(
             params, cfg, cache, tok, state, params_sampling, max_predict,
             janus_scales, janus_types, janus_pedantic, janus_eos,
-            se_group, se_window,
+            se_group, se_window, nl_token,
         )
         return (cache, next_tok[:, None], state), next_tok
 
@@ -150,9 +159,48 @@ def _decode_chunk(
     return toks, done, cache, state
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache", "state"))
+@partial(jax.jit, static_argnames=("cfg", "params_sampling", "n_steps", "nl_token"),
+         donate_argnames=("cache", "gcache", "state"))
+def _decode_chunk_cfg(
+    params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    gcache: KVCache,  # guidance (negative-prompt) context cache
+    tokens: jnp.ndarray,  # [B, 1]
+    state: SamplerState,
+    params_sampling: SamplingParams,
+    n_steps: int,
+    eog_mask: jnp.ndarray,
+    nl_token: int = -1,
+):
+    """Decode chunk with classifier-free guidance: every step runs the model
+    over both the main and the guidance context (reference: ctx_guidance in
+    llama_sampling_sample_impl, common/sampling.cpp) and combines the logit
+    rows with apply_guidance before the sampler chain."""
+
+    def step(carry, _):
+        cache, gcache, tok, state = carry
+        logits, cache = forward(params, cfg, tok, cache, last_only=True)
+        glogits, gcache = forward(params, cfg, tok, gcache, last_only=True)
+        lg = apply_guidance(
+            logits[:, -1, :], glogits[:, -1, :], params_sampling.cfg_scale
+        )
+        nxt, state = sample(lg, state, params_sampling, nl_token)
+        return (cache, gcache, nxt[:, None], state), nxt
+
+    (cache, gcache, _, state), toks = jax.lax.scan(
+        step, (cache, gcache, tokens, state), None, length=n_steps
+    )
+    toks = toks.T
+    done = eog_mask[toks]
+    return toks, done, cache, gcache, state
+
+
+@partial(jax.jit, static_argnames=("cfg", "features", "nl_token"),
+         donate_argnames=("cache", "state"))
 def _prefill_batched(params, cfg: ModelConfig, cache: KVCache, tokens, n_valid,
-                     state: SamplerState, vp, admit_mask):
+                     state: SamplerState, vp, admit_mask,
+                     features=(), janus_tables=None, nl_token: int = -1):
     """Prefill any subset of slots (n_valid=0 rows are no-ops) and sample the
     first token for admitted rows."""
     from booster_tpu.sampling.vector import sample_vectorized
@@ -161,28 +209,46 @@ def _prefill_batched(params, cfg: ModelConfig, cache: KVCache, tokens, n_valid,
     logits, cache = forward(
         params, cfg, tokens, cache, gather_idx=gather, n_valid=n_valid
     )
-    tok, state = sample_vectorized(logits[:, 0, :], state, vp, mask=admit_mask)
+    tok, state = sample_vectorized(
+        logits[:, 0, :], state, vp, mask=admit_mask,
+        features=features, janus_tables=janus_tables, nl_token=nl_token,
+    )
     return tok, cache, state
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "features", "nl_token"),
          donate_argnames=("cache", "state"))
 def _decode_chunk_vec(params, cfg: ModelConfig, cache: KVCache, last_tok,
-                      state: SamplerState, vp, active, n_steps: int, eog_mask):
+                      state: SamplerState, vp, active, n_steps: int, eog_mask,
+                      features=(), janus_tables=None, nl_token: int = -1,
+                      rope_pos_vec=None):
     """n_steps batched decode iterations with per-slot sampling params.
 
     Rows become inactive once they emit EOG (their cache stops advancing).
+    `rope_pos_vec` = (se_group [B], se_window [B]) enables per-slot
+    Self-Extend position compression.
     Returns (tokens [B, n], emitted [B, n] bool, cache, state).
     """
     from booster_tpu.sampling.vector import sample_vectorized
 
     def step(carry, _):
         cache, tok, state, live = carry
+        rope_positions = None
+        if rope_pos_vec is not None:
+            se_g, se_w = rope_pos_vec
+            pos = cache.lengths[:, None]
+            comp = jnp.where(pos < se_w[:, None], pos,
+                             se_w[:, None] + (pos - se_w[:, None]) // jnp.maximum(se_g[:, None], 1))
+            rope_positions = jnp.where(se_g[:, None] > 1, comp, pos).astype(jnp.int32)
         logits, cache = forward(
             params, cfg, tok, cache, last_only=True,
             n_valid=live.astype(jnp.int32),
+            rope_positions=rope_positions,
         )
-        nxt, state = sample_vectorized(logits[:, -1, :], state, vp, mask=live)
+        nxt, state = sample_vectorized(
+            logits[:, -1, :], state, vp, mask=live,
+            features=features, janus_tables=janus_tables, nl_token=nl_token,
+        )
         nxt = jnp.where(live, nxt, tok[:, 0])
         emitted = live
         live = live & ~eog_mask[nxt]
@@ -262,10 +328,51 @@ class Engine:
         # host-side upper bound of each slot's cache occupancy (avoids device
         # syncs in the scheduler's flow control)
         self.slot_lengths = np.zeros(B, np.int64)
+        # host-side per-slot feature flags → static `features` jit arg (one
+        # compile variant per distinct feature set that actually occurs)
+        self._slot_janus = np.zeros(B, bool)
+        self._slot_mirostat = np.zeros(B, bool)
+        # per-slot Self-Extend knobs (0 = off)
+        self._slot_se_group = np.zeros(B, np.int32)
+        self._slot_se_window = np.zeros(B, np.int32)
         if self._eog_mask is None:
             self._eog_mask = jnp.zeros(self.cfg.n_vocab, bool)
 
-    def reset_slot(self, slot: int, sampling: SamplingParams, seed: int) -> None:
+    @property
+    def nl_token(self) -> int:
+        """Vocab linefeed id (llama_token_nl parity), found by tokenizing."""
+        if not hasattr(self, "_nl_token"):
+            self._nl_token = -1
+            if self.tokenizer is not None:
+                try:
+                    ids = self.tokenizer.encode("\n", add_bos=False)
+                    self._nl_token = ids[-1] if ids else -1
+                except Exception:
+                    pass
+        return self._nl_token
+
+    def _vector_features(self) -> tuple:
+        feats = []
+        if self._slot_janus.any():
+            feats.append("janus")
+        if self._slot_mirostat.any():
+            feats.append("mirostat")
+        return tuple(feats)
+
+    def _vector_janus_tables(self, features):
+        if "janus" not in features:
+            return None
+        jt = self.janus_tables()
+        if not hasattr(self, "_jt_dev"):
+            self._jt_dev = (
+                jnp.asarray(jt.scales), jnp.asarray(jt.types),
+                jnp.asarray(jt.pedantic), jt.eos_id,
+            )
+        return self._jt_dev
+
+    def reset_slot(self, slot: int, sampling: SamplingParams, seed: int,
+                   max_predict: Optional[int] = None,
+                   se_group: int = 0, se_window: int = 0) -> None:
         """Free/claim a slot: zero its cache length and sampler-state row."""
         import jax as _jax
 
@@ -278,15 +385,26 @@ class Engine:
             prev_pos=st.prev_pos.at[slot].set(0),
             mirostat_mu=st.mirostat_mu.at[slot].set(0.0),
             key=st.key.at[slot].set(_jax.random.PRNGKey(seed)),
+            prompt_len=st.prompt_len.at[slot].set(0),
         )
-        self.vp = self.vp.set_slot(slot, sampling)
+        self.vp = self.vp.set_slot(slot, sampling, max_predict=max_predict)
+        self._slot_janus[slot] = bool(sampling.janus)
+        self._slot_mirostat[slot] = sampling.mirostat in (1, 2)
+        self._slot_se_group[slot] = se_group
+        self._slot_se_window[slot] = se_window
         if hasattr(self, "slot_lengths"):
             self.slot_lengths[slot] = 0
 
     def prefill_slots(self, jobs: dict[int, list[int]], chunk: int = 512) -> dict[int, int]:
         """Prefill prompts into their slots (chunked); returns first sampled
         token per slot.  Slots must have been reset_slot()'d first."""
+        from booster_tpu.sampling.samplers import seed_prompt_row
+
         B = self.max_batch
+        # seed penalty history with the prompt (reference accepts prompt
+        # tokens into the sampling context, bridge.cpp:618)
+        for s, ids in jobs.items():
+            self.state = seed_prompt_row(self.state, s, ids)
         remaining = {s: list(ids) for s, ids in jobs.items()}
         first: dict[int, int] = {}
         while remaining:
@@ -307,9 +425,13 @@ class Engine:
                     admit[s] = True
                     done_slots.append(s)
             admit_dev = jnp.asarray(admit)
+            feats = self._vector_features()
             tok, self.cache, self.state = _prefill_batched(
                 self.params, self.cfg, self.cache, jnp.asarray(tokens),
                 jnp.asarray(n_valid), self.state, self.vp, admit_dev,
+                features=feats,
+                janus_tables=self._vector_janus_tables(feats),
+                nl_token=self.nl_token,
             )
             self._last_dev = jnp.where(admit_dev[:, None], tok[:, None], self._last_dev)
             tok_np = np.asarray(tok)
@@ -340,9 +462,20 @@ class Engine:
         for s in active_slots:
             self.slot_lengths[s] += n
         active_dev = jnp.asarray(active)
+        feats = self._vector_features()
+        rope_pos_vec = None
+        if (self._slot_se_group > 1).any():
+            rope_pos_vec = (
+                jnp.asarray(self._slot_se_group),
+                jnp.asarray(self._slot_se_window),
+            )
         toks, emitted, self.cache, self.state = _decode_chunk_vec(
             self.params, self.cfg, self.cache, last, self.state,
             self.vp, active_dev, n, self._eog_mask,
+            features=feats,
+            janus_tables=self._vector_janus_tables(feats),
+            nl_token=self.nl_token,
+            rope_pos_vec=rope_pos_vec,
         )
         self._last_dev = jnp.where(active_dev[:, None], toks[:, -1:], self._last_dev)
         return (toks, emitted, list(active_slots))
@@ -370,6 +503,23 @@ class Engine:
         )
         return self.decode_slots_finish(handle)
 
+    def _prefill_aux(self, cache: KVCache, ids: list[int]):
+        """Prefill an auxiliary cache (e.g. the CFG guidance context) on slot
+        0; returns (cache, last-position logits [B, V])."""
+        n = max(len(ids), 1)
+        T = min(max(16, 1 << (n - 1).bit_length()), self.max_seq)
+        arr = np.zeros((self.max_batch, T), np.int32)
+        arr[0, :n] = ids[:T]
+        nv = np.zeros(self.max_batch, np.int32)
+        nv[0] = n
+        g = np.zeros(self.max_batch, np.int32)
+        g[0] = n - 1
+        logits, cache = forward(
+            self.params, self.cfg, jnp.asarray(arr), cache,
+            gather_idx=jnp.asarray(g), n_valid=jnp.asarray(nv),
+        )
+        return cache, logits[:, -1, :]
+
     # -- single-sequence generation (pod-style; scheduler batches above this)
 
     def generate_grammar(
@@ -382,11 +532,13 @@ class Engine:
         on_token: Optional[Callable[[int], None]] = None,
     ) -> GenerationResult:
         """GBNF-constrained generation (reference: grammar sampling chain,
-        common/sampling.cpp:430 — sample, validate, resample on violation).
+        common/sampling.cpp:430 — run the full sampler chain, sample,
+        validate against the grammar, resample from the feasible set on
+        violation).
 
-        The automaton runs on host between single-token device steps; each
-        step samples from the grammar-feasible candidate set."""
+        The automaton runs on host between single-token device steps."""
         from booster_tpu.grammar import GrammarSampler, parse_gbnf
+        from booster_tpu.sampling.host_chain import host_filter_chain
 
         sampling = sampling.normalized()
         gs = GrammarSampler(parse_gbnf(grammar_gbnf), self.tokenizer)
@@ -397,27 +549,55 @@ class Engine:
         cache = self._new_cache()
         ids = np.zeros((self.max_batch, len(prompt_ids)), np.int32)
         ids[0] = prompt_ids
+        history: list[int] = list(prompt_ids)  # penalty ring incl. prompt
 
         t0 = time.perf_counter()
         logits, cache = forward(self.params, cfg, jnp.asarray(ids), cache, last_only=True)
         t_prompt = time.perf_counter() - t0
 
         def pick(row: np.ndarray) -> int:
-            order = np.argsort(row)[::-1]
+            # standard chain first (penalties + samplers_sequence), exactly
+            # like the reference's llama_sampling_sample before the grammar
+            filtered = host_filter_chain(row, sampling, history,
+                                         nl_token=self.nl_token)
             if sampling.temp <= 0:
+                order = np.argsort(filtered)[::-1]
                 for tid in order:
+                    if np.isneginf(filtered[tid]):
+                        break
+                    if gs.token_allowed(int(tid)):
+                        return int(tid)
+                # no survivor feasible: fall back to raw-logit order
+                for tid in np.argsort(row)[::-1]:
                     if gs.token_allowed(int(tid)):
                         return int(tid)
                 raise RuntimeError("no grammar-feasible token")
-            cand = [int(t) for t in order[:128] if gs.token_allowed(int(t))]
-            if not cand:
-                cand = [int(t) for t in order[128:] if gs.token_allowed(int(t))][:1]
+            # sample → validate → resample-from-feasible (sampling.cpp:430)
+            p = np.exp(filtered - np.max(filtered))
+            p /= p.sum()
+            tid = int(rng.choice(len(p), p=p))
+            if gs.token_allowed(tid):
+                return tid
+            order = np.argsort(filtered)[::-1]
+            cand = []
+            for t in order:
+                if np.isneginf(filtered[t]):
+                    break
+                if gs.token_allowed(int(t)):
+                    cand.append(int(t))
+            if not cand:  # grammar-feasible set disjoint from chain survivors
+                for t in np.argsort(row)[::-1]:
+                    if gs.token_allowed(int(t)):
+                        cand.append(int(t))
+                        break
             if not cand:
                 raise RuntimeError("no grammar-feasible token")
-            lg = row[cand] / max(sampling.temp, 1e-6)
-            p = np.exp(lg - lg.max())
-            p /= p.sum()
-            return int(rng.choice(cand, p=p))
+            lg = filtered[cand]
+            if not np.isfinite(lg).all():
+                lg = row[cand] / max(sampling.temp, 1e-6)
+            pm = np.exp(lg - lg.max())
+            pm /= pm.sum()
+            return int(rng.choice(cand, p=pm))
 
         generated: list[int] = []
         finish = "length"
@@ -439,6 +619,7 @@ class Engine:
                 break
             gs.accept(tok)
             generated.append(tok)
+            history.append(tok)
             if on_token:
                 on_token(tok)
             cur = np.zeros((self.max_batch, 1), np.int32)
@@ -483,6 +664,17 @@ class Engine:
             max(self.history_window, sampling.penalty_last_n, sampling.janus_depth),
             seed=sampling.seed if sampling.seed >= 0 else int(time.time_ns() % (1 << 31)),
         )
+        # seed penalty history with the prompt (bridge.cpp:618 parity)
+        state = seed_prompt_row(state, 0, prompt_ids)
+        use_cfg = sampling.cfg_scale != 1.0
+        gcache = None
+        neg_ids: list[int] = []
+        if use_cfg:
+            neg_ids = (
+                self.tokenizer.encode(sampling.cfg_negative_prompt)
+                if sampling.cfg_negative_prompt else list(prompt_ids)
+            )
+            gcache = self._new_cache()
         jt = self.janus_tables() if sampling.janus else None
         janus_args = dict(
             janus_scales=jnp.asarray(jt.scales) if jt else None,
@@ -520,18 +712,23 @@ class Engine:
             rope_positions=rope_prefill,
         )
         lg = logits[:, -1, :]
+        if use_cfg:
+            gcache, glg = self._prefill_aux(gcache, neg_ids)
+            lg = apply_guidance(lg, glg, sampling.cfg_scale)
         if sampling.janus:
             keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.key, 2)
             tok = janus_sample(
-                lg, state.prev_tokens, state.prev_pos, max_new_tokens,
+                lg, state.prev_tokens, state.prev_pos, state.prompt_len,
+                max_new_tokens,
                 janus_args["janus_scales"], janus_args["janus_types"],
                 janus_args["janus_pedantic"], janus_args["janus_eos"],
                 sampling, keys[:, 0],
             )
-            state = SamplerState(state.prev_tokens, state.prev_pos, state.mirostat_mu, keys[:, 1])
+            state = SamplerState(state.prev_tokens, state.prev_pos,
+                                 state.mirostat_mu, keys[:, 1], state.prompt_len)
             state = accept_token(state, tok)
         else:
-            tok, state = sample(lg, state, sampling)
+            tok, state = sample(lg, state, sampling, self.nl_token)
         tok.block_until_ready()
         t_prompt = time.perf_counter() - t0
 
@@ -579,7 +776,9 @@ class Engine:
                 break
             if host_len + chunk >= self.max_seq - 1:
                 # drain pipeline, then context shift: keep n_keep tokens,
-                # drop half of the rest, re-prefill (bridge.cpp:487-507)
+                # drop half of the rest, re-prefill (bridge.cpp:487-507).
+                # The pending token (generated[-1]) is NOT prefilled — it is
+                # fed as the next decode input so its KV lands exactly once.
                 if inflight is not None:
                     if consume(inflight):
                         inflight = None
@@ -589,8 +788,9 @@ class Engine:
                 tail = (list(prompt_ids[n_keep:]) + generated)
                 tail = tail[len(tail) // 2 :]
                 cache = self._new_cache()
-                keep_ids = kept + tail
-                Ts = min(max(16, 1 << (len(keep_ids) - 1).bit_length()), self.max_seq)
+                keep_ids = (kept + tail)[:-1]
+                Ts = min(max(16, 1 << (max(len(keep_ids), 1) - 1).bit_length()),
+                         self.max_seq)
                 ids = np.zeros((self.max_batch, Ts), np.int32)
                 ids[0, : len(keep_ids)] = keep_ids
                 nv = np.zeros(self.max_batch, np.int32)
@@ -598,6 +798,9 @@ class Engine:
                 _, cache = forward(self.params, cfg, jnp.asarray(ids), cache,
                                    last_only=True, n_valid=jnp.asarray(nv))
                 host_len = len(keep_ids)
+                if use_cfg:
+                    gcache = self._new_cache()
+                    gcache, _ = self._prefill_aux(gcache, neg_ids + tail[:-1])
                 cur = np.zeros((self.max_batch, 1), np.int32)
                 cur[0, 0] = generated[-1]
                 device_tok = jnp.asarray(cur)
@@ -608,10 +811,17 @@ class Engine:
                 break
             # dispatch the next chunk (async), then consume the previous one —
             # the host readback overlaps with device compute
-            toks, done, cache, state = _decode_chunk(
-                self.params, cfg, cache, device_tok, state, sampling,
-                jnp.float32(max_new_tokens), chunk, eog_mask, **janus_args,
-            )
+            if use_cfg:
+                toks, done, cache, gcache, state = _decode_chunk_cfg(
+                    self.params, cfg, cache, gcache, device_tok, state,
+                    sampling, chunk, eog_mask, self.nl_token,
+                )
+            else:
+                toks, done, cache, state = _decode_chunk(
+                    self.params, cfg, cache, device_tok, state, sampling,
+                    jnp.float32(max_new_tokens), chunk, eog_mask,
+                    nl_token=self.nl_token, **janus_args,
+                )
             device_tok = toks[:, -1:]
             host_len += chunk
             n_steps += chunk

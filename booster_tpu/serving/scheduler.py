@@ -224,12 +224,13 @@ class Scheduler:
                 j.finish_reason = "deadline"
                 j._done.set()
 
-            # grammar / janus / mirostat jobs run on the dedicated generate
-            # path (the vectorized batch sampler covers the standard chain;
-            # janus+mirostat keep exact reference semantics there)
+            # grammar jobs run on the dedicated generate path (host automaton
+            # between steps); janus + mirostat ride the vectorized batch
+            # sampler like everything else (the reference runs Janus on every
+            # request concurrently, bridge.cpp:586-599)
             def needs_dedicated(j: Job) -> bool:
                 sp = j.sampling or self.default_sampling
-                return bool(j.grammar or sp.janus or sp.mirostat)
+                return bool(j.grammar or sp.cfg_scale != 1.0)
 
             for jid in [j for j in self.queue if needs_dedicated(self.jobs[j])]:
                 self.queue.remove(jid)
@@ -256,20 +257,35 @@ class Scheduler:
                 pending = None
             if admits:
                 prefill_map: dict[int, list[int]] = {}
+                rejected: list[int] = []
                 for slot, job in admits.items():
                     job.full_prompt = self.build_full_prompt(job)
                     ids = self.engine.tokenizer.encode(job.full_prompt)
-                    max_prompt = self.engine.max_seq - 8
-                    if len(ids) > max_prompt:
-                        ids = ids[:1] + ids[-(max_prompt - 1):]
+                    if len(ids) > self.engine.max_seq - 4:
+                        # reference rejects prompts > n_ctx - 4
+                        # (bridge.cpp:382-386); so does engine.generate
+                        job.finish_reason = "error"
+                        job.output = (
+                            f"error: prompt too long: {len(ids)} tokens > "
+                            f"{self.engine.max_seq - 4}"
+                        )
+                        job.status = STATUS_STOPPED
+                        job.finished_at = time.time()
+                        job._done.set()
+                        self.free_slots.append(slot)
+                        rejected.append(slot)
+                        continue
                     job.n_prompt_tokens = len(ids)
                     job.status = STATUS_PROCESSING
                     job.started_at = time.time()
                     job.detok = self.engine.tokenizer.stream()
                     sp = (job.sampling or self.default_sampling).normalized()
                     seed = sp.seed if sp.seed >= 0 else (hash(job.id) & 0x7FFFFFFF)
-                    self.engine.reset_slot(slot, sp, seed)
+                    self.engine.reset_slot(slot, sp, seed,
+                                           max_predict=job.max_tokens)
                     prefill_map[slot] = ids
+                for slot in rejected:
+                    del admits[slot]
                 first = await loop.run_in_executor(
                     None, self.engine.prefill_slots, prefill_map
                 )

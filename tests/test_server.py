@@ -235,22 +235,79 @@ def test_ollama_generate(tmp_path_factory):
     run_with_client(tmp_path_factory, fn)
 
 
-def test_janus_job_routed_dedicated(tmp_path_factory):
+def test_janus_jobs_run_batched(tmp_path_factory):
+    """8 concurrent Janus jobs share the continuous batch (reference runs
+    Janus on every request concurrently, bridge.cpp:586-599) — no dedicated
+    serialized path."""
+    async def fn(client, scheduler):
+        jids = []
+        for i in range(8):
+            r = await client.post("/jobs", json={
+                "id": str(uuid.uuid4()), "prompt": f"hello {i}",
+                "sampling": {"janus": 1, "depth": 50}, "max_tokens": 6,
+            })
+            assert r.status == 201
+            jids.append((await r.json())["id"])
+        for jid in jids:
+            for _ in range(600):
+                body = await (await client.get(f"/jobs/{jid}")).json()
+                if body["status"] in ("finished", "stopped"):
+                    break
+                await asyncio.sleep(0.05)
+            assert body["status"] == "finished"
+            assert body["finish_reason"] in ("stop", "length")
+            assert body["completion_tokens"] >= 1
+        # the dedicated serialized path must never have been taken
+        assert not hasattr(scheduler, "_dedicated_lock")
+
+    run_with_client(tmp_path_factory, fn, max_batch=8)
+
+
+def test_mixed_sampler_batch(tmp_path_factory):
+    """Janus + mirostat v1/v2 + the standard chain in one continuous batch."""
+    async def fn(client, scheduler):
+        samplings = [
+            {"janus": 1},
+            {"mirostat": 2, "temperature": 1.0},
+            {"mirostat": 1, "temperature": 1.0},
+            {"temperature": 0.7, "top_k": 20},
+        ]
+        jids = []
+        for sp in samplings:
+            r = await client.post("/jobs", json={
+                "id": str(uuid.uuid4()), "prompt": "hi",
+                "sampling": sp, "max_tokens": 5,
+            })
+            assert r.status == 201
+            jids.append((await r.json())["id"])
+        for jid in jids:
+            for _ in range(600):
+                body = await (await client.get(f"/jobs/{jid}")).json()
+                if body["status"] in ("finished", "stopped"):
+                    break
+                await asyncio.sleep(0.05)
+            assert body["status"] == "finished", body
+        assert not hasattr(scheduler, "_dedicated_lock")
+
+    run_with_client(tmp_path_factory, fn, max_batch=4)
+
+
+def test_prompt_too_long_rejected(tmp_path_factory):
+    """Reference rejects prompts > n_ctx - 4 (bridge.cpp:382-386)."""
     async def fn(client, scheduler):
         r = await client.post("/jobs", json={
-            "id": str(uuid.uuid4()), "prompt": "hello",
-            "sampling": {"janus": 1, "depth": 50}, "max_tokens": 6,
+            "id": str(uuid.uuid4()), "prompt": "word " * 400,
         })
         assert r.status == 201
         jid = (await r.json())["id"]
-        for _ in range(400):
+        for _ in range(200):
             body = await (await client.get(f"/jobs/{jid}")).json()
             if body["status"] in ("finished", "stopped"):
                 break
             await asyncio.sleep(0.05)
-        assert body["status"] == "finished"
-        assert body["finish_reason"] in ("stop", "length")
-        assert body["completion_tokens"] >= 1
+        assert body["status"] == "stopped"
+        assert body["finish_reason"] == "error"
+        assert "too long" in body["output"]
 
     run_with_client(tmp_path_factory, fn)
 
