@@ -127,6 +127,7 @@ def main(argv=None) -> int:
         default_sampling=sampling,
         default_max_tokens=model_spec.predict,
         deadline_s=config.deadline,
+        swap_dir=config.swap,
     )
 
     if args.server:

@@ -108,6 +108,244 @@ def convert_state_dict(
     return out
 
 
+def _deinterleave_qkv(w: np.ndarray, n_heads: int, n_kv: int,
+                      head_dim: int, layout: str) -> np.ndarray:
+    """Reorder a fused qkv projection into sequential [q rows, k rows, v rows].
+
+    layouts: "seq" (already sequential), "per_head" (gpt-neox / old falcon:
+    [n_heads, 3, head_dim]), "grouped" (falcon new-decoder: [n_kv,
+    q_per_kv + 2, head_dim])."""
+    rest = w.shape[1:]
+    if layout == "seq":
+        return w
+    if layout == "per_head":
+        w3 = w.reshape(n_heads, 3, head_dim, *rest)
+        q = w3[:, 0].reshape(n_heads * head_dim, *rest)
+        k = w3[:, 1].reshape(n_heads * head_dim, *rest)
+        v = w3[:, 2].reshape(n_heads * head_dim, *rest)
+        return np.concatenate([q, k, v], axis=0)
+    if layout == "grouped":
+        per = n_heads // n_kv
+        w3 = w.reshape(n_kv, per + 2, head_dim, *rest)
+        q = w3[:, :per].reshape(n_heads * head_dim, *rest)
+        k = w3[:, per].reshape(n_kv * head_dim, *rest)
+        v = w3[:, per + 1].reshape(n_kv * head_dim, *rest)
+        return np.concatenate([q, k, v], axis=0)
+    raise ValueError(layout)
+
+
+# per-arch converters: HF module path suffix → gguf tensor name.  `T`
+# marks Conv1D weights stored [in, out] (gpt2) that need transposing.
+_SIMPLE_MAPS = {
+    "gpt2": {
+        "prefix": "transformer.",
+        "embd": "wte.weight", "pos": "wpe.weight",
+        "final_norm": ("ln_f.weight", "ln_f.bias"),
+        "transpose_2d": True,
+        "layers": "h.",
+        "map": {
+            "ln_1.weight": "attn_norm.weight", "ln_1.bias": "attn_norm.bias",
+            "attn.c_attn.weight": "attn_qkv.weight",
+            "attn.c_attn.bias": "attn_qkv.bias",
+            "attn.c_proj.weight": "attn_output.weight",
+            "attn.c_proj.bias": "attn_output.bias",
+            "ln_2.weight": "ffn_norm.weight", "ln_2.bias": "ffn_norm.bias",
+            "mlp.c_fc.weight": "ffn_up.weight", "mlp.c_fc.bias": "ffn_up.bias",
+            "mlp.c_proj.weight": "ffn_down.weight",
+            "mlp.c_proj.bias": "ffn_down.bias",
+        },
+    },
+    "starcoder": {  # gpt_bigcode: Linear weights, MQA fused qkv is sequential
+        "prefix": "transformer.",
+        "embd": "wte.weight", "pos": "wpe.weight",
+        "final_norm": ("ln_f.weight", "ln_f.bias"),
+        "transpose_2d": False,
+        "layers": "h.",
+        "map": {
+            "ln_1.weight": "attn_norm.weight", "ln_1.bias": "attn_norm.bias",
+            "attn.c_attn.weight": "attn_qkv.weight",
+            "attn.c_attn.bias": "attn_qkv.bias",
+            "attn.c_proj.weight": "attn_output.weight",
+            "attn.c_proj.bias": "attn_output.bias",
+            "ln_2.weight": "ffn_norm.weight", "ln_2.bias": "ffn_norm.bias",
+            "mlp.c_fc.weight": "ffn_up.weight", "mlp.c_fc.bias": "ffn_up.bias",
+            "mlp.c_proj.weight": "ffn_down.weight",
+            "mlp.c_proj.bias": "ffn_down.bias",
+        },
+    },
+    "falcon": {
+        "prefix": "transformer.",
+        "embd": "word_embeddings.weight", "pos": None,
+        "final_norm": ("ln_f.weight", "ln_f.bias"),
+        "transpose_2d": False,
+        "layers": "h.",
+        "map": {
+            "input_layernorm.weight": "attn_norm.weight",
+            "input_layernorm.bias": "attn_norm.bias",
+            "ln_attn.weight": "attn_norm.weight",
+            "ln_attn.bias": "attn_norm.bias",
+            "ln_mlp.weight": "ffn_norm.weight",
+            "ln_mlp.bias": "ffn_norm.bias",
+            "self_attention.query_key_value.weight": "attn_qkv.weight",
+            "self_attention.dense.weight": "attn_output.weight",
+            "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+            "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+        },
+    },
+    "phi2": {
+        "prefix": "model.",
+        "embd": "embed_tokens.weight", "pos": None,
+        "final_norm": ("final_layernorm.weight", "final_layernorm.bias"),
+        "transpose_2d": False,
+        "layers": "layers.",
+        "map": {
+            "input_layernorm.weight": "attn_norm.weight",
+            "input_layernorm.bias": "attn_norm.bias",
+            "self_attn.q_proj.weight": "attn_q.weight",
+            "self_attn.q_proj.bias": "attn_q.bias",
+            "self_attn.k_proj.weight": "attn_k.weight",
+            "self_attn.k_proj.bias": "attn_k.bias",
+            "self_attn.v_proj.weight": "attn_v.weight",
+            "self_attn.v_proj.bias": "attn_v.bias",
+            "self_attn.dense.weight": "attn_output.weight",
+            "self_attn.dense.bias": "attn_output.bias",
+            "mlp.fc1.weight": "ffn_up.weight", "mlp.fc1.bias": "ffn_up.bias",
+            "mlp.fc2.weight": "ffn_down.weight",
+            "mlp.fc2.bias": "ffn_down.bias",
+        },
+    },
+    "mpt": {
+        "prefix": "transformer.",
+        "embd": "wte.weight", "pos": "wpe.weight",
+        "final_norm": ("norm_f.weight", "norm_f.bias"),
+        "transpose_2d": False,
+        "layers": "blocks.",
+        "map": {
+            "norm_1.weight": "attn_norm.weight",
+            "norm_1.bias": "attn_norm.bias",
+            "attn.Wqkv.weight": "attn_qkv.weight",
+            "attn.Wqkv.bias": "attn_qkv.bias",
+            "attn.out_proj.weight": "attn_output.weight",
+            "norm_2.weight": "ffn_norm.weight",
+            "norm_2.bias": "ffn_norm.bias",
+            "ffn.up_proj.weight": "ffn_up.weight",
+            "ffn.down_proj.weight": "ffn_down.weight",
+        },
+    },
+    "gptneox": {
+        "prefix": "gpt_neox.",
+        "embd": "embed_in.weight", "pos": None,
+        "final_norm": ("final_layer_norm.weight", "final_layer_norm.bias"),
+        "transpose_2d": False,
+        "layers": "layers.",
+        "map": {
+            "input_layernorm.weight": "attn_norm.weight",
+            "input_layernorm.bias": "attn_norm.bias",
+            "attention.query_key_value.weight": "attn_qkv.weight",
+            "attention.query_key_value.bias": "attn_qkv.bias",
+            "attention.dense.weight": "attn_output.weight",
+            "attention.dense.bias": "attn_output.bias",
+            "post_attention_layernorm.weight": "ffn_norm.weight",
+            "post_attention_layernorm.bias": "ffn_norm.bias",
+            "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+            "mlp.dense_h_to_4h.bias": "ffn_up.bias",
+            "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+            "mlp.dense_4h_to_h.bias": "ffn_down.bias",
+        },
+    },
+    "command-r": {
+        "prefix": "model.",
+        "embd": "embed_tokens.weight", "pos": None,
+        "final_norm": ("norm.weight", None),
+        "transpose_2d": False,
+        "layers": "layers.",
+        "map": {
+            "input_layernorm.weight": "attn_norm.weight",
+            "self_attn.q_proj.weight": "attn_q.weight",
+            "self_attn.k_proj.weight": "attn_k.weight",
+            "self_attn.v_proj.weight": "attn_v.weight",
+            "self_attn.o_proj.weight": "attn_output.weight",
+            "mlp.gate_proj.weight": "ffn_gate.weight",
+            "mlp.up_proj.weight": "ffn_up.weight",
+            "mlp.down_proj.weight": "ffn_down.weight",
+        },
+    },
+}
+
+
+def _convert_simple(state_dict, hf_cfg, arch: str) -> dict[str, np.ndarray]:
+    """Name-map conversion for the gpt2/falcon/phi2/mpt/gptneox/command-r
+    families, including fused-qkv layout normalization."""
+    spec = _SIMPLE_MAPS[arch]
+    n_heads = int(hf_cfg.get("num_attention_heads") or hf_cfg.get("n_head")
+                  or hf_cfg.get("n_heads"))
+    n_embd = int(hf_cfg.get("hidden_size") or hf_cfg.get("n_embd")
+                 or hf_cfg.get("d_model"))
+    head_dim = n_embd // n_heads
+    if arch == "falcon":
+        if hf_cfg.get("new_decoder_architecture"):
+            n_kv = int(hf_cfg.get("num_kv_heads", n_heads))
+            qkv_layout = "grouped"
+        elif hf_cfg.get("multi_query", True):
+            n_kv, qkv_layout = 1, "seq"
+        else:
+            n_kv, qkv_layout = n_heads, "per_head"
+    elif arch == "gptneox":
+        n_kv, qkv_layout = n_heads, "per_head"
+    elif arch == "starcoder":
+        n_kv = 1 if hf_cfg.get("multi_query", True) else n_heads
+        qkv_layout = "seq"
+    else:
+        n_kv = int(hf_cfg.get("num_key_value_heads", n_heads))
+        qkv_layout = "seq"
+
+    def to_np(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    out: dict[str, np.ndarray] = {}
+    prefix, layers = spec["prefix"], spec["prefix"] + spec["layers"]
+    fw, fb = spec["final_norm"]
+    for name, tensor in state_dict.items():
+        w = to_np(tensor)
+        if name == prefix + spec["embd"]:
+            out["token_embd.weight"] = w
+        elif spec["pos"] and name == prefix + spec["pos"]:
+            out["position_embd.weight"] = w
+        elif name == prefix + fw:
+            out["output_norm.weight"] = w
+        elif fb and name == prefix + fb:
+            out["output_norm.bias"] = w
+        elif name == "lm_head.weight" or name == "embed_out.weight":
+            out["output.weight"] = w
+        elif name == "lm_head.bias":
+            out["output.bias"] = w
+        elif name.startswith(layers):
+            rest = name[len(layers):]
+            idx, _, sub = rest.partition(".")
+            gguf_sub = spec["map"].get(sub)
+            if gguf_sub is None:
+                continue
+            if spec["transpose_2d"] and w.ndim == 2:
+                w = w.T  # gpt2 Conv1D stores [in, out]
+            if gguf_sub.startswith("attn_qkv") and qkv_layout != "seq":
+                w = _deinterleave_qkv(w, n_heads, n_kv, head_dim, qkv_layout)
+            out[f"blk.{idx}.{gguf_sub}"] = w
+    return out
+
+
+_HF_CLASS_ARCH = {
+    "LlamaForCausalLM": "llama", "MistralForCausalLM": "llama",
+    "Qwen2ForCausalLM": "qwen2", "Gemma2ForCausalLM": "gemma2",
+    "MixtralForCausalLM": "mixtral", "Phi3ForCausalLM": "phi3",
+    "GPT2LMHeadModel": "gpt2", "GPTBigCodeForCausalLM": "starcoder",
+    "FalconForCausalLM": "falcon", "PhiForCausalLM": "phi2",
+    "MptForCausalLM": "mpt", "GPTNeoXForCausalLM": "gptneox",
+    "CohereForCausalLM": "command-r",
+}
+
+
 def convert_hf_model(
     model,
     tokenizer_vocab: Optional[dict] = None,
@@ -122,37 +360,86 @@ def convert_hf_model(
     """
     hf_cfg = model.config.to_dict()
     hf_archs = hf_cfg.get("architectures") or [type(model).__name__]
-    arch = arch or {"LlamaForCausalLM": "llama", "MistralForCausalLM": "llama",
-                    "Qwen2ForCausalLM": "qwen2", "Gemma2ForCausalLM": "gemma2",
-                    "MixtralForCausalLM": "mixtral", "Phi3ForCausalLM": "phi3",
-                    }.get(hf_archs[0], "llama")
-    tensors = convert_state_dict(model.state_dict(), hf_cfg, arch=arch)
+    arch = arch or _HF_CLASS_ARCH.get(hf_archs[0], "llama")
+
+    def cfg_int(*keys, default=None):
+        for k in keys:
+            if hf_cfg.get(k) is not None:
+                return int(hf_cfg[k])
+        return default
+
+    n_embd = cfg_int("hidden_size", "n_embd", "d_model")
+    n_heads = cfg_int("num_attention_heads", "n_head", "n_heads")
+    n_layers = cfg_int("num_hidden_layers", "n_layer", "n_layers")
+    head_dim = cfg_int("head_dim", default=0) or n_embd // n_heads
+    n_ff = cfg_int("intermediate_size", "n_inner", default=0)
+    if not n_ff:
+        n_ff = int(hf_cfg.get("expansion_ratio", 4)) * n_embd
+    n_ctx = cfg_int("max_position_embeddings", "n_positions", "max_seq_len",
+                    default=4096)
+
+    if arch in _SIMPLE_MAPS:
+        tensors = _convert_simple(model.state_dict(), hf_cfg, arch)
+        if arch == "falcon":
+            if hf_cfg.get("new_decoder_architecture"):
+                n_kv = cfg_int("num_kv_heads", default=n_heads)
+            elif hf_cfg.get("multi_query", True):
+                n_kv = 1
+            else:
+                n_kv = n_heads
+        elif arch == "starcoder":
+            n_kv = 1 if hf_cfg.get("multi_query", True) else n_heads
+        elif arch in ("gpt2", "mpt", "gptneox"):
+            n_kv = n_heads
+        else:
+            n_kv = cfg_int("num_key_value_heads", default=n_heads)
+    else:
+        tensors = convert_state_dict(model.state_dict(), hf_cfg, arch=arch)
+        n_kv = cfg_int("num_key_value_heads", default=n_heads)
     if hf_cfg.get("tie_word_embeddings"):
         tensors.pop("output.weight", None)  # tied: lm head reuses token_embd
 
     w = GGUFWriter()
     w.add("general.architecture", arch)
     w.add("general.name", str(hf_cfg.get("_name_or_path", "converted")))
-    n_embd = int(hf_cfg["hidden_size"])
-    n_heads = int(hf_cfg["num_attention_heads"])
-    w.add(f"{arch}.block_count", int(hf_cfg["num_hidden_layers"]))
-    w.add(f"{arch}.context_length", int(hf_cfg.get("max_position_embeddings", 4096)))
+    w.add(f"{arch}.block_count", n_layers)
+    w.add(f"{arch}.context_length", n_ctx)
     w.add(f"{arch}.embedding_length", n_embd)
-    w.add(f"{arch}.feed_forward_length", int(hf_cfg["intermediate_size"]))
+    w.add(f"{arch}.feed_forward_length", n_ff)
     w.add(f"{arch}.attention.head_count", n_heads)
-    w.add(f"{arch}.attention.head_count_kv", int(hf_cfg.get("num_key_value_heads", n_heads)))
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
     w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(hf_cfg.get("rms_norm_eps", 1e-5)))
-    w.add(f"{arch}.rope.freq_base", float(hf_cfg.get("rope_theta", 10000.0)))
-    head_dim = int(hf_cfg.get("head_dim") or n_embd // n_heads)
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(
+        hf_cfg.get("layer_norm_epsilon") or hf_cfg.get("layer_norm_eps")
+        or hf_cfg.get("layernorm_epsilon") or 1e-5))
+    w.add(f"{arch}.rope.freq_base", float(
+        hf_cfg.get("rope_theta") or hf_cfg.get("rotary_emb_base") or 10000.0))
     w.add(f"{arch}.attention.key_length", head_dim)
     w.add(f"{arch}.attention.value_length", head_dim)
-    w.add(f"{arch}.rope.dimension_count", head_dim)
+    rope_dims = head_dim
+    if hf_cfg.get("partial_rotary_factor"):  # phi2
+        rope_dims = int(float(hf_cfg["partial_rotary_factor"]) * head_dim)
+    elif hf_cfg.get("rotary_pct"):  # gpt-neox
+        rope_dims = int(float(hf_cfg["rotary_pct"]) * head_dim)
+    w.add(f"{arch}.rope.dimension_count", rope_dims)
     w.add(f"{arch}.vocab_size", int(hf_cfg["vocab_size"]))
     if hf_cfg.get("sliding_window"):
         w.add(f"{arch}.attention.sliding_window", int(hf_cfg["sliding_window"]))
     if arch == "gemma2":
         w.add(f"{arch}.attn_logit_softcapping", float(hf_cfg.get("attn_logit_softcapping", 50.0)))
         w.add(f"{arch}.final_logit_softcapping", float(hf_cfg.get("final_logit_softcapping", 30.0)))
+    if arch == "command-r" and hf_cfg.get("logit_scale"):
+        w.add(f"{arch}.logit_scale", float(hf_cfg["logit_scale"]))
+    if arch == "gptneox":
+        w.add(f"{arch}.use_parallel_residual",
+              bool(hf_cfg.get("use_parallel_residual", True)))
+    if arch == "mpt":
+        attn_cfg = hf_cfg.get("attn_config") or {}
+        if attn_cfg.get("alibi", True):
+            w.add(f"{arch}.attention.max_alibi_bias",
+                  float(attn_cfg.get("alibi_bias_max", 8.0)))
+        if attn_cfg.get("clip_qkv"):
+            w.add(f"{arch}.attention.clamp_kqv", float(attn_cfg["clip_qkv"]))
     if hf_cfg.get("num_local_experts"):
         w.add(f"{arch}.expert_count", int(hf_cfg["num_local_experts"]))
         w.add(f"{arch}.expert_used_count", int(hf_cfg.get("num_experts_per_tok", 2)))

@@ -35,6 +35,19 @@ _ARCH_ROPE = {
     "command-r": ROPE_NEOX,
     "internlm2": ROPE_NORM,
     "mixtral": ROPE_NORM,
+    # NONE-rope families (llama.cpp llama_rope_type :17030)
+    "gpt2": ROPE_NONE,
+    "mpt": ROPE_NONE,
+    "bloom": ROPE_NONE,
+    "jais": ROPE_NONE,
+    # NORM-rope families (:17043)
+    "starcoder": ROPE_NORM,
+    "orion": ROPE_NORM,
+    "deepseek2": ROPE_NORM,
+    # NEOX additions (:17059)
+    "falcon": ROPE_NEOX,
+    "dbrx": ROPE_NEOX,
+    "bert": ROPE_NEOX,
 }
 
 
@@ -79,6 +92,11 @@ class ModelConfig:
     n_experts: int = 0
     n_experts_used: int = 0
     moe_ff: int = 0  # expert ffn width (defaults to n_ff)
+    # broader-family quirks
+    norm_type: str = "rms"  # "rms" | "layer" (gpt2/falcon/phi2/mpt/command-r)
+    parallel_residual: bool = False  # x + attn + ffn(attn_norm(x)) (falcon…)
+    alibi_max_bias: float = 0.0  # mpt: ALiBi slopes replace rope
+    clamp_kqv: float = 0.0  # mpt: clamp qkv projections to ±clamp
 
     @property
     def gqa_groups(self) -> int:
@@ -128,6 +146,22 @@ class ModelConfig:
             quirks.update(qkv_bias=True)
         if arch in ("qwen3", "qwen3moe"):
             quirks.update(q_norm=True)
+        if arch in ("gpt2", "starcoder", "mpt", "bloom", "jais"):
+            quirks.update(norm_type="layer", act="gelu")
+        if arch in ("falcon", "phi2", "gptneox"):
+            quirks.update(norm_type="layer", act="gelu",
+                          parallel_residual=True)
+        if arch == "gptneox":
+            # use_parallel_residual is stored per model
+            quirks.update(parallel_residual=bool(
+                md.get(f"{arch}.use_parallel_residual", True)))
+        if arch == "command-r":
+            quirks.update(norm_type="layer", parallel_residual=True)
+        if arch == "mpt":
+            quirks.update(
+                alibi_max_bias=float(g("attention.max_alibi_bias", 0.0) or 0.0),
+                clamp_kqv=float(g("attention.clamp_kqv", 0.0) or 0.0),
+            )
 
         return cls(
             arch=arch,
@@ -140,7 +174,10 @@ class ModelConfig:
             n_ctx_train=int(g("context_length", 4096)),
             head_dim=head_dim,
             rms_eps=float(
-                g("attention.layer_norm_rms_epsilon", g("attention.layer_norm_epsilon", 1e-5))
+                g("attention.layer_norm_epsilon", 1e-5)
+                if quirks.get("norm_type") == "layer"
+                else g("attention.layer_norm_rms_epsilon",
+                       g("attention.layer_norm_epsilon", 1e-5))
             ),
             rope_base=float(g("rope.freq_base", 10000.0)),
             rope_dim=int(g("rope.dimension_count", 0)),

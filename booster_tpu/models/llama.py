@@ -20,11 +20,30 @@ import jax
 import jax.numpy as jnp
 
 from booster_tpu.models.config import ModelConfig
-from booster_tpu.ops.attention import attention, build_mask
+from booster_tpu.ops.attention import alibi_slopes, attention, build_mask
 from booster_tpu.ops.kv_cache import KVCache, dequant_kv, update_layer
 from booster_tpu.ops.linear import qlinear
 from booster_tpu.ops.rope import apply_rope_tables, rope_tables
 from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor
+
+
+def _use_fused_decode(cfg: ModelConfig, T: int, S: int) -> bool:
+    """Fused decode attention applies to single-token steps on the Pallas
+    path with lane-friendly head dims and a tileable cache length."""
+    import os
+
+    from booster_tpu.ops.linear import use_pallas
+    from booster_tpu.ops.pallas_attention import INTERPRET
+
+    if os.environ.get("BT_FUSED_ATTN", "1") == "0":
+        return False
+    if T != 1 or not (use_pallas() or INTERPRET):
+        return False
+    if cfg.head_dim % 64 != 0 or cfg.n_heads % cfg.n_kv_heads != 0:
+        return False
+    if cfg.alibi_max_bias > 0:  # ALiBi bias not in the fused kernel (yet)
+        return False
+    return S % 128 == 0
 
 
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, add_one: bool = False) -> jnp.ndarray:
@@ -37,6 +56,25 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, add_one: bool = False) 
     return (normed * wf).astype(x.dtype)
 
 
+def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b, eps: float) -> jnp.ndarray:
+    """Mean-centered LayerNorm (LLM_NORM in the reference graph builders —
+    gpt2/falcon/phi2/mpt/command-r families)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    normed = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = normed * w.astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _norm(x: jnp.ndarray, lp: dict, key: str, cfg: ModelConfig) -> jnp.ndarray:
+    if cfg.norm_type == "layer":
+        return layer_norm(x, lp[key], lp.get(f"{key}_b"), cfg.rms_eps)
+    return rms_norm(x, lp[key], cfg.rms_eps, cfg.norm_eps_add_one)
+
+
 def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     if kind == "gelu":
         return jax.nn.gelu(x.astype(jnp.float32), approximate=True).astype(x.dtype)
@@ -47,10 +85,21 @@ def _moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     """Mixtral-style routed experts (llm_build_moe_ffn semantics: softmax over
     all experts, take top-k, renormalize over the selected).
 
-    Correctness-first dense formulation: every expert computes every token
-    (k/E of the work is kept).  The Pallas grouped-matmul dispatch replaces
-    this on TPU.
+    Default path: sort-based grouped dispatch over quantized expert weights
+    (ops/pallas_moe — the MUL_MAT_ID analog, k/E of the dense FLOPs, no
+    full-stack dequant).  The dense all-experts formulation below remains as
+    the fallback for unsupported layouts.
     """
+    import os
+
+    from booster_tpu.ops.linear import use_pallas
+    from booster_tpu.ops.pallas_moe import INTERPRET as MOE_INTERPRET
+    from booster_tpu.ops.pallas_moe import moe_ffn_grouped, moe_supported
+
+    if (os.environ.get("BT_MOE_GROUPED", "1") != "0"
+            and (use_pallas() or MOE_INTERPRET) and moe_supported(lp)):
+        return moe_ffn_grouped(x, lp, cfg)
+
     E, k = cfg.n_experts, cfg.n_experts_used
     ff = cfg.moe_ff or cfg.n_ff
     B, T, C = x.shape
@@ -114,7 +163,7 @@ def _layer(
     B, T, C = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    h = rms_norm(x, lp["attn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    h = _norm(x, lp, "attn_norm", cfg)
     if "wqkv" in lp:  # fused projection (loader folds q+k+v rows)
         qkv = qlinear(h, lp["wqkv"])
         d_q, d_kv = H * D, Hkv * D
@@ -125,6 +174,11 @@ def _layer(
         q = _lin(h, lp, "wq", lp.get("bq")).reshape(B, T, H, D)
         k = _lin(h, lp, "wk", lp.get("bk")).reshape(B, T, Hkv, D)
         v = _lin(h, lp, "wv", lp.get("bv")).reshape(B, T, Hkv, D)
+
+    if cfg.clamp_kqv > 0:  # mpt
+        q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
+        k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
+        v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
 
     if cfg.q_norm:  # qwen3: per-head rmsnorm before rope
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
@@ -137,45 +191,83 @@ def _layer(
         k_slice, v_slice, k, v, offsets, ks_slice, vs_slice
     )
 
-    # sliding window: gemma2 applies SWA on even layers only
-    if mask_swa is not None and cfg.sliding_window_pattern > 1:
-        use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
-        mask = jnp.where(use_swa, mask_swa, mask_base)
-    elif mask_swa is not None:
-        mask = mask_swa
-    else:
-        mask = mask_base
-
     scale = cfg.attn_scale if cfg.attn_scale > 0 else 1.0 / (D**0.5)
-    attn_out = attention(
-        q,
-        dequant_kv(k_slice, ks_slice, x.dtype),
-        dequant_kv(v_slice, vs_slice, x.dtype),
-        positions,
-        kv_valid,
-        scale=scale,
-        logit_softcap=cfg.attn_logit_softcap,
-        mask=mask,
-    )
-    attn_out = _lin(attn_out.reshape(B, T, H * D), lp, "wo")
+    if mask_base is None:
+        # fused decode attention (T=1): one Pallas kernel does cast-only
+        # dequant + QK^T + mask + online softmax + PV (ops/pallas_attention)
+        from booster_tpu.ops.pallas_attention import decode_attention
+
+        S = k_slice.shape[2]
+        if cfg.sliding_window > 0 and cfg.sliding_window_pattern > 1:
+            use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
+            window = jnp.where(use_swa, jnp.int32(cfg.sliding_window),
+                               jnp.int32(S + 1))
+        elif cfg.sliding_window > 0:
+            window = jnp.int32(cfg.sliding_window)
+        else:
+            window = None
+        attn_out = decode_attention(
+            q, k_slice, v_slice, ks_slice, vs_slice, kv_valid,
+            scale=scale, logit_softcap=cfg.attn_logit_softcap, window=window,
+        )
+    else:
+        # sliding window: gemma2 applies SWA on even layers only
+        if mask_swa is not None and cfg.sliding_window_pattern > 1:
+            use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
+            mask = jnp.where(use_swa, mask_swa, mask_base)
+        elif mask_swa is not None:
+            mask = mask_swa
+        else:
+            mask = mask_base
+
+        attn_out = attention(
+            q,
+            dequant_kv(k_slice, ks_slice, x.dtype),
+            dequant_kv(v_slice, vs_slice, x.dtype),
+            positions,
+            kv_valid,
+            scale=scale,
+            logit_softcap=cfg.attn_logit_softcap,
+            mask=mask,
+            alibi_slopes=(alibi_slopes(H, cfg.alibi_max_bias)
+                          if cfg.alibi_max_bias > 0 else None),
+        )
+    attn_out = _lin(attn_out.reshape(B, T, H * D), lp, "wo", lp.get("bo"))
     if cfg.post_norms:
         attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
-    x = x + attn_out
 
-    h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    if cfg.parallel_residual:
+        # falcon/phi2/command-r: FFN reads the attn-norm output (or its own
+        # norm of the layer input — gptneox); one residual add at the end
+        ffn_h = _norm(x, lp, "ffn_norm", cfg) if "ffn_norm" in lp else h
+        residual = x
+    else:
+        x = x + attn_out
+        ffn_h = _norm(x, lp, "ffn_norm", cfg)
+        residual = x
+
+    h = ffn_h
     if cfg.n_experts > 0:
         ffn_out = _moe_ffn(h, lp, cfg)
     elif "w_gateup" in lp:  # fused gate+up (loader folds rows)
         gu = qlinear(h, lp["w_gateup"])
         ff = gu.shape[-1] // 2
-        ffn_out = _lin(_act(gu[..., :ff], cfg.act) * gu[..., ff:], lp, "w_down")
-    else:
+        ffn_out = _lin(_act(gu[..., :ff], cfg.act) * gu[..., ff:], lp, "w_down",
+                       lp.get("b_down"))
+    elif "w_gate" in lp:
         gate = _lin(h, lp, "w_gate")
-        up = _lin(h, lp, "w_up")
-        ffn_out = _lin(_act(gate, cfg.act) * up, lp, "w_down")
+        up = _lin(h, lp, "w_up", lp.get("b_up"))
+        ffn_out = _lin(_act(gate, cfg.act) * up, lp, "w_down", lp.get("b_down"))
+    else:  # no-gate FFN (gpt2/falcon/phi2/mpt: up → act → down)
+        up = _lin(h, lp, "w_up", lp.get("b_up"))
+        ffn_out = _lin(_act(up, cfg.act), lp, "w_down", lp.get("b_down"))
     if cfg.post_norms:
         ffn_out = rms_norm(ffn_out, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
-    x = x + ffn_out
+
+    if cfg.parallel_residual:
+        x = residual + attn_out + ffn_out
+    else:
+        x = residual + ffn_out
     if "cvec" in lp:  # control vector (llama_control_vector_apply parity)
         x = x + lp["cvec"].astype(x.dtype)
     return x, (k_slice, v_slice, ks_slice, vs_slice)
@@ -212,17 +304,23 @@ def forward(
     x = emb[tokens].astype(jnp.bfloat16)
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
+    if "pos_embd" in params:  # gpt2/starcoder learned absolute positions
+        pe = params["pos_embd"]
+        x = x + pe[jnp.clip(positions, 0, pe.shape[0] - 1)].astype(x.dtype)
 
     # rope tables + causal masks depend only on positions: compute once
     rope_cos, rope_sin = rope_tables(
         rope_pos, params["rope"]["inv_freq"], params["rope"]["mscale"]
     )
     S = cache.max_len
-    mask_base = build_mask(positions, kv_valid, S)
-    mask_swa = (
-        build_mask(positions, kv_valid, S, jnp.int32(cfg.sliding_window))
-        if cfg.sliding_window > 0 else None
-    )
+    if _use_fused_decode(cfg, T, S):
+        mask_base = mask_swa = None  # fused kernel masks internally
+    else:
+        mask_base = build_mask(positions, kv_valid, S)
+        mask_swa = (
+            build_mask(positions, kv_valid, S, jnp.int32(cfg.sliding_window))
+            if cfg.sliding_window > 0 else None
+        )
 
     def body(x, scanned):
         lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice = scanned
@@ -243,7 +341,11 @@ def forward(
     )
     x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, scanned)
 
-    x = rms_norm(x, params["output_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    if cfg.norm_type == "layer":
+        x = layer_norm(x, params["output_norm"], params.get("output_norm_b"),
+                       cfg.rms_eps)
+    else:
+        x = rms_norm(x, params["output_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
     if gather_idx is not None:
         x = x[jnp.arange(B), gather_idx][:, None, :]
     elif last_only:
@@ -260,6 +362,8 @@ def forward(
             preferred_element_type=jnp.float32,
         )
     logits = logits.astype(jnp.float32)
+    if "output_b" in params:  # phi2 lm-head bias
+        logits = logits + params["output_b"].astype(jnp.float32)
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0:

@@ -50,12 +50,19 @@ _LAYER_MAP = {
     "ffn_gate_exps.weight": "gate_exps",
     "ffn_up_exps.weight": "up_exps",
     "ffn_down_exps.weight": "down_exps",
+    # LayerNorm-family archs (gpt2/falcon/phi2/mpt/starcoder/command-r)
+    "attn_norm.bias": "attn_norm_b",
+    "ffn_norm.bias": "ffn_norm_b",
+    "attn_output.bias": "bo",
+    "ffn_up.bias": "b_up",
+    "ffn_down.bias": "b_down",
 }
 
 _NORM_KEYS = {
     "attn_norm", "ffn_norm", "q_norm", "k_norm", "post_attn_norm", "post_ffn_norm",
+    "attn_norm_b", "ffn_norm_b",
 }
-_BIAS_KEYS = {"bq", "bk", "bv"}
+_BIAS_KEYS = {"bq", "bk", "bv", "bo", "b_up", "b_down"}
 
 
 def _stack_qtensors(qts: list[QTensor]) -> QTensor:
@@ -179,10 +186,19 @@ def load_model(
         raise ValueError("model has no token_embd.weight")
     params["tok_embd"] = put(emb.astype(jnp.bfloat16), "embedding")
     params["output_norm"] = put(load_dense("output_norm.weight"), "norm")
+    out_norm_b = load_dense("output_norm.bias")
+    if out_norm_b is not None:
+        params["output_norm_b"] = put(out_norm_b, "norm")
+    pos_embd = load_dense("position_embd.weight")
+    if pos_embd is not None:  # gpt2/starcoder learned positions
+        params["pos_embd"] = put(pos_embd.astype(jnp.bfloat16), "embedding")
     out_q = load_q("output.weight")
     params["output"] = None if out_q is None else jax.tree.map(
         lambda a: put(a, "lm_head"), out_q
     )
+    out_b = load_dense("output.bias")
+    if out_b is not None:  # phi2 lm head bias
+        params["output_b"] = put(out_b, "lm_head")
 
     rope_factors = load_dense("rope_freqs.weight")
     inv_freq = rope_inv_freq(cfg, rope_factors)
@@ -206,12 +222,17 @@ def load_model(
             else:
                 lp[key] = load_q(name)
 
-        # fused projections (phi3): attn_qkv → q/k/v, ffn_up → gate/up
+        # fused projections (phi3/gpt2/falcon/mpt): attn_qkv → q/k/v
         if "wq" not in lp and prefix + "attn_qkv.weight" in reader.tensors:
             qkv = load_q(prefix + "attn_qkv.weight")
             d_q = cfg.n_heads * cfg.head_dim
             d_kv = cfg.n_kv_heads * cfg.head_dim
             lp["wq"], lp["wk"], lp["wv"] = _split_rows(qkv, [d_q, d_kv, d_kv])
+            bqkv = load_dense(prefix + "attn_qkv.bias")
+            if bqkv is not None:
+                lp["bq"] = bqkv[:d_q]
+                lp["bk"] = bqkv[d_q:d_q + d_kv]
+                lp["bv"] = bqkv[d_q + d_kv:]
         if "w_gate" not in lp and "w_up" in lp and lp["w_up"].shape[0] == 2 * cfg.n_ff:
             lp["w_gate"], lp["w_up"] = _split_rows(lp["w_up"], [cfg.n_ff, cfg.n_ff])
 

@@ -19,6 +19,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def alibi_slopes(n_heads: int, max_bias: float) -> jnp.ndarray:
+    """Per-head ALiBi slopes (ggml soft_max_ext formula: m0^(h+1) for the
+    first pow2 heads, m1^(2(h-n2)+1) beyond)."""
+    import math
+
+    n2 = 2 ** math.floor(math.log2(n_heads))
+    m0 = 2.0 ** (-max_bias / n2)
+    m1 = 2.0 ** (-(max_bias / 2.0) / n2)
+    s = [m0 ** (h + 1) for h in range(n2)] + [
+        m1 ** (2 * (h - n2) + 1) for h in range(n2, n_heads)
+    ]
+    return jnp.asarray(s, jnp.float32)
+
+
 def build_mask(q_positions, kv_valid_len, S: int, sliding_window=None):
     """[B, T, S] attention mask (position-only: hoistable out of layer scans)."""
     kv_idx = jnp.arange(S)[None, None, :]
@@ -43,6 +57,7 @@ def attention(
     logit_softcap: float = 0.0,
     sliding_window=None,  # int32 scalar (traced ok); None disables
     mask=None,  # [B, T, S] bool precomputed (hoisted out of the layer scan)
+    alibi_slopes=None,  # [H] f32: adds -slope_h·(q_pos − j) to scores (mpt)
 ) -> jnp.ndarray:
     """Returns [B, T, H, D].  kv index j attends iff j <= q_pos and
     j < kv_valid_len and (no window or q_pos - j < window)."""
@@ -51,7 +66,8 @@ def attention(
     S = k_cache.shape[2]
     groups = H // Hkv
 
-    if B * H * T * S > _CHUNK_THRESHOLD and S % _KV_CHUNK == 0:
+    if (B * H * T * S > _CHUNK_THRESHOLD and S % _KV_CHUNK == 0
+            and alibi_slopes is None):
         return _attention_chunked(
             q, k_cache, v_cache, q_positions, kv_valid_len, scale,
             logit_softcap, sliding_window,
@@ -72,6 +88,15 @@ def attention(
 
     if logit_softcap > 0.0:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
+
+    if alibi_slopes is not None:
+        # bias = -slope_h · |q_pos − j| (llama_set_inputs alibi mask rows)
+        dist = jnp.abs(
+            q_positions[:, None, :, None].astype(jnp.float32)
+            - jnp.arange(S, dtype=jnp.float32)[None, None, None, :]
+        )  # [B, 1, T, S]
+        slopes = alibi_slopes.reshape(Hkv, groups)[None, :, :, None, None]
+        scores = scores - slopes * dist[:, :, None, :, :]
 
     if mask is None:
         mask = build_mask(q_positions, kv_valid_len, S, sliding_window)

@@ -11,6 +11,7 @@ type_k/type_v analog) stores payload + per-(token, head) scales.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax
@@ -113,6 +114,82 @@ def dequant_kv(q: jnp.ndarray, scale: Optional[jnp.ndarray], dtype=jnp.bfloat16)
     if scale is None:
         return q.astype(dtype)
     return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _rot_delta(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, style: str):
+    """Rotate the first 2·len(cos) dims of [..., D] by a fixed angle."""
+    d_rot = 2 * cos.shape[-1]
+    xr = x[..., :d_rot]
+    x_pass = x[..., d_rot:]
+    if style == "norm":
+        x0, x1 = xr[..., 0::2], xr[..., 1::2]
+        r0 = x0 * cos - x1 * sin
+        r1 = x0 * sin + x1 * cos
+        rotated = jnp.stack([r0, r1], axis=-1).reshape(xr.shape)
+    elif style == "neox":
+        half = d_rot // 2
+        x0, x1 = xr[..., :half], xr[..., half:]
+        r0 = x0 * cos - x1 * sin
+        r1 = x0 * sin + x1 * cos
+        rotated = jnp.concatenate([r0, r1], axis=-1)
+    else:
+        return x
+    if x_pass.shape[-1]:
+        return jnp.concatenate([rotated, x_pass], axis=-1)
+    return rotated
+
+
+@partial(jax.jit, static_argnames=("style",), donate_argnames=("cache",))
+def shift_slot_cache(
+    cache: KVCache,
+    slot,  # traced i32 scalar
+    n_keep,  # traced i32: tokens kept verbatim at the front
+    n_discard,  # traced i32: tokens dropped after the kept prefix
+    inv_freq: jnp.ndarray,  # [D_rot/2] effective rope frequencies
+    style: str,
+) -> KVCache:
+    """In-cache context shift for one slot (reference behavior:
+    llama_kv_cache_seq_rm + seq_add, bridge.cpp:487-507, realized like the
+    K-shift graph llama.cpp:13771): compact the kept entries to the front and
+    rotate the moved K entries by -n_discard so their rope positions are
+    exact at the new locations.  V carries no positional encoding.  No
+    re-prefill, no recompute."""
+    S = cache.max_len
+    length = cache.lengths[slot]
+    i = jnp.arange(S)
+    src = jnp.clip(jnp.where(i < n_keep, i, i + n_discard), 0, S - 1)
+    moved = (i >= n_keep)[:, None]  # [S, 1] → broadcast over D
+
+    ang = -n_discard.astype(jnp.float32) * inv_freq  # [D_rot/2]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    k_row = jnp.take(cache.k[:, slot], src, axis=2)  # [L, H, S, D]
+    v_row = jnp.take(cache.v[:, slot], src, axis=2)
+    if cache.quantized:
+        ks_row = jnp.take(cache.k_scale[:, slot], src, axis=2)  # [L, H, S, 1]
+        vs_row = jnp.take(cache.v_scale[:, slot], src, axis=2)
+        kf = k_row.astype(jnp.float32) * ks_row
+        kf = jnp.where(moved, _rot_delta(kf, cos, sin, style), kf)
+        # requantize the rotated row (per token, head)
+        amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
+        new_ks = amax / 127.0
+        new_k = jnp.round(kf / jnp.maximum(new_ks, 1e-12)).astype(jnp.int8)
+        return KVCache(
+            k=cache.k.at[:, slot].set(new_k),
+            v=cache.v.at[:, slot].set(v_row),
+            lengths=cache.lengths.at[slot].add(-n_discard),
+            k_scale=cache.k_scale.at[:, slot].set(new_ks),
+            v_scale=cache.v_scale.at[:, slot].set(vs_row),
+        )
+    kf = k_row.astype(jnp.float32)
+    kf = jnp.where(moved, _rot_delta(kf, cos, sin, style), kf)
+    return KVCache(
+        k=cache.k.at[:, slot].set(kf.astype(cache.k.dtype)),
+        v=cache.v.at[:, slot].set(v_row),
+        lengths=cache.lengths.at[slot].add(-n_discard),
+        k_scale=None,
+        v_scale=None,
+    )
 
 
 def _flatten(c: KVCache):

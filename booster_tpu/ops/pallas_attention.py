@@ -1,0 +1,223 @@
+"""Fused (quantized-)KV decode attention Pallas kernel.
+
+One kernel per layer for the T=1 batched decode step, replacing the XLA
+chain dequant(K) → dequant(V) → QK^T → mask → softmax → PV (~8 launches per
+layer, each paying the dispatch floor — see ROUND1_NOTES) with a single
+pallas_call.
+
+The TPU analog of the reference's quantized-KV flash-attention instances
+(/root/reference/cpp/ggml/src/ggml-cuda/fattn.cu, fattn-vec-f16.cuh q8_0 KV
+specializations).  Redesigned rather than translated:
+
+  - int8 KV is never dequantized to a [S, D] tile: the per-token scale is
+    folded into *score space* (s = (q · k_int8) * ks[s]) and into the
+    probability row before PV (p' = p * vs[s]) — the cast i8→bf16 feeds the
+    MXU directly and the scale multiplies touch G×S elements instead of S×D.
+  - flash-attention online softmax over S tiles keeps VMEM bounded for any
+    context length; m/l/acc carry lives in scratch across the S grid dim.
+  - GQA: the G = H/H_kv query heads of one KV head form the row block of
+    each MXU dot.
+
+Layouts (heads-major cache, ops/kv_cache.py):
+  q   [B, Hkv, G, D]  bf16, already rope'd and pre-scaled by attn_scale
+  k/v [B, Hkv, S, D]  int8 (with scales [B, Hkv, S] f32) or bf16 (scales None)
+  lens [B, 1] i32     valid kv length per row (masked cols >= len)
+  window [1, 1] i32   sliding window (cols < len - window masked); >= S → off
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# flipped to True by tests to run kernels in interpreter mode on CPU
+INTERPRET = False
+
+_BT = int(_os.environ.get("BT_ATTN_BT", "8"))  # batch rows per grid step
+_ST = int(_os.environ.get("BT_ATTN_ST", "1024"))  # kv positions per grid step
+
+_NEG = -1e30
+
+
+def _decode_attn_kernel(
+    q_ref,  # [BT, 1, G, D] bf16
+    k_ref,  # [BT, 1, ST, D] i8|bf16
+    v_ref,
+    ks_ref,  # [BT, 1, 1, ST] f32 (or None — absent when not quantized)
+    vs_ref,
+    lens_ref,  # [BT, 1] i32 (SMEM)
+    win_ref,  # [1, 1] i32 (SMEM)
+    out_ref,  # [BT, 1, G, D] f32
+    m_ref,  # scratch [BT, G, 1] f32
+    l_ref,  # scratch [BT, G, 1] f32
+    acc_ref,  # scratch [BT, G, D] f32
+    *,
+    bt: int,
+    st: int,
+    softcap: float,
+    quantized: bool,
+):
+    s_idx = pl.program_id(2)
+    ns = pl.num_programs(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    col0 = s_idx * st
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, st), 1)  # [1, ST]
+    win = win_ref[0, 0]
+
+    for b in range(bt):  # static unroll: all ref indices constant
+        qb = q_ref[b, 0]  # [G, D] bf16
+        kq = k_ref[b, 0].astype(jnp.bfloat16)  # pure cast; scale folded below
+        s = jax.lax.dot_general(
+            qb, kq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, ST]
+        if quantized:
+            s = s * ks_ref[b, 0]  # [1, ST] broadcast over G rows
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+        len_b = lens_ref[b, 0]
+        valid = (col < len_b) & (col >= len_b - win)  # [1, ST]
+        s = jnp.where(valid, s, _NEG)
+
+        m_prev = m_ref[b]  # [G, 1]
+        l_prev = l_ref[b]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [G, ST]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * vs_ref[b, 0]
+        vq = v_ref[b, 0].astype(jnp.bfloat16)  # [ST, D]
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, D]
+        acc_new = acc_ref[b] * alpha + pv
+        m_ref[b] = m_new
+        l_ref[b] = l_new
+        acc_ref[b] = acc_new
+
+        @pl.when(s_idx == ns - 1)
+        def _():
+            out_ref[b, 0] = acc_ref[b] / jnp.maximum(l_ref[b], 1e-30)
+
+
+def _pick_bt(B: int, S: int, D: int, itemsize: int) -> tuple[int, int]:
+    """Tile sizes: few grid steps, K+V tiles ≲ 2 MB each, double-buffered."""
+    st = min(S, _ST)
+    while S % st:
+        st //= 2
+    budget = 2 * 1024 * 1024
+    bt = _BT
+    while bt > 1 and (bt * st * D * itemsize > budget or B % bt != 0):
+        bt //= 2
+    while B % bt != 0:
+        bt //= 2
+    return max(bt, 1), st
+
+
+def decode_attention(
+    q: jnp.ndarray,  # [B, 1, H, D] (already roped), any float dtype
+    k_cache: jnp.ndarray,  # [B, Hkv, S, D] int8 or bf16
+    v_cache: jnp.ndarray,
+    k_scale,  # [B, Hkv, S, 1] f32 or None
+    v_scale,
+    kv_valid_len: jnp.ndarray,  # [B] i32
+    scale: float,
+    logit_softcap: float = 0.0,
+    window=None,  # traced i32 scalar or None (no sliding window)
+) -> jnp.ndarray:
+    """Fused decode attention; returns [B, 1, H, D] in q.dtype.
+
+    Numerics match ops/attention.py's masked-softmax path to f32 rounding
+    (verified in tests/test_pallas_attention.py, interpret mode)."""
+    B, T, H, D = q.shape
+    assert T == 1
+    Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    G = H // Hkv
+    quantized = k_scale is not None
+
+    qb = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    qb = qb.reshape(B, 1, Hkv, G, D).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, G, D)
+
+    bt, st = _pick_bt(B, S, D, k_cache.dtype.itemsize)
+    grid = (B // bt, Hkv, S // st)
+
+    lens = kv_valid_len.astype(jnp.int32).reshape(B, 1)
+    win = (jnp.asarray(window, jnp.int32) if window is not None
+           else jnp.int32(S + 1)).reshape(1, 1)
+
+    in_specs = [
+        pl.BlockSpec((bt, 1, G, D), lambda i, j, k: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, 1, st, D), lambda i, j, k: (i, j, k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, 1, st, D), lambda i, j, k: (i, j, k, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qb, k_cache, v_cache]
+    kernel = _decode_attn_kernel
+    if quantized:
+        ks = k_scale.reshape(B, Hkv, 1, S)
+        vs = v_scale.reshape(B, Hkv, 1, S)
+        in_specs += [
+            pl.BlockSpec((bt, 1, 1, st), lambda i, j, k: (i, j, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, 1, st), lambda i, j, k: (i, j, 0, k),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ks, vs]
+    else:
+        kernel = functools.partial(_drop_scale_refs, kernel)
+    in_specs += [
+        pl.BlockSpec((bt, 1), lambda i, j, k: (i, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args += [lens, win]
+
+    out = pl.pallas_call(
+        functools.partial(kernel, bt=bt, st=st, softcap=logit_softcap,
+                          quantized=quantized),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, 1, G, D), lambda i, j, k: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bt, G, 1), jnp.float32),
+            pltpu.VMEM((bt, G, 1), jnp.float32),
+            pltpu.VMEM((bt, G, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=(2 * B * Hkv * S * D * k_cache.dtype.itemsize
+                            + (8 * B * Hkv * S if quantized else 0)),
+            transcendentals=B * H * S,
+        ),
+        interpret=INTERPRET,
+    )(*args)
+
+    out = out.reshape(B, Hkv, G, 1, D).transpose(0, 3, 1, 2, 4).reshape(B, 1, H, D)
+    return out.astype(q.dtype)
+
+
+def _drop_scale_refs(kernel, q_ref, k_ref, v_ref, lens_ref, win_ref, out_ref,
+                     m_ref, l_ref, acc_ref, **kw):
+    kernel(q_ref, k_ref, v_ref, None, None, lens_ref, win_ref, out_ref,
+           m_ref, l_ref, acc_ref, **kw)

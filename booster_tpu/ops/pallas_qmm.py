@@ -62,18 +62,18 @@ def _expand_scales(s, g: int, k_tile: int, col0):
 
 def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
                    bb: int, has_mins: bool, zero: int):
-    """x_ref [M, 2, BB] bf16, qw_ref [BN, BB] u8, s_ref [BN, 2(+2), SG]
-    (scale rows, then min rows when has_mins), out [M, BN] f32.
+    """x_ref [BM, 2, BB] bf16, qw_ref [BN, BB] u8, s_ref [BN, 2(+2), SG]
+    (scale rows, then min rows when has_mins), out [BM, BN] f32.
 
     Affine handling: w_eff = q·s − m with the expanded mins subtracted from
     the dequantized tile — one extra VPU op per element instead of a second
     matmul (which would pay the whole matvec floor again)."""
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    col0 = pl.program_id(1) * bb
+    col0 = pl.program_id(2) * bb
     sub = min(_SUB, bb)
     acc = jnp.zeros_like(out_ref)
     for j in range(bb // sub):
@@ -100,13 +100,13 @@ def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
 
 def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
                    bk: int, has_mins: bool):
-    """x_ref [M, BK], qw_ref [BN, BK] i8, s_ref [BN, 1(+1), SG]."""
+    """x_ref [BM, BK], qw_ref [BN, BK] i8, s_ref [BN, 1(+1), SG]."""
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    col0 = pl.program_id(1) * bk
+    col0 = pl.program_id(2) * bk
     sub = min(_SUB, bk)
     acc = jnp.zeros_like(out_ref)
     for j in range(bk // sub):
@@ -124,26 +124,36 @@ def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
     out_ref[:] += acc
 
 
-def _pick_tiles(n: int, kk: int) -> tuple[int, int]:
-    """(BN, K-tile): few, large grid steps — grid-step overhead dominates
+def _pick_tiles(n: int, kk: int, m: int = 1) -> tuple[int, int, int]:
+    """(BM, BN, K-tile): few, large grid steps — grid-step overhead dominates
     decode.  Whole K in one step when it fits; largest N tile whose payload
-    stays under ~3 MB (dequant temporaries are bounded by _SUB sub-tiling)."""
+    stays under ~3 MB (dequant temporaries are bounded by _SUB sub-tiling).
+    For prefill (large M) the M axis is tiled too and the K tile shrinks so
+    the x block (BM·2·BK bf16) fits alongside the weight tile."""
+    bm = m if m <= 256 else 256  # caller pads M to a multiple of 256
     bkb = kk
-    if kk > 8192:
+    x_bytes_per_k = 4 * bm  # [BM, 2, BK] bf16 (i4 path upper bound)
+    if kk > 8192 or x_bytes_per_k * kk > _BUDGET:
         for cand in (8192, 5632, 4096, 2816, 2048, 1408, 1024, 512, 256, 128):
-            if kk % cand == 0:
+            if kk % cand == 0 and cand * x_bytes_per_k <= _BUDGET:
                 bkb = cand
                 break
+        else:
+            for cand in (2048, 1024, 512, 256, 128):
+                if kk % cand == 0:
+                    bkb = cand
+                    break
     budget = _BUDGET
     bn = 128
     for cand in (3200, 2560, 2048, 1792, 1536, 1280, 1024, 768, 640, 512, 384, 256, 128):
-        if n % cand == 0 and cand * bkb <= budget:
+        # weight tile + (out + acc) f32 tiles both bounded, double-buffered
+        if n % cand == 0 and cand * bkb <= budget and 8 * bm * cand <= budget:
             bn = cand
             break
     else:
         if n % 128 != 0:
             bn = n
-    return bn, bkb
+    return bm, bn, bkb
 
 
 def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
@@ -151,8 +161,8 @@ def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     N = w.shape[0]
     G = w.group
     half = K // 2
-    BN, BB = _pick_tiles(N, half)
-    grid = (N // BN, half // BB)
+    BM, BN, BB = _pick_tiles(N, half, M)
+    grid = (M // BM, N // BN, half // BB)
     has_mins = w.mins is not None
 
     x3 = x.reshape(M, 2, half).astype(jnp.bfloat16)
@@ -166,17 +176,19 @@ def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
                           zero=w.zero),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, 2, BB), lambda n, k: (0, 0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, BB), lambda n, k: (n, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 2, BB), lambda m, n, k: (m, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, BB), lambda m, n, k: (n, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (BN, 4 if has_mins else 2, sg), lambda n, k: (n, 0, 0),
+                (BN, 4 if has_mins else 2, sg), lambda m, n, k: (n, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((M, BN), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -191,8 +203,8 @@ def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     M, K = x.shape
     N = w.shape[0]
     G = w.group
-    BN, BK = _pick_tiles(N, K)
-    grid = (N // BN, K // BK)
+    BM, BN, BK = _pick_tiles(N, K, M)
+    grid = (M // BM, N // BN, K // BK)
     has_mins = w.mins is not None
     sg = K // G
 
@@ -204,17 +216,18 @@ def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
         functools.partial(_qmm_i8_kernel, group=G, bk=BK, has_mins=has_mins),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, BK), lambda n, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, BK), lambda n, k: (n, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, BK), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, BK), lambda m, n, k: (n, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (BN, 2 if has_mins else 1, sg), lambda n, k: (n, 0, 0),
+                (BN, 2 if has_mins else 1, sg), lambda m, n, k: (n, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((M, BN), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -239,13 +252,16 @@ def _supported(w: QTensor, K: int, M: int) -> bool:
 
 
 def qmm(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
-    """x [..., K] @ W[N, K]^T → [..., N] float32."""
+    """x [..., K] @ W[N, K]^T → [..., N] float32.
+
+    Decode (small M) and prefill (large M, M-tiled grid) both stream the
+    weights quantized — the mmq.cu role.  Rows are padded to the M tile."""
     K = x.shape[-1]
     lead = x.shape[:-1]
     M = 1
     for d in lead:
         M *= d
-    if not _supported(w, K, M) or M > 256:
+    if not _supported(w, K, M):
         wd = dequantize_qtensor(w, dtype=jnp.bfloat16)
         return jax.lax.dot_general(
             x.astype(jnp.bfloat16), wd,
@@ -253,5 +269,10 @@ def qmm(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         )
     x2 = x.reshape(M, K)
+    Mp = M if M <= 256 else ((M + 255) // 256) * 256
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     y = _qmm_i4(x2, w) if w.kind == "i4p" else _qmm_i8(x2, w)
+    if Mp != M:
+        y = y[:M]
     return y.reshape(*lead, w.shape[0])

@@ -395,16 +395,22 @@ class Engine:
         if hasattr(self, "slot_lengths"):
             self.slot_lengths[slot] = 0
 
-    def prefill_slots(self, jobs: dict[int, list[int]], chunk: int = 512) -> dict[int, int]:
+    def prefill_slots(self, jobs: dict[int, list[int]], chunk: int = 512,
+                      full_history: Optional[dict[int, list[int]]] = None,
+                      ) -> dict[int, int]:
         """Prefill prompts into their slots (chunked); returns first sampled
-        token per slot.  Slots must have been reset_slot()'d first."""
+        token per slot.  Slots must have been reset_slot()'d first (or had a
+        session state restored — then `jobs` holds only the unseen suffix and
+        `full_history` the complete token history for penalty seeding)."""
         from booster_tpu.sampling.samplers import seed_prompt_row
 
         B = self.max_batch
         # seed penalty history with the prompt (reference accepts prompt
         # tokens into the sampling context, bridge.cpp:618)
         for s, ids in jobs.items():
-            self.state = seed_prompt_row(self.state, s, ids)
+            self.state = seed_prompt_row(
+                self.state, s, (full_history or {}).get(s, ids)
+            )
         remaining = {s: list(ids) for s, ids in jobs.items()}
         first: dict[int, int] = {}
         while remaining:
@@ -502,6 +508,25 @@ class Engine:
             list(last_tokens), n_steps=n_steps, last_tokens=last_tokens
         )
         return self.decode_slots_finish(handle)
+
+    def shift_slot(self, slot: int, n_keep: int = 0,
+                   n_discard: Optional[int] = None) -> int:
+        """Batched-path context shift (bridge.cpp:487-507 semantics): drop
+        `n_discard` tokens after the first `n_keep` from this slot's cache,
+        in place, with exact rope correction — the slot keeps generating with
+        no re-prefill.  Returns the number of discarded tokens."""
+        from booster_tpu.ops.kv_cache import shift_slot_cache
+
+        length = int(self.slot_lengths[slot])
+        if n_discard is None:
+            n_discard = max(1, (length - n_keep) // 2)
+        self.cache = shift_slot_cache(
+            self.cache, jnp.int32(slot), jnp.int32(n_keep),
+            jnp.int32(n_discard), self.params["rope"]["inv_freq"],
+            self.cfg.rope_style,
+        )
+        self.slot_lengths[slot] = length - n_discard
+        return n_discard
 
     def _prefill_aux(self, cache: KVCache, ids: list[int]):
         """Prefill an auxiliary cache (e.g. the CFG guidance context) on slot

@@ -53,6 +53,8 @@ class Job:
     cancelled: bool = False
     detok: Optional[StreamDetokenizer] = None
     _done: asyncio.Event = dataclasses.field(default_factory=asyncio.Event)
+    _prompt_ids: list[int] = dataclasses.field(default_factory=list)
+    _shifted: bool = False  # in-cache context shift happened (KV ≠ token list)
 
     @property
     def n_generated(self) -> int:
@@ -70,6 +72,9 @@ class Scheduler:
         default_max_tokens: int = 1024,
         deadline_s: float = 180.0,
         locale: str = "en_US",
+        context_shift: bool = True,
+        n_keep: int = 0,
+        swap_dir: str = "",
     ):
         self.engine = engine
         self.prompt_spec = prompt_spec or PromptSpec(id="default")
@@ -77,6 +82,15 @@ class Scheduler:
         self.default_max_tokens = default_max_tokens
         self.deadline_s = deadline_s
         self.locale = locale
+        self.context_shift = context_shift
+        self.n_keep = n_keep
+        # session swap: per-session KV save/restore (the fixed version of the
+        # reference's commented-out swap files, bridge.cpp:224-263)
+        self.swap_dir = swap_dir
+        if swap_dir:
+            import os
+
+            os.makedirs(swap_dir, exist_ok=True)
 
         self.jobs: dict[str, Job] = {}
         self.queue: deque[str] = deque()
@@ -91,6 +105,10 @@ class Scheduler:
         self._task: Optional[asyncio.Task] = None
         self._total_generated = 0
         self._total_jobs = 0
+        # observability gauges (reference /health cpuLoad analog,
+        # server.go:1415-1425 — upgraded to throughput/TTFT)
+        self._token_times: deque[tuple[float, int]] = deque(maxlen=512)
+        self._ttfts: deque[float] = deque(maxlen=64)
         engine.init_batch_state()
 
     # -- public API ----------------------------------------------------------
@@ -143,13 +161,21 @@ class Scheduler:
         return job
 
     def health(self) -> dict:
+        now = time.time()
+        window = [(t, n) for t, n in self._token_times if now - t <= 30.0]
+        toks_30s = sum(n for _, n in window)
+        span = (now - window[0][0]) if len(window) > 1 else 0.0
+        ttfts = sorted(self._ttfts)
         return {
             "status": "ok" if not self._shutdown else "shutting_down",
             "slots_total": self.engine.max_batch,
             "slots_busy": len(self.running),
+            "load": len(self.running) / max(self.engine.max_batch, 1),
             "jobs_queued": len(self.queue),
             "jobs_total": self._total_jobs,
             "tokens_generated": self._total_generated,
+            "tokens_per_sec": round(toks_30s / span, 2) if span > 0 else 0.0,
+            "ttft_p50_ms": round(ttfts[len(ttfts) // 2] * 1000, 1) if ttfts else None,
         }
 
     async def shutdown(self, drain: bool = True) -> None:
@@ -196,6 +222,56 @@ class Scheduler:
         if self.session_tokens[job.session_id] >= limit:
             self.sessions.pop(job.session_id, None)
             self.session_tokens[job.session_id] = 0
+
+    # -- session swap (KV save/restore; fixes bridge.cpp:224-263) ------------
+
+    def _swap_path(self, session_id: str) -> str:
+        import os
+
+        return os.path.join(self.swap_dir, f"{session_id}.state")
+
+    def _try_restore_session(self, slot: int, job: Job, ids: list[int]) -> int:
+        """Restore the saved KV prefix matching this prompt; returns how many
+        tokens of `ids` are already in the cache (0 = nothing restored)."""
+        import os
+
+        if not (self.swap_dir and job.session_id):
+            return 0
+        path = self._swap_path(job.session_id)
+        if not os.path.exists(path):
+            return 0
+        try:
+            from booster_tpu.serving.state import kv_length, load_slot_state, peek_tokens
+
+            blob = open(path, "rb").read()
+            saved = peek_tokens(blob)
+            common = 0
+            for a, b in zip(saved, ids):
+                if a != b:
+                    break
+                common += 1
+            # keep ≥1 token to prefill (need fresh logits to sample from)
+            common = min(common, len(ids) - 1, kv_length(blob))
+            if common <= 0:
+                return 0
+            load_slot_state(self.engine, slot, blob, max_len=common)
+            return common
+        except Exception:
+            return 0
+
+    def _save_session_state(self, slot: int, job: Job) -> None:
+        if not (self.swap_dir and job.session_id) or job._shifted:
+            return
+        try:
+            from booster_tpu.serving.state import save_slot_state
+
+            blob = save_slot_state(
+                self.engine, slot, job._prompt_ids + job.token_ids
+            )
+            with open(self._swap_path(job.session_id), "wb") as f:
+                f.write(blob)
+        except Exception:
+            pass
 
     # -- main loop -----------------------------------------------------------
 
@@ -257,6 +333,7 @@ class Scheduler:
                 pending = None
             if admits:
                 prefill_map: dict[int, list[int]] = {}
+                history_map: dict[int, list[int]] = {}
                 rejected: list[int] = []
                 for slot, job in admits.items():
                     job.full_prompt = self.build_full_prompt(job)
@@ -283,17 +360,40 @@ class Scheduler:
                     seed = sp.seed if sp.seed >= 0 else (hash(job.id) & 0x7FFFFFFF)
                     self.engine.reset_slot(slot, sp, seed,
                                            max_predict=job.max_tokens)
-                    prefill_map[slot] = ids
+                    job._prompt_ids = ids
+                    restored = self._try_restore_session(slot, job, ids)
+                    prefill_map[slot] = ids[restored:]
+                    if restored:
+                        history_map[slot] = ids
                 for slot in rejected:
                     del admits[slot]
                 first = await loop.run_in_executor(
-                    None, self.engine.prefill_slots, prefill_map
+                    None,
+                    lambda: self.engine.prefill_slots(
+                        prefill_map, full_history=history_map
+                    ),
                 )
                 for slot, job in admits.items():
                     self.running[slot] = job
                     self._append_token(job, first[slot])
                     self._maybe_finish(slot, job, first_token=True)
                 did_work = True
+
+            # batched context shift: slots running out of cache keep
+            # generating (reference "infinite generation", bridge.cpp:487-507)
+            if self.context_shift:
+                need_shift = [
+                    s for s in self.running
+                    if int(self.engine.slot_lengths[s]) + self.engine.decode_chunk
+                    >= self.engine.max_seq - 1
+                ]
+                if need_shift and pending is not None:
+                    await self._consume(loop, pending)
+                    pending = None
+                for s in need_shift:
+                    if s in self.running:  # may have finished in _consume
+                        self.engine.shift_slot(s, n_keep=self.n_keep)
+                        self.running[s]._shifted = True
 
             # batched decode chunk for running slots (dispatch-ahead)
             if self.running:
@@ -414,15 +514,20 @@ class Scheduler:
     def _append_token(self, job: Job, token: int) -> None:
         if len(job.token_ids) >= job.max_tokens:
             return
+        if not job.token_ids and job.started_at:
+            self._ttfts.append(time.time() - job.started_at)
         job.token_ids.append(token)
         job.output += job.detok.push(token)
         self._total_generated += 1
+        self._token_times.append((time.time(), 1))
 
     def _maybe_finish(self, slot: int, job: Job, eog: bool = False,
                       first_token: bool = False) -> None:
         vocab = self.engine.tokenizer.vocab
         hit_eog = eog or (job.token_ids and vocab.is_eog(job.token_ids[-1]))
-        out_of_space = (
+        # with context_shift on, running out of cache never ends a job — the
+        # slot is shifted in place by the run loop instead
+        out_of_space = not self.context_shift and (
             int(self.engine.slot_lengths[slot]) + self.engine.decode_chunk
             >= self.engine.max_seq - 1
         )
@@ -442,6 +547,7 @@ class Scheduler:
         job.status = STATUS_STOPPED if reason == "cancelled" else STATUS_FINISHED
         job.finished_at = time.time()
         self._save_session(job)
+        self._save_session_state(slot, job)  # KV swap (while slot still valid)
         if slot in self.running:
             del self.running[slot]
             self.free_slots.append(slot)

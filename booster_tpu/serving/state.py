@@ -55,8 +55,27 @@ def save_slot_state(engine, slot: int, token_ids: list[int]) -> bytes:
     return buf.getvalue()
 
 
-def load_slot_state(engine, slot: int, blob: bytes) -> list[int]:
-    """Restore a saved sequence into `slot`; returns its token history."""
+def peek_tokens(blob: bytes) -> list[int]:
+    """Token history of a state blob without restoring it."""
+    data = np.load(io.BytesIO(blob), allow_pickle=False)
+    meta = json.loads(str(data["meta"]))
+    if meta.get("magic") != STATE_MAGIC:
+        raise ValueError("not a booster-tpu state blob")
+    return [int(t) for t in data["tokens"]]
+
+
+def kv_length(blob: bytes) -> int:
+    data = np.load(io.BytesIO(blob), allow_pickle=False)
+    meta = json.loads(str(data["meta"]))
+    return int(meta["length"])
+
+
+def load_slot_state(engine, slot: int, blob: bytes,
+                    max_len: Optional[int] = None) -> list[int]:
+    """Restore a saved sequence into `slot`; returns its token history.
+
+    `max_len` truncates the restored prefix (session swap restores only the
+    portion that matches the new prompt's tokens)."""
     import dataclasses
 
     data = np.load(io.BytesIO(blob), allow_pickle=False)
@@ -71,6 +90,8 @@ def load_slot_state(engine, slot: int, blob: bytes) -> list[int]:
     if bool(meta["quantized"]) != (engine.cache.k_scale is not None):
         raise ValueError("state/engine KV quantization mismatch")
     length = int(meta["length"])
+    if max_len is not None:
+        length = min(length, max_len)
     if length > engine.max_seq:
         raise ValueError(f"state length {length} exceeds engine max_seq")
 
@@ -84,12 +105,16 @@ def load_slot_state(engine, slot: int, blob: bytes) -> list[int]:
             return a.view(ml_dtypes.bfloat16)
         return a
 
-    k = cache.k.at[:, slot, :, :length].set(jnp.asarray(restore(data["k"])))
-    v = cache.v.at[:, slot, :, :length].set(jnp.asarray(restore(data["v"])))
+    k = cache.k.at[:, slot, :, :length].set(
+        jnp.asarray(restore(data["k"])[:, :, :length]))
+    v = cache.v.at[:, slot, :, :length].set(
+        jnp.asarray(restore(data["v"])[:, :, :length]))
     ks = vs = None
     if cache.k_scale is not None:
-        ks = cache.k_scale.at[:, slot, :, :length].set(jnp.asarray(data["k_scale"]))
-        vs = cache.v_scale.at[:, slot, :, :length].set(jnp.asarray(data["v_scale"]))
+        ks = cache.k_scale.at[:, slot, :, :length].set(
+            jnp.asarray(data["k_scale"][:, :, :length]))
+        vs = cache.v_scale.at[:, slot, :, :length].set(
+            jnp.asarray(data["v_scale"][:, :, :length]))
     engine.cache = dataclasses.replace(
         cache,
         k=k,
@@ -98,4 +123,6 @@ def load_slot_state(engine, slot: int, blob: bytes) -> list[int]:
         k_scale=ks,
         v_scale=vs,
     )
+    if hasattr(engine, "slot_lengths"):
+        engine.slot_lengths[slot] = length
     return [int(t) for t in data["tokens"]]

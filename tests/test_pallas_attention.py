@@ -1,0 +1,159 @@
+"""Fused decode-attention kernel parity vs the XLA attention path.
+
+Runs the Pallas kernel in interpreter mode on CPU and checks numerics
+against ops.attention.attention on the dequantized cache.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import booster_tpu.ops.pallas_attention as pa
+from booster_tpu.ops.attention import attention
+from booster_tpu.ops.kv_cache import _quantize_kv
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    pa.INTERPRET = True
+    yield
+    pa.INTERPRET = False
+
+
+def make_case(B=4, Hkv=2, G=2, S=256, D=64, seed=0, lens=None):
+    rng = np.random.default_rng(seed)
+    H = Hkv * G
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+    if lens is None:
+        lens = rng.integers(1, S, B)
+    lens = jnp.asarray(np.asarray(lens, np.int32))
+    return q, k, v, lens
+
+
+def ref_attention(q, k, v, lens, scale, softcap=0.0, window=None):
+    B = q.shape[0]
+    qpos = (lens - 1)[:, None]  # decode: query sits at the last valid pos
+    return attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        qpos, lens, scale, logit_softcap=softcap,
+        sliding_window=window,
+    )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_attention_matches_xla(quantized):
+    q, k, v, lens = make_case()
+    scale = 0.125
+    if quantized:
+        # cache layout [B, H, S, D]: quantize per (token, head)
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        kd = (kq.astype(jnp.float32) * ks).astype(jnp.bfloat16)
+        vd = (vq.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+        ref = ref_attention(q, kd, vd, lens, scale)
+        out = pa.decode_attention(q, kq, vq, ks, vs, lens, scale)
+    else:
+        ref = ref_attention(q, k, v, lens, scale)
+        out = pa.decode_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), None, None, lens, scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_decode_attention_multi_s_tiles(monkeypatch):
+    monkeypatch.setattr(pa, "_ST", 128)  # force online-softmax accumulation
+    q, k, v, lens = make_case(S=512, seed=3)
+    ref = ref_attention(q, k, v, lens, 0.2)
+    out = pa.decode_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), None, None, lens, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_decode_attention_sliding_window_and_softcap():
+    q, k, v, lens = make_case(B=2, S=128, seed=5, lens=[100, 128])
+    window = 32
+    ref = ref_attention(q, k, v, lens, 0.1, softcap=30.0,
+                        window=jnp.int32(window))
+    out = pa.decode_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), None, None, lens, 0.1,
+        logit_softcap=30.0, window=jnp.int32(window))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_decode_attention_mha_group1():
+    q, k, v, lens = make_case(B=2, Hkv=4, G=1, S=128, seed=7)
+    ref = ref_attention(q, k, v, lens, 0.125)
+    out = pa.decode_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), None, None, lens, 0.125)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+@pytest.mark.parametrize("kv_quantized", [False, True])
+def test_forward_fused_decode_matches_xla(tmp_path, kv_quantized):
+    """Whole-model decode step: fused kernel path vs XLA attention path."""
+    from booster_tpu.models import load_model
+    from booster_tpu.models.llama import forward
+    from booster_tpu.ops.kv_cache import KVCache
+    from booster_tpu.ops import linear
+    from tools.make_test_model import make_model
+
+    path = str(tmp_path / "tiny.gguf")
+    make_model(path, vocab_size=256, hidden=128, layers=2)
+    m = load_model(path)
+
+    def run():
+        cache = KVCache.create(
+            m.cfg.n_layers, 2, 128, m.cfg.n_kv_heads, m.cfg.head_dim,
+            quantized=kv_quantized,
+        )
+        prompt = jnp.asarray(np.arange(16, dtype=np.int32)[None, :].repeat(2, 0))
+        logits, cache = forward(m.params, m.cfg, prompt, cache, last_only=True)
+        tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        logits2, cache = forward(m.params, m.cfg, tok, cache, last_only=True)
+        return np.asarray(logits2[:, -1, :], np.float32)
+
+    old = linear._USE_PALLAS
+    try:
+        linear.set_use_pallas(False)
+        ref = run()  # XLA path (fused gate off: use_pallas False, INTERPRET
+        # is toggled by the autouse fixture, so flip it off for the ref)
+        pa.INTERPRET = False
+        ref = run()
+        pa.INTERPRET = True
+        fused = run()  # INTERPRET on → _use_fused_decode engages on CPU
+    finally:
+        linear.set_use_pallas(old)
+    np.testing.assert_allclose(fused, ref, atol=0.05, rtol=0.05)
+
+
+def test_int8_kv_accuracy_bounded():
+    """int8 KV degradation vs bf16 KV is bounded (the reference gates
+    quantized KV behind flash-attn validity; here we quantify the error)."""
+    q, k, v, lens = make_case(B=4, S=256, seed=11)
+    scale = 0.125
+    exact = ref_attention(q, k, v, lens, scale)
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+    out = pa.decode_attention(q, kq, vq, ks, vs, lens, scale)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(exact, np.float32))
+    rel = err.max() / (np.abs(np.asarray(exact)).max() + 1e-9)
+    assert rel < 0.05, f"int8 KV relative error {rel:.4f} too large"

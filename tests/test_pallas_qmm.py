@@ -53,6 +53,20 @@ def test_qmm_matches_reference(fmt, kind, M):
     np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
 
 
+@pytest.mark.parametrize("M", [512, 2048, 300])
+def test_qmm_large_m_tiled(M):
+    """Prefill shapes: the M-tiled grid streams 4-bit weights (no dequant
+    fallback); 300 exercises the pad-to-256-multiple path."""
+    N, K = 256, 512
+    for fmt in (GGMLType.Q4_0, GGMLType.Q8_0):
+        qt = make_qt(fmt, N, K)
+        x = jnp.asarray(RNG.standard_normal((M, K)).astype(np.float32) * 0.3)
+        got = np.asarray(pq.qmm(x, qt))
+        want = np.asarray(reference(x, qt))
+        assert got.shape == (M, N)
+        np.testing.assert_allclose(got, want, atol=0.08, rtol=0.08)
+
+
 def test_qmm_batch_shape():
     qt = make_qt(GGMLType.Q4_0, 256, 512)
     x = jnp.asarray(RNG.standard_normal((2, 3, 512)).astype(np.float32))
