@@ -48,6 +48,73 @@ def build_model(path: str, small: bool) -> str:
     )
 
 
+def build_config_model(config: int) -> str:
+    """Driver-config model shapes (BASELINE.md): 2 = 8B Q4_K @ 8K + Janus,
+    3 = 7B Q8_0 + int8 KV @ 64 streams."""
+    from booster_tpu.gguf import GGMLType
+    from tools.make_test_model import make_model
+
+    if config == 2:  # Llama-3-8B shape
+        path = "/tmp/bench_8b_q4k.gguf"
+        if not os.path.exists(path):
+            make_model(path, vocab_size=32000, hidden=4096, layers=32,
+                       heads=32, kv_heads=8, ff=14336, quant=GGMLType.Q4_K)
+        return path
+    if config == 3:  # Mistral-7B shape
+        path = "/tmp/bench_7b_q8.gguf"
+        if not os.path.exists(path):
+            make_model(path, vocab_size=32000, hidden=4096, layers=32,
+                       heads=32, kv_heads=8, ff=14336, quant=GGMLType.Q8_0)
+        return path
+    raise ValueError(config)
+
+
+def bench_config2() -> dict:
+    """Config 2: 8B-shape Q4_K_M, Janus sampling, 8K context, 1 stream."""
+    from booster_tpu.models import load_model
+    from booster_tpu.sampling import SamplingParams
+    from booster_tpu.serving import Engine
+
+    path = build_config_model(2)
+    t0 = time.time()
+    model = load_model(path)
+    sys.stderr.write(f"[bench:c2] loaded in {time.time()-t0:.0f}s\n")
+    engine = Engine(model, max_batch=1, max_seq=8192,
+                    decode_chunk=int(os.environ.get("BENCH_CHUNK", "64")))
+    prompt = engine.tokenizer.encode("benchmark " * 12)
+    sp = SamplingParams(temp=0.8, janus=1, seed=0)
+    t0 = time.time()
+    engine.generate(prompt, sp, max_new_tokens=engine.decode_chunk + 1)
+    sys.stderr.write(f"[bench:c2] warmup {time.time()-t0:.0f}s\n")
+    n = int(os.environ.get("BENCH_TOKENS", "128"))
+    r = engine.generate(prompt, sp, max_new_tokens=n)
+    tps = 1000.0 / r.gen_ms_per_token
+    return {
+        "metric": "decode tokens/sec/chip, 8B-shape Q4_K_M + Janus @ 8K ctx, 1 stream",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / 12.0, 3),  # proxy: ~12 t/s CPU-class 8B Q4
+    }
+
+
+def bench_config3() -> dict:
+    """Config 3: 7B-shape Q8_0, int8 KV, 64 concurrent streams."""
+    from booster_tpu.models import load_model
+
+    path = build_config_model(3)
+    t0 = time.time()
+    model = load_model(path)
+    sys.stderr.write(f"[bench:c3] loaded in {time.time()-t0:.0f}s\n")
+    n = int(os.environ.get("BENCH_TOKENS", "128"))
+    b = bench_batch(model, 64, n, kv_quant=True)
+    return {
+        "metric": "aggregate decode tokens/sec/chip, 7B-shape Q8_0 + int8 KV, 64 streams",
+        "value": round(b["agg_tps"], 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(b["agg_tps"] / 12.0, 3),
+    }
+
+
 def bench_batch(model, n_streams: int, n_tokens: int, kv_quant: bool) -> dict:
     """Aggregate decode throughput with continuous batching (config 3 analog:
     many streams, optionally int8 KV)."""
@@ -95,6 +162,13 @@ def bench_batch(model, n_streams: int, n_tokens: int, kv_quant: bool) -> dict:
 
 
 def main() -> None:
+    config = int(os.environ.get("BENCH_CONFIG", "1"))
+    if config in (2, 3):
+        result = bench_config2() if config == 2 else bench_config3()
+        sys.stderr.write(f"[bench] {result['metric']}: {result['value']}\n")
+        print(json.dumps(result))
+        return
+
     small = os.environ.get("BENCH_SMALL") == "1"
     n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
     path = "/tmp/bench_tinyllama_q4_0.gguf" if not small else "/tmp/bench_small.gguf"

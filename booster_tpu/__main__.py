@@ -121,6 +121,11 @@ def main(argv=None) -> int:
         )
         return 0
 
+    draft_engine = None
+    if args.model_draft:
+        draft_model = load_model(os.path.expanduser(args.model_draft))
+        draft_engine = Engine(draft_model, max_batch=1, max_seq=model_spec.context)
+
     scheduler = Scheduler(
         engine,
         prompt_spec=prompt_spec,
@@ -128,6 +133,7 @@ def main(argv=None) -> int:
         default_max_tokens=model_spec.predict,
         deadline_s=config.deadline,
         swap_dir=config.swap,
+        draft_engine=draft_engine,
     )
 
     if args.server:

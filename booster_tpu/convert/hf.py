@@ -253,6 +253,93 @@ _SIMPLE_MAPS = {
             "mlp.dense_4h_to_h.bias": "ffn_down.bias",
         },
     },
+    "bloom": {
+        "prefix": "transformer.",
+        "embd": "word_embeddings.weight", "pos": None,
+        "embd_norm": ("word_embeddings_layernorm.weight",
+                      "word_embeddings_layernorm.bias"),
+        "final_norm": ("ln_f.weight", "ln_f.bias"),
+        "transpose_2d": False,
+        "layers": "h.",
+        "map": {
+            "input_layernorm.weight": "attn_norm.weight",
+            "input_layernorm.bias": "attn_norm.bias",
+            "self_attention.query_key_value.weight": "attn_qkv.weight",
+            "self_attention.query_key_value.bias": "attn_qkv.bias",
+            "self_attention.dense.weight": "attn_output.weight",
+            "self_attention.dense.bias": "attn_output.bias",
+            "post_attention_layernorm.weight": "ffn_norm.weight",
+            "post_attention_layernorm.bias": "ffn_norm.bias",
+            "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+            "mlp.dense_h_to_4h.bias": "ffn_up.bias",
+            "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+            "mlp.dense_4h_to_h.bias": "ffn_down.bias",
+        },
+    },
+    "stablelm": {
+        "prefix": "model.",
+        "embd": "embed_tokens.weight", "pos": None,
+        "final_norm": ("norm.weight", "norm.bias"),
+        "transpose_2d": False,
+        "layers": "layers.",
+        "map": {
+            "input_layernorm.weight": "attn_norm.weight",
+            "input_layernorm.bias": "attn_norm.bias",
+            "self_attn.q_proj.weight": "attn_q.weight",
+            "self_attn.q_proj.bias": "attn_q.bias",
+            "self_attn.k_proj.weight": "attn_k.weight",
+            "self_attn.k_proj.bias": "attn_k.bias",
+            "self_attn.v_proj.weight": "attn_v.weight",
+            "self_attn.v_proj.bias": "attn_v.bias",
+            "self_attn.o_proj.weight": "attn_output.weight",
+            "post_attention_layernorm.weight": "ffn_norm.weight",
+            "post_attention_layernorm.bias": "ffn_norm.bias",
+            "mlp.gate_proj.weight": "ffn_gate.weight",
+            "mlp.up_proj.weight": "ffn_up.weight",
+            "mlp.down_proj.weight": "ffn_down.weight",
+        },
+    },
+    "starcoder2": {
+        "prefix": "model.",
+        "embd": "embed_tokens.weight", "pos": None,
+        "final_norm": ("norm.weight", "norm.bias"),
+        "transpose_2d": False,
+        "layers": "layers.",
+        "map": {
+            "input_layernorm.weight": "attn_norm.weight",
+            "input_layernorm.bias": "attn_norm.bias",
+            "self_attn.q_proj.weight": "attn_q.weight",
+            "self_attn.q_proj.bias": "attn_q.bias",
+            "self_attn.k_proj.weight": "attn_k.weight",
+            "self_attn.k_proj.bias": "attn_k.bias",
+            "self_attn.v_proj.weight": "attn_v.weight",
+            "self_attn.v_proj.bias": "attn_v.bias",
+            "self_attn.o_proj.weight": "attn_output.weight",
+            "self_attn.o_proj.bias": "attn_output.bias",
+            "post_attention_layernorm.weight": "ffn_norm.weight",
+            "post_attention_layernorm.bias": "ffn_norm.bias",
+            "mlp.c_fc.weight": "ffn_up.weight",
+            "mlp.c_fc.bias": "ffn_up.bias",
+            "mlp.c_proj.weight": "ffn_down.weight",
+            "mlp.c_proj.bias": "ffn_down.bias",
+        },
+    },
+    "olmo": {
+        "prefix": "model.",
+        "embd": "embed_tokens.weight", "pos": None,
+        "final_norm": (None, None),  # non-parametric LayerNorm
+        "transpose_2d": False,
+        "layers": "layers.",
+        "map": {
+            "self_attn.q_proj.weight": "attn_q.weight",
+            "self_attn.k_proj.weight": "attn_k.weight",
+            "self_attn.v_proj.weight": "attn_v.weight",
+            "self_attn.o_proj.weight": "attn_output.weight",
+            "mlp.gate_proj.weight": "ffn_gate.weight",
+            "mlp.up_proj.weight": "ffn_up.weight",
+            "mlp.down_proj.weight": "ffn_down.weight",
+        },
+    },
     "command-r": {
         "prefix": "model.",
         "embd": "embed_tokens.weight", "pos": None,
@@ -290,7 +377,7 @@ def _convert_simple(state_dict, hf_cfg, arch: str) -> dict[str, np.ndarray]:
             n_kv, qkv_layout = 1, "seq"
         else:
             n_kv, qkv_layout = n_heads, "per_head"
-    elif arch == "gptneox":
+    elif arch in ("gptneox", "bloom"):
         n_kv, qkv_layout = n_heads, "per_head"
     elif arch == "starcoder":
         n_kv = 1 if hf_cfg.get("multi_query", True) else n_heads
@@ -307,16 +394,21 @@ def _convert_simple(state_dict, hf_cfg, arch: str) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     prefix, layers = spec["prefix"], spec["prefix"] + spec["layers"]
     fw, fb = spec["final_norm"]
+    ew, eb = spec.get("embd_norm", (None, None))
     for name, tensor in state_dict.items():
         w = to_np(tensor)
         if name == prefix + spec["embd"]:
             out["token_embd.weight"] = w
         elif spec["pos"] and name == prefix + spec["pos"]:
             out["position_embd.weight"] = w
-        elif name == prefix + fw:
+        elif fw and name == prefix + fw:
             out["output_norm.weight"] = w
         elif fb and name == prefix + fb:
             out["output_norm.bias"] = w
+        elif ew and name == prefix + ew:
+            out["token_embd_norm.weight"] = w
+        elif eb and name == prefix + eb:
+            out["token_embd_norm.bias"] = w
         elif name == "lm_head.weight" or name == "embed_out.weight":
             out["output.weight"] = w
         elif name == "lm_head.bias":
@@ -335,6 +427,51 @@ def _convert_simple(state_dict, hf_cfg, arch: str) -> dict[str, np.ndarray]:
     return out
 
 
+def _convert_bert(state_dict, hf_cfg) -> dict[str, np.ndarray]:
+    """HF BertModel → GGUF bert tensor names (llama.cpp:724-740)."""
+    def to_np(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    m = {
+        "embeddings.word_embeddings.weight": "token_embd.weight",
+        "embeddings.position_embeddings.weight": "position_embd.weight",
+        "embeddings.token_type_embeddings.weight": "token_types.weight",
+        "embeddings.LayerNorm.weight": "token_embd_norm.weight",
+        "embeddings.LayerNorm.bias": "token_embd_norm.bias",
+    }
+    lm = {
+        "attention.self.query.weight": "attn_q.weight",
+        "attention.self.query.bias": "attn_q.bias",
+        "attention.self.key.weight": "attn_k.weight",
+        "attention.self.key.bias": "attn_k.bias",
+        "attention.self.value.weight": "attn_v.weight",
+        "attention.self.value.bias": "attn_v.bias",
+        "attention.output.dense.weight": "attn_output.weight",
+        "attention.output.dense.bias": "attn_output.bias",
+        "attention.output.LayerNorm.weight": "attn_output_norm.weight",
+        "attention.output.LayerNorm.bias": "attn_output_norm.bias",
+        "intermediate.dense.weight": "ffn_up.weight",
+        "intermediate.dense.bias": "ffn_up.bias",
+        "output.dense.weight": "ffn_down.weight",
+        "output.dense.bias": "ffn_down.bias",
+        "output.LayerNorm.weight": "layer_output_norm.weight",
+        "output.LayerNorm.bias": "layer_output_norm.bias",
+    }
+    out: dict[str, np.ndarray] = {}
+    for name, tensor in state_dict.items():
+        name = name.removeprefix("bert.")
+        if name in m:
+            out[m[name]] = to_np(tensor)
+        elif name.startswith("encoder.layer."):
+            rest = name[len("encoder.layer."):]
+            idx, _, sub = rest.partition(".")
+            if sub in lm:
+                out[f"blk.{idx}.{lm[sub]}"] = to_np(tensor)
+    return out
+
+
 _HF_CLASS_ARCH = {
     "LlamaForCausalLM": "llama", "MistralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2", "Gemma2ForCausalLM": "gemma2",
@@ -343,6 +480,9 @@ _HF_CLASS_ARCH = {
     "FalconForCausalLM": "falcon", "PhiForCausalLM": "phi2",
     "MptForCausalLM": "mpt", "GPTNeoXForCausalLM": "gptneox",
     "CohereForCausalLM": "command-r",
+    "BertModel": "bert", "BertForMaskedLM": "bert",
+    "BloomForCausalLM": "bloom", "StableLmForCausalLM": "stablelm",
+    "Starcoder2ForCausalLM": "starcoder2", "OlmoForCausalLM": "olmo",
 }
 
 
@@ -378,7 +518,10 @@ def convert_hf_model(
     n_ctx = cfg_int("max_position_embeddings", "n_positions", "max_seq_len",
                     default=4096)
 
-    if arch in _SIMPLE_MAPS:
+    if arch == "bert":
+        tensors = _convert_bert(model.state_dict(), hf_cfg)
+        n_kv = n_heads
+    elif arch in _SIMPLE_MAPS:
         tensors = _convert_simple(model.state_dict(), hf_cfg, arch)
         if arch == "falcon":
             if hf_cfg.get("new_decoder_architecture"):
@@ -389,7 +532,7 @@ def convert_hf_model(
                 n_kv = n_heads
         elif arch == "starcoder":
             n_kv = 1 if hf_cfg.get("multi_query", True) else n_heads
-        elif arch in ("gpt2", "mpt", "gptneox"):
+        elif arch in ("gpt2", "mpt", "gptneox", "bloom"):
             n_kv = n_heads
         else:
             n_kv = cfg_int("num_key_value_heads", default=n_heads)
@@ -440,6 +583,10 @@ def convert_hf_model(
                   float(attn_cfg.get("alibi_bias_max", 8.0)))
         if attn_cfg.get("clip_qkv"):
             w.add(f"{arch}.attention.clamp_kqv", float(attn_cfg["clip_qkv"]))
+    if arch == "bloom":
+        w.add(f"{arch}.attention.max_alibi_bias", 8.0)
+    if arch == "olmo" and hf_cfg.get("clip_qkv"):
+        w.add(f"{arch}.attention.clamp_kqv", float(hf_cfg["clip_qkv"]))
     if hf_cfg.get("num_local_experts"):
         w.add(f"{arch}.expert_count", int(hf_cfg["num_local_experts"]))
         w.add(f"{arch}.expert_used_count", int(hf_cfg.get("num_experts_per_tok", 2)))

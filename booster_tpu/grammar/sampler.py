@@ -69,10 +69,20 @@ class GrammarSampler:
         raise RuntimeError("no token satisfies the grammar")
 
     def mask(self, n_tokens: int) -> np.ndarray:
-        """Boolean feasibility mask over the whole vocab (for on-device use)."""
-        return np.fromiter(
-            (self.token_allowed(t) for t in range(n_tokens)), bool, n_tokens
-        )
+        """Boolean feasibility mask over the whole vocab (for on-device use).
+        Memoized by automaton state: repeated grammar positions (e.g. JSON
+        structure loops) reuse the scan."""
+        key = repr(self.stacks)
+        cached = getattr(self, "_mask_cache", None)
+        if cached is None:
+            cached = self._mask_cache = {}
+        m = cached.get(key)
+        if m is None or len(m) != n_tokens:
+            m = np.fromiter(
+                (self.token_allowed(t) for t in range(n_tokens)), bool, n_tokens
+            )
+            cached[key] = m
+        return m
 
     def accept(self, token_id: int) -> None:
         """Advance the automaton past a sampled token."""

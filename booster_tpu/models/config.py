@@ -146,8 +146,19 @@ class ModelConfig:
             quirks.update(qkv_bias=True)
         if arch in ("qwen3", "qwen3moe"):
             quirks.update(q_norm=True)
-        if arch in ("gpt2", "starcoder", "mpt", "bloom", "jais"):
+        if arch in ("gpt2", "starcoder", "mpt", "bloom", "jais", "bert",
+                    "starcoder2"):
             quirks.update(norm_type="layer", act="gelu")
+        if arch in ("stablelm", "olmo"):
+            quirks.update(norm_type="layer")  # silu FFN, LayerNorm
+        if arch == "bloom":
+            quirks.update(
+                alibi_max_bias=float(g("attention.max_alibi_bias", 8.0) or 8.0),
+                tie_embeddings=True,
+            )
+        if arch == "olmo":
+            quirks.update(
+                clamp_kqv=float(g("attention.clamp_kqv", 0.0) or 0.0))
         if arch in ("falcon", "phi2", "gptneox"):
             quirks.update(norm_type="layer", act="gelu",
                           parallel_residual=True)

@@ -56,14 +56,16 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, add_one: bool = False) 
     return (normed * wf).astype(x.dtype)
 
 
-def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b, eps: float) -> jnp.ndarray:
+def layer_norm(x: jnp.ndarray, w, b, eps: float) -> jnp.ndarray:
     """Mean-centered LayerNorm (LLM_NORM in the reference graph builders —
-    gpt2/falcon/phi2/mpt/command-r families)."""
+    gpt2/falcon/phi2/mpt/command-r families).  w=None → non-parametric
+    (olmo's LayerNorm has no weights)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    normed = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = normed * w.astype(jnp.float32)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if w is not None:
+        y = y * w.astype(jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
@@ -71,7 +73,7 @@ def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b, eps: float) -> jnp.ndarray:
 
 def _norm(x: jnp.ndarray, lp: dict, key: str, cfg: ModelConfig) -> jnp.ndarray:
     if cfg.norm_type == "layer":
-        return layer_norm(x, lp[key], lp.get(f"{key}_b"), cfg.rms_eps)
+        return layer_norm(x, lp.get(key), lp.get(f"{key}_b"), cfg.rms_eps)
     return rms_norm(x, lp[key], cfg.rms_eps, cfg.norm_eps_add_one)
 
 
@@ -307,6 +309,9 @@ def forward(
     if "pos_embd" in params:  # gpt2/starcoder learned absolute positions
         pe = params["pos_embd"]
         x = x + pe[jnp.clip(positions, 0, pe.shape[0] - 1)].astype(x.dtype)
+    if "tok_norm" in params:  # bloom: LayerNorm right after the embedding
+        x = layer_norm(x, params["tok_norm"], params.get("tok_norm_b"),
+                       cfg.rms_eps)
 
     # rope tables + causal masks depend only on positions: compute once
     rope_cos, rope_sin = rope_tables(
@@ -342,8 +347,8 @@ def forward(
     x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, scanned)
 
     if cfg.norm_type == "layer":
-        x = layer_norm(x, params["output_norm"], params.get("output_norm_b"),
-                       cfg.rms_eps)
+        x = layer_norm(x, params.get("output_norm"),
+                       params.get("output_norm_b"), cfg.rms_eps)
     else:
         x = rms_norm(x, params["output_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
     if gather_idx is not None:

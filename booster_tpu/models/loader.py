@@ -56,11 +56,17 @@ _LAYER_MAP = {
     "attn_output.bias": "bo",
     "ffn_up.bias": "b_up",
     "ffn_down.bias": "b_down",
+    # bert encoder (post-norm residuals)
+    "attn_output_norm.weight": "attn_out_norm",
+    "attn_output_norm.bias": "attn_out_norm_b",
+    "layer_output_norm.weight": "layer_out_norm",
+    "layer_output_norm.bias": "layer_out_norm_b",
 }
 
 _NORM_KEYS = {
     "attn_norm", "ffn_norm", "q_norm", "k_norm", "post_attn_norm", "post_ffn_norm",
     "attn_norm_b", "ffn_norm_b",
+    "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
 }
 _BIAS_KEYS = {"bq", "bk", "bv", "bo", "b_up", "b_down"}
 
@@ -185,7 +191,21 @@ def load_model(
     if emb is None:
         raise ValueError("model has no token_embd.weight")
     params["tok_embd"] = put(emb.astype(jnp.bfloat16), "embedding")
-    params["output_norm"] = put(load_dense("output_norm.weight"), "norm")
+    # bert-family encoder globals
+    ttypes = load_dense("token_types.weight")
+    if ttypes is not None:
+        params["token_types"] = put(ttypes, "embedding")
+    tok_norm = load_dense("token_embd_norm.weight")
+    if tok_norm is not None:
+        params["tok_norm"] = put(tok_norm, "norm")
+        tn_b = load_dense("token_embd_norm.bias")
+        if tn_b is not None:
+            params["tok_norm_b"] = put(tn_b, "norm")
+    out_norm = load_dense("output_norm.weight")
+    if out_norm is None and tok_norm is not None:
+        out_norm = tok_norm  # encoder models have no final norm
+    # olmo's LayerNorm is non-parametric: no tensor at all is legitimate
+    params["output_norm"] = None if out_norm is None else put(out_norm, "norm")
     out_norm_b = load_dense("output_norm.bias")
     if out_norm_b is not None:
         params["output_norm_b"] = put(out_norm_b, "norm")

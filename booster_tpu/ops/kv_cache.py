@@ -76,6 +76,17 @@ def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def _use_fused_append() -> bool:
+    import os
+
+    if os.environ.get("BT_FUSED_KV", "1") == "0":
+        return False
+    from booster_tpu.ops.linear import use_pallas
+    from booster_tpu.ops.pallas_kv import INTERPRET
+
+    return use_pallas() or INTERPRET
+
+
 def update_layer(
     layer_k: jnp.ndarray,  # [B, H, S, D] (cache slice for one layer)
     layer_v: jnp.ndarray,
@@ -86,6 +97,15 @@ def update_layer(
     layer_v_scale: Optional[jnp.ndarray] = None,
 ):
     """Write new tokens at per-slot offsets; returns updated slices."""
+    if (new_k.shape[1] == 1 and layer_k.shape[2] % 128 == 0
+            and layer_k.shape[3] % 128 == 0  # D=64 pads lanes; Mosaic rejects
+            and _use_fused_append()):
+        from booster_tpu.ops.pallas_kv import kv_append_decode
+
+        return kv_append_decode(
+            layer_k, layer_v, new_k, new_v, offsets,
+            layer_k_scale, layer_v_scale,
+        )
     new_k = new_k.transpose(0, 2, 1, 3)  # → [B, H, T, D]
     new_v = new_v.transpose(0, 2, 1, 3)
 

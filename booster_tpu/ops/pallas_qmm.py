@@ -76,17 +76,18 @@ def _qmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
     col0 = pl.program_id(2) * bb
     sub = min(_SUB, bb)
     acc = jnp.zeros_like(out_ref)
-    for j in range(bb // sub):
-        sl = slice(j * sub, (j + 1) * sub)
+    for j in range(-(-bb // sub)):  # ceil: last sub-tile may be narrower
+        w_sub = min(sub, bb - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
         q = qw_ref[:, sl].astype(jnp.int32)  # u8→i32 (Mosaic lacks u8→bf16)
         lo = ((q & 0x0F) - zero).astype(jnp.bfloat16)
         hi = ((q >> 4) - zero).astype(jnp.bfloat16)
         c0 = col0 + j * sub
-        w_lo = lo * _expand_scales(s_ref[:, 0, :], group, sub, c0).astype(jnp.bfloat16)
-        w_hi = hi * _expand_scales(s_ref[:, 1, :], group, sub, c0).astype(jnp.bfloat16)
+        w_lo = lo * _expand_scales(s_ref[:, 0, :], group, w_sub, c0).astype(jnp.bfloat16)
+        w_hi = hi * _expand_scales(s_ref[:, 1, :], group, w_sub, c0).astype(jnp.bfloat16)
         if has_mins:
-            w_lo -= _expand_scales(s_ref[:, 2, :], group, sub, c0).astype(jnp.bfloat16)
-            w_hi -= _expand_scales(s_ref[:, 3, :], group, sub, c0).astype(jnp.bfloat16)
+            w_lo -= _expand_scales(s_ref[:, 2, :], group, w_sub, c0).astype(jnp.bfloat16)
+            w_hi -= _expand_scales(s_ref[:, 3, :], group, w_sub, c0).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:, 0, sl], w_lo, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -109,14 +110,15 @@ def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
     col0 = pl.program_id(2) * bk
     sub = min(_SUB, bk)
     acc = jnp.zeros_like(out_ref)
-    for j in range(bk // sub):
-        sl = slice(j * sub, (j + 1) * sub)
+    for j in range(-(-bk // sub)):  # ceil: last sub-tile may be narrower
+        w_sub = min(sub, bk - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
         c0 = col0 + j * sub
         w = qw_ref[:, sl].astype(jnp.bfloat16) * _expand_scales(
-            s_ref[:, 0, :], group, sub, c0
+            s_ref[:, 0, :], group, w_sub, c0
         ).astype(jnp.bfloat16)
         if has_mins:
-            w -= _expand_scales(s_ref[:, 1, :], group, sub, c0).astype(jnp.bfloat16)
+            w -= _expand_scales(s_ref[:, 1, :], group, w_sub, c0).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:, sl], w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -144,12 +146,23 @@ def _pick_tiles(n: int, kk: int, m: int = 1) -> tuple[int, int, int]:
                     bkb = cand
                     break
     budget = _BUDGET
+
+    def vmem_est(cand: int) -> int:
+        # double-buffered in/out blocks + acc + dequant temporaries
+        sub = min(_SUB, bkb)
+        return (2 * (4 * bm * bkb + cand * bkb + 4 * bm * cand)
+                + 4 * bm * cand + 14 * cand * sub)
+
     bn = 128
     for cand in (3200, 2560, 2048, 1792, 1536, 1280, 1024, 768, 640, 512, 384, 256, 128):
-        # weight tile + (out + acc) f32 tiles both bounded, double-buffered
-        if n % cand == 0 and cand * bkb <= budget and 8 * bm * cand <= budget:
-            bn = cand
-            break
+        if n % cand != 0 or cand * bkb > budget:
+            continue
+        # large-M (prefill) tiles: bound the whole-kernel VMEM footprint
+        # (the measured OOM cases sit ~2× the naive block sum)
+        if bm > 64 and (8 * bm * cand > budget or vmem_est(cand) > 11 * 2**20):
+            continue
+        bn = cand
+        break
     else:
         if n % 128 != 0:
             bn = n

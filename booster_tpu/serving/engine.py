@@ -196,6 +196,26 @@ def _decode_chunk_cfg(
     return toks, done, cache, gcache, state
 
 
+@partial(jax.jit, static_argnames=("cfg", "params_sampling", "nl_token"),
+         donate_argnames=("cache", "state"))
+def _masked_decode_step(
+    params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    tokens: jnp.ndarray,  # [B, 1]
+    state: SamplerState,
+    params_sampling: SamplingParams,
+    mask: jnp.ndarray,  # [V] bool: grammar-feasible tokens
+    nl_token: int = -1,
+):
+    """One decode step sampling only grammar-feasible tokens (full chain
+    applied first, infeasible logits at -inf — common/sampling.cpp:430)."""
+    logits, cache = forward(params, cfg, tokens, cache, last_only=True)
+    lg = jnp.where(mask[None, :], logits[:, -1, :], -jnp.inf)
+    tok, state = sample(lg, state, params_sampling, nl_token)
+    return tok, cache, state
+
+
 @partial(jax.jit, static_argnames=("cfg", "features", "nl_token"),
          donate_argnames=("cache", "state"))
 def _prefill_batched(params, cfg: ModelConfig, cache: KVCache, tokens, n_valid,
@@ -556,108 +576,151 @@ class Engine:
         stop_check: Optional[Callable[[], bool]] = None,
         on_token: Optional[Callable[[int], None]] = None,
     ) -> GenerationResult:
-        """GBNF-constrained generation (reference: grammar sampling chain,
-        common/sampling.cpp:430 — run the full sampler chain, sample,
-        validate against the grammar, resample from the feasible set on
-        violation).
+        """GBNF-constrained generation, optimistically chunked.
 
-        The automaton runs on host between single-token device steps."""
+        Reference flow (common/sampling.cpp:430): run the full sampler chain,
+        sample, validate against the grammar, resample from the feasible set
+        on violation.  TPU redesign: decode chunks run UNCONSTRAINED on
+        device (full chain, zero per-token host sync); the host automaton
+        validates the chunk, accepts the grammar-valid prefix, and only on a
+        violation rewinds the cache one position and redoes that token with
+        an on-device [V] feasibility mask (_masked_decode_step).  When the
+        model mostly emits grammar-valid text — the typical case — the
+        throughput equals the unconstrained chunked path."""
+        import dataclasses
+
         from booster_tpu.grammar import GrammarSampler, parse_gbnf
-        from booster_tpu.sampling.host_chain import host_filter_chain
+        from booster_tpu.sampling.samplers import seed_prompt_row
 
         sampling = sampling.normalized()
         gs = GrammarSampler(parse_gbnf(grammar_gbnf), self.tokenizer)
         cfg = self.cfg
-        rng = np.random.default_rng(
-            sampling.seed if sampling.seed >= 0 else None
-        )
-        cache = self._new_cache()
-        ids = np.zeros((self.max_batch, len(prompt_ids)), np.int32)
-        ids[0] = prompt_ids
-        history: list[int] = list(prompt_ids)  # penalty ring incl. prompt
+        vocab = self.tokenizer.vocab
+        V = cfg.n_vocab
+        seed = sampling.seed if sampling.seed >= 0 else int(time.time_ns() % (1 << 31))
+        n_prompt = len(prompt_ids)
 
-        t0 = time.perf_counter()
-        logits, cache = forward(self.params, cfg, jnp.asarray(ids), cache, last_only=True)
-        t_prompt = time.perf_counter() - t0
+        def fresh_state(n_gen: int):
+            st = make_sampler_state(
+                self.max_batch,
+                max(self.history_window, sampling.penalty_last_n),
+                seed=seed + n_gen,
+            )
+            return seed_prompt_row(st, 0, list(prompt_ids) + generated)
 
-        def pick(row: np.ndarray) -> int:
-            # standard chain first (penalties + samplers_sequence), exactly
-            # like the reference's llama_sampling_sample before the grammar
-            filtered = host_filter_chain(row, sampling, history,
-                                         nl_token=self.nl_token)
-            if sampling.temp <= 0:
-                order = np.argsort(filtered)[::-1]
-                for tid in order:
-                    if np.isneginf(filtered[tid]):
-                        break
-                    if gs.token_allowed(int(tid)):
-                        return int(tid)
-                # no survivor feasible: fall back to raw-logit order
-                for tid in np.argsort(row)[::-1]:
-                    if gs.token_allowed(int(tid)):
-                        return int(tid)
-                raise RuntimeError("no grammar-feasible token")
-            # sample → validate → resample-from-feasible (sampling.cpp:430)
-            p = np.exp(filtered - np.max(filtered))
-            p /= p.sum()
-            tid = int(rng.choice(len(p), p=p))
-            if gs.token_allowed(tid):
-                return tid
-            order = np.argsort(filtered)[::-1]
-            cand = []
-            for t in order:
-                if np.isneginf(filtered[t]):
-                    break
-                if gs.token_allowed(int(t)):
-                    cand.append(int(t))
-            if not cand:  # grammar-feasible set disjoint from chain survivors
-                for t in np.argsort(row)[::-1]:
-                    if gs.token_allowed(int(t)):
-                        cand.append(int(t))
-                        break
-            if not cand:
-                raise RuntimeError("no grammar-feasible token")
-            lg = filtered[cand]
-            if not np.isfinite(lg).all():
-                lg = row[cand] / max(sampling.temp, 1e-6)
-            pm = np.exp(lg - lg.max())
-            pm /= pm.sum()
-            return int(rng.choice(cand, p=pm))
+        def rewind(cache, n):
+            return dataclasses.replace(
+                cache, lengths=cache.lengths.at[0].set(n)
+            )
 
         generated: list[int] = []
+        cache = self._new_cache()
+        state = fresh_state(0)
+        T = min(max(16, 1 << (n_prompt - 1).bit_length()), self.max_seq)
+        ids = np.zeros((self.max_batch, T), np.int32)
+        ids[0, :n_prompt] = prompt_ids
+        nv = np.zeros(self.max_batch, np.int32)
+        nv[0] = n_prompt
+        g = np.zeros(self.max_batch, np.int32)
+        g[0] = n_prompt - 1
+
+        t0 = time.perf_counter()
+        logits, cache = forward(
+            self.params, cfg, jnp.asarray(ids), cache,
+            gather_idx=jnp.asarray(g), n_valid=jnp.asarray(nv),
+        )
+        mask0 = gs.mask(V)
+        lg = jnp.where(jnp.asarray(mask0)[None, :], logits[:, -1, :], -jnp.inf)
         finish = "length"
+        if not mask0.any():
+            finish = "stop" if gs.can_stop else "error"
+            t_prompt = time.perf_counter() - t0
+            return GenerationResult([], "", n_prompt, 0,
+                                    1000.0 * t_prompt / max(n_prompt, 1), 0.0,
+                                    finish)
+        tok, state = sample(lg, state, sampling, self.nl_token)
+        t_prompt = time.perf_counter() - t0
+
+        def push(t: int) -> bool:
+            """Accept token t; returns True when generation should stop."""
+            nonlocal finish
+            if vocab.is_eog(t):
+                finish = "stop"
+                return True
+            gs.accept(t)
+            generated.append(t)
+            if on_token:
+                on_token(t)
+            return len(generated) >= max_new_tokens
+
         t1 = time.perf_counter()
-        vocab = self.tokenizer.vocab
-        while len(generated) < max_new_tokens:
+        first = int(np.asarray(tok)[0])
+        stopped = push(first)
+        host_len = n_prompt  # valid KV entries (consumed tokens)
+        device_tok = tok[:, None]
+        chunk = max(2, min(self.decode_chunk, 16))
+        eog_mask = (self._eog_mask if self._eog_mask is not None
+                    else jnp.zeros(V, bool))
+        while not stopped:
             if stop_check and stop_check():
                 finish = "cancelled"
                 break
-            row = np.asarray(logits)[0, -1]
-            try:
-                tok = pick(row)
-            except RuntimeError:
-                # grammar complete with no continuation: clean stop
+            if host_len + chunk >= self.max_seq - 1:
+                finish = "length"
+                break
+            toks, _done, cache, state = _decode_chunk(
+                self.params, cfg, cache, device_tok, state, sampling,
+                jnp.float32(max_new_tokens), chunk, eog_mask,
+                nl_token=self.nl_token,
+            )
+            toks_np = [int(t) for t in np.asarray(toks)[0]]
+            rejected_at = None
+            for i, t in enumerate(toks_np):
+                if gs.token_allowed(t):
+                    if push(t):
+                        stopped = True
+                        break
+                else:
+                    rejected_at = i
+                    break
+            if stopped:
+                break
+            if rejected_at is None:
+                host_len += chunk
+                device_tok = toks[:, -1:]
+                continue
+            # violation: rewind to the last valid KV, redo with the mask
+            valid = host_len + rejected_at
+            cache = rewind(cache, valid)
+            host_len = valid
+            state = fresh_state(len(generated))
+            m = gs.mask(V)
+            if not m.any():
                 finish = "stop" if gs.can_stop else "error"
                 break
-            if vocab.is_eog(tok):
-                finish = "stop"
-                break
-            gs.accept(tok)
-            generated.append(tok)
-            history.append(tok)
-            if on_token:
-                on_token(tok)
+            prev = generated[-1] if rejected_at > 0 or generated else first
             cur = np.zeros((self.max_batch, 1), np.int32)
-            cur[0, 0] = tok
-            logits, cache = forward(self.params, cfg, jnp.asarray(cur), cache, last_only=True)
+            cur[0, 0] = prev
+            tok, cache, state = _masked_decode_step(
+                self.params, cfg, cache, jnp.asarray(cur), state, sampling,
+                jnp.asarray(m), self.nl_token,
+            )
+            host_len += 1
+            t2 = int(np.asarray(tok)[0])
+            if not gs.token_allowed(t2):
+                finish = "stop" if gs.can_stop else "error"
+                break
+            if push(t2):
+                break
+            device_tok = tok[:, None]
         t_gen = time.perf_counter() - t1
 
         return GenerationResult(
             token_ids=generated,
             text=self.tokenizer.decode(generated),
-            n_prompt=len(prompt_ids),
+            n_prompt=n_prompt,
             n_generated=len(generated),
-            prompt_ms_per_token=1000.0 * t_prompt / max(len(prompt_ids), 1),
+            prompt_ms_per_token=1000.0 * t_prompt / max(n_prompt, 1),
             gen_ms_per_token=1000.0 * t_gen / max(len(generated), 1),
             finish_reason=finish,
         )

@@ -75,6 +75,7 @@ class Scheduler:
         context_shift: bool = True,
         n_keep: int = 0,
         swap_dir: str = "",
+        draft_engine: Optional[Engine] = None,
     ):
         self.engine = engine
         self.prompt_spec = prompt_spec or PromptSpec(id="default")
@@ -84,6 +85,9 @@ class Scheduler:
         self.locale = locale
         self.context_shift = context_shift
         self.n_keep = n_keep
+        # draft model → speculative decoding for standard jobs (pod-style
+        # dedicated path; greedy or residual sampled acceptance)
+        self.draft_engine = draft_engine
         # session swap: per-session KV save/restore (the fixed version of the
         # reference's commented-out swap files, bridge.cpp:224-263)
         self.swap_dir = swap_dir
@@ -306,6 +310,10 @@ class Scheduler:
             # request concurrently, bridge.cpp:586-599)
             def needs_dedicated(j: Job) -> bool:
                 sp = j.sampling or self.default_sampling
+                if self.draft_engine is not None and not (
+                    j.grammar or sp.janus or sp.mirostat
+                ):
+                    return True  # speculative decoding path
                 return bool(j.grammar or sp.cfg_scale != 1.0)
 
             for jid in [j for j in self.queue if needs_dedicated(self.jobs[j])]:
@@ -456,14 +464,26 @@ class Scheduler:
                 job.output += job.detok.push(t)
                 self._total_generated += 1
 
-            try:
-                result = await loop.run_in_executor(
-                    None,
-                    lambda: self.engine.generate(
-                        ids, sp, max_new_tokens=job.max_tokens,
+            use_spec = self.draft_engine is not None and not (
+                sp.janus or sp.mirostat or sp.cfg_scale != 1.0
+            )
+
+            def run_gen():
+                if use_spec:
+                    from booster_tpu.serving.speculative import generate_speculative
+
+                    return generate_speculative(
+                        self.engine, self.draft_engine, ids,
+                        max_new_tokens=job.max_tokens, sampling=sp,
                         stop_check=lambda: job.cancelled, on_token=on_token,
-                    ),
+                    )
+                return self.engine.generate(
+                    ids, sp, max_new_tokens=job.max_tokens,
+                    stop_check=lambda: job.cancelled, on_token=on_token,
                 )
+
+            try:
+                result = await loop.run_in_executor(None, run_gen)
                 job.output += job.detok.flush()
                 job.finish_reason = result.finish_reason
             except Exception as e:

@@ -376,7 +376,43 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
     async def health(request: web.Request) -> web.Response:
         return web.json_response(scheduler.health())
 
+    async def embeddings(request: web.Request) -> web.Response:
+        """OpenAI-style /v1/embeddings (encoder models — bert family)."""
+        engine = scheduler.engine
+        if engine.cfg.arch not in ("bert",):
+            return web.json_response(
+                {"error": f"model arch '{engine.cfg.arch}' is not an "
+                          "embedding model"}, status=400)
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid json"}, status=400)
+        inputs = body.get("input")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        if not inputs or not all(isinstance(t, str) for t in inputs):
+            return web.json_response({"error": "input required"}, status=400)
+
+        from booster_tpu.models.bert import embed_texts
+
+        loop = asyncio.get_event_loop()
+        vecs = await loop.run_in_executor(
+            None, lambda: embed_texts(engine.model, inputs)
+        )
+        return web.json_response({
+            "object": "list",
+            "model": model_name,
+            "data": [
+                {"object": "embedding", "index": i,
+                 "embedding": [float(x) for x in v]}
+                for i, v in enumerate(vecs)
+            ],
+            "usage": {"prompt_tokens": sum(len(t.split()) for t in inputs),
+                      "total_tokens": sum(len(t.split()) for t in inputs)},
+        })
+
     app.router.add_post("/jobs", new_job)
+    app.router.add_post("/v1/embeddings", embeddings)
     app.router.add_get("/jobs/{id}", get_job)
     app.router.add_delete("/jobs/{id}", delete_job)
     app.router.add_post("/v1/chat/completions", chat_completions)

@@ -4,25 +4,99 @@ TPU — the M=1 matvec is MXU-feed-bound, so M=K+1 costs the same).
 
 The reference ships only a vestigial lookup-decoding cache
 (/root/reference/cpp/common/ngram-cache.cpp, not linked); this is the
-full draft-model scheme.  Greedy verification: accept the longest prefix
-where the target's argmax equals the draft token — output is exactly the
-target's greedy sequence, draft quality only affects speed.
+full draft-model scheme, in two flavors:
+
+  - greedy verification (temp == 0): accept the longest prefix where the
+    target's argmax equals the draft token — output is exactly the target's
+    greedy sequence; draft quality only affects speed.
+  - sampled (residual) acceptance (temp > 0): draft samples token x ~ q,
+    target accepts with prob min(1, p(x)/q(x)); on rejection the correction
+    is drawn from the residual max(p − q, 0) — the output distribution is
+    exactly the target's p (Leviathan et al. speculative sampling).  The
+    filter chain (temp/top-k/top-p/min-p) is applied identically to p and q;
+    repetition penalties are not applied on this path.
 """
 
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from booster_tpu.models.llama import forward
 from booster_tpu.sampling import SamplingParams
-from booster_tpu.sampling.samplers import make_sampler_state
-from booster_tpu.serving.engine import Engine, GenerationResult, _decode_chunk
+from booster_tpu.sampling.samplers import (
+    apply_temp,
+    min_p_filter,
+    top_k_filter,
+    top_p_filter,
+)
+from booster_tpu.serving.engine import Engine, GenerationResult
 
 _GREEDY = SamplingParams(temp=0.0, penalty_repeat=1.0)
+
+
+def _spec_probs(lg: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
+    """Filtered sampling distribution rows [*, V] for speculative accept."""
+    lg = lg.astype(jnp.float32)
+    lg = top_k_filter(lg, params.top_k)
+    lg = top_p_filter(lg, params.top_p)
+    lg = min_p_filter(lg, params.min_p)
+    lg = apply_temp(lg, params)
+    return jax.nn.softmax(lg, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "params_sampling", "k"),
+         donate_argnames=("cache",))
+def _draft_propose(params, cfg, cache, toks_in, key, params_sampling, k: int):
+    """Consume `toks_in` [B, T] (the tokens the draft hasn't seen yet), then
+    draft k tokens in one dispatch; returns (tokens [B,k], probs [B,k,V] —
+    the draft's full filtered distributions), cache, key.  temp<=0 → argmax
+    (greedy verification mode)."""
+
+    def pick(probs, key):
+        key, sub = jax.random.split(key)
+        if params_sampling.temp <= 0:
+            nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(
+                sub, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1
+            ).astype(jnp.int32)
+        return nxt, key
+
+    logits, cache = forward(params, cfg, toks_in, cache, last_only=True)
+    probs0 = _spec_probs(logits[:, -1, :], params_sampling)
+    t0, key = pick(probs0, key)
+
+    def step(carry, _):
+        cache, tok, key = carry
+        logits, cache = forward(params, cfg, tok, cache, last_only=True)
+        probs = _spec_probs(logits[:, -1, :], params_sampling)
+        nxt, key = pick(probs, key)
+        return (cache, nxt[:, None], key), (nxt, probs)
+
+    (cache, _, key), (toks, probs) = jax.lax.scan(
+        step, (cache, t0[:, None], key), None, length=k - 1
+    )
+    toks = jnp.concatenate([t0[:, None], toks.T], axis=1)  # [B, k]
+    probs = jnp.concatenate(
+        [probs0[:, None, :], jnp.swapaxes(probs, 0, 1)], axis=1
+    )  # [B, k, V]
+    return toks, probs, cache, key
+
+
+@partial(jax.jit, static_argnames=("cfg", "params_sampling"),
+         donate_argnames=("cache",))
+def _verify_probs(params, cfg, cache, ver_tokens, params_sampling):
+    """Target forward over [last, p1..pk]; returns filtered probs [B,k+1,V]."""
+    logits, cache = forward(params, cfg, ver_tokens, cache, last_only=False)
+    B, T, V = logits.shape
+    probs = _spec_probs(logits.reshape(B * T, V), params_sampling)
+    return probs.reshape(B, T, V), cache
 
 
 def _rewind(engine: Engine, cache, n: int):
@@ -40,8 +114,15 @@ def generate_speculative(
     k: int = 8,
     stop_check=None,
     on_token=None,
+    sampling: Optional[SamplingParams] = None,
 ) -> GenerationResult:
-    """Greedy speculative decoding on slot 0 of both engines."""
+    """Speculative decoding on slot 0 of both engines: greedy verification
+    when sampling is None/temp<=0, residual sampled acceptance otherwise."""
+    if sampling is not None and sampling.temp > 0:
+        return _generate_speculative_sampled(
+            target, draft, prompt_ids, sampling.normalized(), max_new_tokens,
+            k, stop_check, on_token,
+        )
     if target.tokenizer is None:
         raise ValueError("speculative decoding needs a tokenizer")
     tcfg, dcfg = target.cfg, draft.cfg
@@ -63,8 +144,7 @@ def generate_speculative(
     t_prompt = time.perf_counter() - t0
 
     generated = [first]
-    d_state = make_sampler_state(db, 8, seed=0)
-    d_eog = jnp.zeros(dcfg.n_vocab, bool)
+    d_key = jax.random.PRNGKey(0)
     if on_token:
         on_token(first)
     finish = "length"
@@ -72,21 +152,23 @@ def generate_speculative(
     n_rounds = 0
 
     t1 = time.perf_counter()
-    base = len(prompt_ids)  # tokens in both caches (excluding pending)
+    seq = list(prompt_ids) + generated
+    base = len(prompt_ids)  # target cache valid length (= len(seq) - 1)
+    d_base = len(prompt_ids)  # draft cache valid length
     while len(generated) < max_new_tokens and not (vocab.is_eog(generated[-1])):
         if stop_check and stop_check():
             finish = "cancelled"
             break
-        if base + k + 2 >= min(target.max_seq, draft.max_seq):
+        if base + k + 3 >= min(target.max_seq, draft.max_seq):
             finish = "length"
             break
-        # 1. draft proposes k greedy tokens in ONE device dispatch
-        cur = np.zeros((db, 1), np.int32)
-        cur[0, 0] = generated[-1]
-        d_cache = _rewind(draft, d_cache, base)
-        d_toks, _, d_cache, d_state = _decode_chunk(
-            draft.params, dcfg, d_cache, jnp.asarray(cur), d_state,
-            _GREEDY, jnp.float32(k), k, d_eog,
+        # 1. draft consumes its unseen tokens then proposes k greedy tokens
+        d_in = seq[d_base:]
+        cur = np.zeros((db, len(d_in)), np.int32)
+        cur[0] = d_in
+        d_cache = _rewind(draft, d_cache, d_base)
+        d_toks, _, d_cache, d_key = _draft_propose(
+            draft.params, dcfg, d_cache, jnp.asarray(cur), d_key, _GREEDY, k
         )
         prop_np = [int(t) for t in np.asarray(d_toks)[0]]
 
@@ -108,10 +190,136 @@ def generate_speculative(
                 break
         correction = int(greedy[len(accepted)])
         new_tokens = accepted + [correction]
-        base += 1 + len(accepted)  # last + accepted now final in both caches
+        seq.extend(new_tokens)
+        base += 1 + len(accepted)  # last + accepted now final in target cache
+        d_base = min(d_base + len(d_in) + k - 1, len(seq) - 1, base)
         n_accepted_total += len(accepted)
         n_rounds += 1
 
+        for t in new_tokens:
+            if len(generated) >= max_new_tokens:
+                break
+            generated.append(t)
+            if on_token:
+                on_token(t)
+            if vocab.is_eog(t):
+                finish = "stop"
+                break
+        if finish == "stop":
+            break
+    if generated and vocab.is_eog(generated[-1]):
+        finish = "stop"
+        generated.pop()
+    t_gen = time.perf_counter() - t1
+
+    result = GenerationResult(
+        token_ids=generated,
+        text=target.tokenizer.decode(generated),
+        n_prompt=len(prompt_ids),
+        n_generated=len(generated),
+        prompt_ms_per_token=1000.0 * t_prompt / max(len(prompt_ids), 1),
+        gen_ms_per_token=1000.0 * t_gen / max(len(generated), 1),
+        finish_reason=finish,
+    )
+    result.acceptance_rate = n_accepted_total / max(n_rounds * k, 1)
+    return result
+
+
+def _generate_speculative_sampled(
+    target: Engine,
+    draft: Engine,
+    prompt_ids: list[int],
+    sampling: SamplingParams,
+    max_new_tokens: int,
+    k: int,
+    stop_check,
+    on_token,
+) -> GenerationResult:
+    """Residual sampled acceptance (see module docstring)."""
+    if target.tokenizer is None:
+        raise ValueError("speculative decoding needs a tokenizer")
+    tcfg, dcfg = target.cfg, draft.cfg
+    vocab = target.tokenizer.vocab
+    seed = sampling.seed if sampling.seed >= 0 else int(time.time_ns() % (1 << 31))
+    rng = np.random.default_rng(seed)
+    d_key = jax.random.PRNGKey(seed + 1)
+
+    t_cache = target._new_cache()
+    d_cache = draft._new_cache()
+    tb, db = target.max_batch, draft.max_batch
+    t_ids = np.zeros((tb, len(prompt_ids)), np.int32)
+    t_ids[0] = prompt_ids
+    d_ids = np.zeros((db, len(prompt_ids)), np.int32)
+    d_ids[0] = prompt_ids
+
+    t0 = time.perf_counter()
+    t_logits, t_cache = forward(target.params, tcfg, jnp.asarray(t_ids),
+                                t_cache, last_only=True)
+    _, d_cache = forward(draft.params, dcfg, jnp.asarray(d_ids), d_cache,
+                         last_only=True)
+    p0 = np.asarray(_spec_probs(t_logits[:, -1, :], sampling))[0]
+    first = int(rng.choice(len(p0), p=p0 / p0.sum()))
+    t_prompt = time.perf_counter() - t0
+
+    generated = [first]
+    if on_token:
+        on_token(first)
+    finish = "length"
+    n_accepted_total = 0
+    n_rounds = 0
+
+    t1 = time.perf_counter()
+    seq = list(prompt_ids) + generated
+    base = len(prompt_ids)  # target cache valid length (= len(seq) - 1)
+    d_base = len(prompt_ids)  # draft cache valid length
+    while len(generated) < max_new_tokens and not vocab.is_eog(generated[-1]):
+        if stop_check and stop_check():
+            finish = "cancelled"
+            break
+        if base + k + 3 >= min(target.max_seq, draft.max_seq):
+            finish = "length"
+            break
+        d_in = seq[d_base:]
+        cur = np.zeros((db, len(d_in)), np.int32)
+        cur[0] = d_in
+        d_cache = _rewind(draft, d_cache, d_base)
+        d_toks, d_probs, d_cache, d_key = _draft_propose(
+            draft.params, dcfg, d_cache, jnp.asarray(cur), d_key, sampling, k
+        )
+        prop = [int(t) for t in np.asarray(d_toks)[0]]
+        q = np.asarray(d_probs)[0]  # [k, V]
+
+        ver = np.zeros((tb, k + 1), np.int32)
+        ver[0] = [generated[-1]] + prop
+        t_cache = _rewind(target, t_cache, base)
+        p_rows, t_cache = _verify_probs(
+            target.params, tcfg, t_cache, jnp.asarray(ver), sampling
+        )
+        p = np.asarray(p_rows)[0]  # [k+1, V]
+
+        accepted = []
+        correction = None
+        for i in range(k):
+            x = prop[i]
+            qx = max(float(q[i, x]), 1e-30)
+            if rng.random() < min(1.0, float(p[i, x]) / qx):
+                accepted.append(x)
+                continue
+            resid = np.maximum(p[i] - q[i], 0.0)
+            z = resid.sum()
+            dist = resid / z if z > 1e-12 else p[i] / p[i].sum()
+            correction = int(rng.choice(len(dist), p=dist))
+            break
+        if correction is None:  # all k accepted: bonus token from p[k]
+            pk = p[k] / p[k].sum()
+            correction = int(rng.choice(len(pk), p=pk))
+
+        new_tokens = accepted + [correction]
+        seq.extend(new_tokens)
+        base += 1 + len(accepted)
+        d_base = min(d_base + len(d_in) + k - 1, base)
+        n_accepted_total += len(accepted)
+        n_rounds += 1
         for t in new_tokens:
             if len(generated) >= max_new_tokens:
                 break

@@ -118,6 +118,63 @@ def test_gptneox(tmp_path):
     assert loaded.cfg.rope_dims == 4  # rotary_pct 0.25 * head_dim(16)
 
 
+def test_bloom(tmp_path):
+    cfg = transformers.BloomConfig(
+        vocab_size=256, hidden_size=64, n_layer=2, n_head=4,
+    )
+    torch.manual_seed(0)
+    hf = transformers.BloomForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = check_model(hf, str(tmp_path / "bloom.gguf"), ids)
+    assert loaded.cfg.arch == "bloom"
+    assert loaded.cfg.alibi_max_bias == 8.0
+    assert "tok_norm" in loaded.params  # embedding LayerNorm
+
+
+def test_stablelm(tmp_path):
+    cfg = transformers.StableLmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.25, max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    hf = transformers.StableLmForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = check_model(hf, str(tmp_path / "stablelm.gguf"), ids)
+    assert loaded.cfg.arch == "stablelm"
+    assert loaded.cfg.norm_type == "layer"
+    assert loaded.cfg.rope_dims == 4  # 0.25 * head_dim(16)
+
+
+def test_starcoder2(tmp_path):
+    cfg = transformers.Starcoder2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, sliding_window=None, use_bias=True,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Starcoder2ForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = check_model(hf, str(tmp_path / "starcoder2.gguf"), ids)
+    assert loaded.cfg.arch == "starcoder2"
+    assert loaded.cfg.act == "gelu"
+
+
+def test_olmo(tmp_path):
+    cfg = transformers.OlmoConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, clip_qkv=8.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.OlmoForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = check_model(hf, str(tmp_path / "olmo.gguf"), ids)
+    assert loaded.cfg.arch == "olmo"
+    assert loaded.cfg.clamp_kqv == 8.0
+    assert loaded.params["output_norm"] is None  # non-parametric LayerNorm
+
+
 def test_command_r(tmp_path):
     cfg = transformers.CohereConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,

@@ -48,3 +48,57 @@ def test_weak_draft_still_exact(engines):
     # rejections happen, but the output is still the target's greedy sequence
     assert spec.token_ids == plain.token_ids
     assert 0.0 <= spec.acceptance_rate <= 1.0
+
+
+def test_sampled_acceptance_identical_draft_accepts_all(engines):
+    """p == q → accept prob min(1, p/q) = 1: every proposal accepted."""
+    target, draft_same, _ = engines
+    ids = target.tokenizer.encode("hello world")
+    # no hard filters: tiny-model logits are near-flat, so top-k boundary
+    # flips between the T=1 draft and T=k+1 verify would dominate otherwise
+    sp = SamplingParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0, seed=11)
+    spec = generate_speculative(target, draft_same, ids, max_new_tokens=24,
+                                k=4, sampling=sp)
+    assert spec.n_generated >= 5  # may stop early on a sampled EOG
+    # identical distributions: only bf16 T=1-vs-T=k+1 rounding can reject
+    assert spec.acceptance_rate > 0.8
+
+
+def test_sampled_acceptance_weak_draft(engines):
+    target, _, draft_diff = engines
+    ids = target.tokenizer.encode("the")
+    sp = SamplingParams(temp=1.0, top_k=0, top_p=1.0, seed=3)
+    spec = generate_speculative(target, draft_diff, ids, max_new_tokens=24,
+                                k=4, sampling=sp)
+    assert spec.n_generated >= 1
+    assert 0.0 <= spec.acceptance_rate <= 1.0
+    # deterministic for a fixed seed
+    spec2 = generate_speculative(target, draft_diff, ids, max_new_tokens=24,
+                                 k=4, sampling=sp)
+    assert spec.token_ids == spec2.token_ids
+
+
+def test_scheduler_routes_speculative(engines):
+    """With a draft engine configured, standard jobs run speculatively."""
+    import asyncio
+
+    from booster_tpu.serving.config import PromptSpec
+    from booster_tpu.serving.scheduler import Scheduler
+
+    target, draft_same, _ = engines
+
+    async def run():
+        sched = Scheduler(
+            target, prompt_spec=PromptSpec(id="default"),
+            default_sampling=SamplingParams(temp=0.0),
+            default_max_tokens=8, draft_engine=draft_same,
+        )
+        sched.start()
+        job = sched.place_job(prompt="hello")
+        await sched.wait_job(job.id, timeout=120)
+        await sched.shutdown(drain=False)
+        return job
+
+    job = asyncio.run(run())
+    assert job.status == "finished"
+    assert job.n_generated >= 1

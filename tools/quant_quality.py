@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Quantization quality report: perplexity Δ of quantized formats vs the
+F16 reference on identical weights (BASELINE.md metric 3 tooling; the
+reference's own roadmap lists perplexity as unimplemented, roadmap.md:44).
+
+With no real checkpoint available in the build environment (zero egress),
+the measurement runs on the synthetic benchmark model: identical random
+weights are written at F16 / Q8_0 / Q4_K / Q4_0, and the NLL delta over a
+fixed token corpus isolates exactly the quantization-induced distortion.
+
+    python tools/quant_quality.py [--shape tiny|1b] [--tokens 4096] [--ctx 512]
+
+Prints one JSON line: {"f16_ppl", "deltas": {fmt: ppl - f16_ppl, ...}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/booster_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="tiny", choices=["tiny", "1b"])
+    ap.add_argument("--tokens", type=int, default=4096)
+    ap.add_argument("--ctx", type=int, default=512)
+    args = ap.parse_args()
+
+    from booster_tpu.eval import perplexity
+    from booster_tpu.gguf import GGMLType
+    from booster_tpu.models import load_model
+    from tools.make_test_model import make_model
+
+    shapes = {
+        "tiny": dict(vocab_size=512, hidden=256, layers=4, heads=8,
+                     kv_heads=4, ff=512),
+        "1b": dict(vocab_size=32000, hidden=2048, layers=22, heads=32,
+                   kv_heads=4, ff=5632),
+    }[args.shape]
+
+    fmts = [("f16", GGMLType.F16), ("q8_0", GGMLType.Q8_0),
+            ("q4_k", GGMLType.Q4_K), ("q4_0", GGMLType.Q4_0)]
+    rng = np.random.default_rng(123)
+    corpus = rng.integers(3, shapes["vocab_size"] - 1, args.tokens).astype(np.int32)
+
+    results = {}
+    for name, fmt in fmts:
+        path = f"/tmp/qq_{args.shape}_{name}.gguf"
+        if not os.path.exists(path):
+            make_model(path, quant=fmt, seed=0, **shapes)  # same seed = same weights
+        model = load_model(path)
+        r = perplexity(model, corpus, n_ctx=args.ctx)
+        results[name] = r["ppl"]
+        sys.stderr.write(f"[qq] {name}: ppl {r['ppl']:.4f}\n")
+
+    f16 = results["f16"]
+    print(json.dumps({
+        "shape": args.shape,
+        "tokens": args.tokens,
+        "f16_ppl": round(f16, 4),
+        "deltas": {n: round(results[n] - f16, 4) for n, _ in fmts[1:]},
+    }))
+
+
+if __name__ == "__main__":
+    main()

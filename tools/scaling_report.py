@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Scaling-efficiency report (BASELINE.md metric 4).
+
+Measures batched decode throughput of the same model under growing mesh
+configurations and writes SCALING.md:
+
+  1. one real TPU chip (when available) — the absolute tokens/s anchor
+  2. virtual CPU meshes (XLA host devices): tp scaling 1→2→4→8 and dp×tp
+     combinations — these validate the GSPMD sharding plan and measure the
+     *relative* collective overhead, not absolute speed (CPU devices share
+     one socket; ICI does not exist here)
+  3. 2-process jax.distributed run (tools/distributed_check.py) — proves the
+     multi-process path executes and matches single-process output
+
+Usage: python tools/scaling_report.py [--out SCALING.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_mesh(model_path: str, tp: int, dp: int, steps: int = 64) -> float:
+    """Decode tokens/s on a (dp, tp) mesh over the current backend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from booster_tpu.models import load_model
+    from booster_tpu.models.llama import forward
+    from booster_tpu.ops.kv_cache import KVCache
+    from booster_tpu.parallel.mesh import make_device_put, make_mesh, shard_cache
+
+    n = tp * dp
+    mesh = make_mesh(n, tp=tp, dp=dp) if n > 1 else None
+    put = make_device_put(mesh) if mesh else None
+    model = load_model(model_path, device_put=put)
+    cfg = model.cfg
+    B = max(4, dp)
+    cache = KVCache.create(cfg.n_layers, B, 256, cfg.n_kv_heads, cfg.head_dim)
+    if mesh:
+        cache = shard_cache(cache, mesh)
+    prompt = jnp.asarray(np.tile(np.arange(4, 20, dtype=np.int32)[None, :], (B, 1)))
+    _, cache = forward(model.params, cfg, prompt, cache, last_only=True)
+    tok = jnp.zeros((B, 1), jnp.int32) + 7
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("ns",), donate_argnums=(1,))
+    def chunk(params, cache, tok, ns=16):
+        def body(c, _):
+            cache, tok = c
+            lg, cache = forward(params, cfg, tok, cache, last_only=True)
+            nt = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)[:, None]
+            return (cache, nt), nt[:, 0]
+        (cache, tok), toks = jax.lax.scan(body, (cache, tok), None, length=ns)
+        return cache, tok, toks
+
+    cache, tok, toks = chunk(model.params, cache, tok)  # compile
+    jax.block_until_ready(toks)
+    t0 = time.perf_counter()
+    done = 0
+    while done < steps:
+        cache, tok, toks = chunk(model.params, cache, tok)
+        done += 16
+    jax.block_until_ready(toks)
+    dt = time.perf_counter() - t0
+    return B * done / dt
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING.md")
+    ap.add_argument("--model", default="/tmp/scaling_tiny.gguf")
+    args = ap.parse_args()
+
+    from tools.make_test_model import make_model
+
+    if not os.path.exists(args.model):
+        make_model(args.model, vocab_size=2048, hidden=512, layers=4,
+                   heads=8, kv_heads=8, ff=1024)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+
+    rows = []
+    for tp, dp in ((1, 1), (2, 1), (4, 1), (8, 1), (4, 2), (2, 4), (1, 8)):
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu');"
+             "import sys; sys.path.insert(0, %r);"
+             "from tools.scaling_report import bench_mesh;"
+             "print(bench_mesh(%r, %d, %d))" % (
+                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 args.model, tp, dp)],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-1500:])
+            return 1
+        tps = float(r.stdout.strip().splitlines()[-1])
+        rows.append((tp, dp, tps))
+        sys.stderr.write(f"[scaling] tp={tp} dp={dp}: {tps:.1f} tok/s\n")
+
+    # 2-process distributed parity run
+    dist = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "distributed_check.py"),
+         "--model", args.model, "--nprocs", "2", "--tp", "4", "--dp", "2",
+         "--port", "9931", "--out", "/tmp/scaling_dist.json"],
+        env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
+        capture_output=True, text=True, timeout=900,
+    )
+    dist_ok = dist.returncode == 0
+
+    base = rows[0][2]
+    lines = [
+        "# Scaling report",
+        "",
+        "Model: 4-layer 512-embd synthetic llama (vocab 2048); batched greedy",
+        "decode, B = max(4, dp), 64 steps, warm jit.",
+        "",
+        "## Virtual CPU mesh (8 XLA host devices — validates the GSPMD",
+        "sharding plan; relative numbers only, no ICI exists on CPU)",
+        "",
+        "| tp | dp | tokens/s | vs tp=1 |",
+        "|----|----|----------|---------|",
+    ]
+    for tp, dp, tps in rows:
+        lines.append(f"| {tp} | {dp} | {tps:.1f} | {tps / base:.2f}× |")
+    lines += [
+        "",
+        f"## Multi-process (2 × jax.distributed, dp=2 tp=4): "
+        f"{'PASS — token stream identical to single-process' if dist_ok else 'FAIL'}",
+        "",
+        "## Real TPU (1 chip)",
+        "",
+        "See BENCH_r*.json (driver-run): single-stream and 64-stream",
+        "aggregate decode on the 1.1B-shape Q4_0 model.  Multi-chip ICI",
+        "hardware is not available in this environment; the mesh plan above",
+        "and the dryrun_multichip entry point carry the sharding semantics.",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"rows": rows, "dist_ok": dist_ok}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
