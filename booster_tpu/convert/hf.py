@@ -82,7 +82,7 @@ def convert_state_dict(
         elif name.startswith("model.layers."):
             rest = name[len("model.layers.") :]
             idx, _, sub = rest.partition(".")
-            if sub == "block_sparse_moe.gate.weight":
+            if sub == "block_sparse_moe.gate.weight" or sub == "mlp.gate.weight":
                 out[f"blk.{idx}.ffn_gate_inp.weight"] = w
                 continue
             if sub.startswith("block_sparse_moe.experts."):
@@ -93,6 +93,26 @@ def convert_state_dict(
                          "w3.weight": "ffn_up_exps"}.get(wname)
                 if which:
                     experts.setdefault((int(idx), which), {})[int(e_idx)] = w
+                continue
+            if sub.startswith("mlp.experts."):  # qwen2moe naming
+                _, _, tail = sub.partition("experts.")
+                e_idx, _, wname = tail.partition(".")
+                which = {"gate_proj.weight": "ffn_gate_exps",
+                         "up_proj.weight": "ffn_up_exps",
+                         "down_proj.weight": "ffn_down_exps"}.get(wname)
+                if which:
+                    experts.setdefault((int(idx), which), {})[int(e_idx)] = w
+                continue
+            if sub.startswith("mlp.shared_expert."):
+                tail = sub[len("mlp.shared_expert."):]
+                which = {"gate_proj.weight": "ffn_gate_shexp.weight",
+                         "up_proj.weight": "ffn_up_shexp.weight",
+                         "down_proj.weight": "ffn_down_shexp.weight"}.get(tail)
+                if which:
+                    out[f"blk.{idx}.{which}"] = w
+                continue
+            if sub == "mlp.shared_expert_gate.weight":
+                out[f"blk.{idx}.ffn_gate_inp_shexp.weight"] = w
                 continue
             gguf_sub = layer_map.get(sub)
             if gguf_sub is None:
@@ -472,9 +492,141 @@ def _convert_bert(state_dict, hf_cfg) -> dict[str, np.ndarray]:
     return out
 
 
+def _convert_deepseek2(state_dict, hf_cfg) -> dict[str, np.ndarray]:
+    """HF DeepseekV2ForCausalLM → GGUF deepseek2 tensor names (MLA +
+    shared-expert MoE; no rope permutation — DeepSeek's decoupled rope part
+    is interleaved, matching ggml's NORM style directly)."""
+    def to_np(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    lm = {
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.q_a_proj.weight": "attn_q_a.weight",
+        "self_attn.q_a_layernorm.weight": "attn_q_a_norm.weight",
+        "self_attn.q_b_proj.weight": "attn_q_b.weight",
+        "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+        "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+        "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+        "mlp.gate.weight": "ffn_gate_inp.weight",
+        "mlp.shared_experts.gate_proj.weight": "ffn_gate_shexp.weight",
+        "mlp.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
+        "mlp.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
+    }
+    out: dict[str, np.ndarray] = {}
+    experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
+    for name, tensor in state_dict.items():
+        w = to_np(tensor)
+        if name == "model.embed_tokens.weight":
+            out["token_embd.weight"] = w
+        elif name == "model.norm.weight":
+            out["output_norm.weight"] = w
+        elif name == "lm_head.weight":
+            out["output.weight"] = w
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx, _, sub = rest.partition(".")
+            if sub.startswith("mlp.experts."):
+                _, _, tail = sub.partition("experts.")
+                e_idx, _, wname = tail.partition(".")
+                which = {"gate_proj.weight": "ffn_gate_exps",
+                         "up_proj.weight": "ffn_up_exps",
+                         "down_proj.weight": "ffn_down_exps"}.get(wname)
+                if which:
+                    experts.setdefault((int(idx), which), {})[int(e_idx)] = w
+            elif sub in lm:
+                out[f"blk.{idx}.{lm[sub]}"] = w
+    for (idx, which), emap in experts.items():
+        out[f"blk.{idx}.{which}.weight"] = np.stack(
+            [emap[e] for e in sorted(emap)], axis=0)
+    return out
+
+
+def _convert_mamba(state_dict, hf_cfg) -> dict[str, np.ndarray]:
+    """HF MambaForCausalLM → GGUF mamba tensor names (ssm_* family)."""
+    def to_np(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    lm = {
+        "norm.weight": "attn_norm.weight",
+        "mixer.in_proj.weight": "ssm_in.weight",
+        "mixer.conv1d.bias": "ssm_conv1d.bias",
+        "mixer.x_proj.weight": "ssm_x.weight",
+        "mixer.dt_proj.weight": "ssm_dt.weight",
+        "mixer.dt_proj.bias": "ssm_dt.bias",
+        "mixer.A_log": "ssm_a",
+        "mixer.D": "ssm_d",
+        "mixer.out_proj.weight": "ssm_out.weight",
+    }
+    out: dict[str, np.ndarray] = {}
+    for name, tensor in state_dict.items():
+        w = to_np(tensor)
+        if name == "backbone.embeddings.weight":
+            out["token_embd.weight"] = w
+        elif name == "backbone.norm_f.weight":
+            out["output_norm.weight"] = w
+        elif name == "lm_head.weight":
+            out["output.weight"] = w
+        elif name.startswith("backbone.layers."):
+            rest = name[len("backbone.layers."):]
+            idx, _, sub = rest.partition(".")
+            if sub == "mixer.conv1d.weight":  # [di, 1, k] → [di, k]
+                out[f"blk.{idx}.ssm_conv1d.weight"] = w[:, 0, :]
+            elif sub in lm:
+                out[f"blk.{idx}.{lm[sub]}"] = w
+    return out
+
+
+def _convert_t5_encoder(state_dict, hf_cfg) -> dict[str, np.ndarray]:
+    """HF T5EncoderModel → GGUF t5encoder tensor names (enc.* namespace)."""
+    def to_np(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    lm = {
+        "layer.0.SelfAttention.q.weight": "attn_q.weight",
+        "layer.0.SelfAttention.k.weight": "attn_k.weight",
+        "layer.0.SelfAttention.v.weight": "attn_v.weight",
+        "layer.0.SelfAttention.o.weight": "attn_o.weight",
+        "layer.0.layer_norm.weight": "attn_norm.weight",
+        "layer.1.DenseReluDense.wi.weight": "ffn_up.weight",
+        "layer.1.DenseReluDense.wi_0.weight": "ffn_gate.weight",
+        "layer.1.DenseReluDense.wi_1.weight": "ffn_up.weight",
+        "layer.1.DenseReluDense.wo.weight": "ffn_down.weight",
+        "layer.1.layer_norm.weight": "ffn_norm.weight",
+    }
+    out: dict[str, np.ndarray] = {}
+    for name, tensor in state_dict.items():
+        w = to_np(tensor)
+        if name == "shared.weight" or name == "encoder.embed_tokens.weight":
+            out["token_embd.weight"] = w
+        elif name == "encoder.final_layer_norm.weight":
+            out["enc.output_norm.weight"] = w
+        elif name.startswith("encoder.block."):
+            rest = name[len("encoder.block."):]
+            idx, _, sub = rest.partition(".")
+            if sub == "layer.0.SelfAttention.relative_attention_bias.weight":
+                if idx == "0":
+                    out["enc.blk.0.attn_rel_b.weight"] = w
+            elif sub in lm:
+                out[f"enc.blk.{idx}.{lm[sub]}"] = w
+    return out
+
+
 _HF_CLASS_ARCH = {
     "LlamaForCausalLM": "llama", "MistralForCausalLM": "llama",
-    "Qwen2ForCausalLM": "qwen2", "Gemma2ForCausalLM": "gemma2",
+    "Qwen2ForCausalLM": "qwen2", "Qwen2MoeForCausalLM": "qwen2moe",
+    "Gemma2ForCausalLM": "gemma2",
     "MixtralForCausalLM": "mixtral", "Phi3ForCausalLM": "phi3",
     "GPT2LMHeadModel": "gpt2", "GPTBigCodeForCausalLM": "starcoder",
     "FalconForCausalLM": "falcon", "PhiForCausalLM": "phi2",
@@ -483,6 +635,9 @@ _HF_CLASS_ARCH = {
     "BertModel": "bert", "BertForMaskedLM": "bert",
     "BloomForCausalLM": "bloom", "StableLmForCausalLM": "stablelm",
     "Starcoder2ForCausalLM": "starcoder2", "OlmoForCausalLM": "olmo",
+    "MambaForCausalLM": "mamba",
+    "T5EncoderModel": "t5encoder",
+    "DeepseekV2ForCausalLM": "deepseek2",
 }
 
 
@@ -509,16 +664,33 @@ def convert_hf_model(
         return default
 
     n_embd = cfg_int("hidden_size", "n_embd", "d_model")
-    n_heads = cfg_int("num_attention_heads", "n_head", "n_heads")
+    n_heads = cfg_int("num_attention_heads", "n_head", "n_heads", default=1)
     n_layers = cfg_int("num_hidden_layers", "n_layer", "n_layers")
-    head_dim = cfg_int("head_dim", default=0) or n_embd // n_heads
+    head_dim = cfg_int("head_dim", default=0) or n_embd // max(n_heads, 1)
     n_ff = cfg_int("intermediate_size", "n_inner", default=0)
     if not n_ff:
         n_ff = int(hf_cfg.get("expansion_ratio", 4)) * n_embd
     n_ctx = cfg_int("max_position_embeddings", "n_positions", "max_seq_len",
                     default=4096)
 
-    if arch == "bert":
+    if arch == "mamba":
+        tensors = _convert_mamba(model.state_dict(), hf_cfg)
+        n_heads = n_kv = 1
+        head_dim = 1
+    elif arch == "deepseek2":
+        tensors = _convert_deepseek2(model.state_dict(), hf_cfg)
+        n_kv = n_heads
+        head_dim = (int(hf_cfg["qk_nope_head_dim"])
+                    + int(hf_cfg["qk_rope_head_dim"]))
+    elif arch == "t5encoder":
+        tensors = _convert_t5_encoder(model.state_dict(), hf_cfg)
+        n_heads = cfg_int("num_heads", default=n_heads)
+        n_kv = n_heads
+        head_dim = cfg_int("d_kv", default=head_dim)
+        n_layers = cfg_int("num_layers", default=n_layers)
+        n_embd = cfg_int("d_model", default=n_embd)
+        n_ff = cfg_int("d_ff", default=n_ff)
+    elif arch == "bert":
         tensors = _convert_bert(model.state_dict(), hf_cfg)
         n_kv = n_heads
     elif arch in _SIMPLE_MAPS:
@@ -551,7 +723,8 @@ def convert_hf_model(
     w.add(f"{arch}.feed_forward_length", n_ff)
     w.add(f"{arch}.attention.head_count", n_heads)
     w.add(f"{arch}.attention.head_count_kv", n_kv)
-    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(hf_cfg.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(
+        hf_cfg.get("rms_norm_eps") or hf_cfg.get("layer_norm_epsilon") or 1e-5))
     w.add(f"{arch}.attention.layer_norm_epsilon", float(
         hf_cfg.get("layer_norm_epsilon") or hf_cfg.get("layer_norm_eps")
         or hf_cfg.get("layernorm_epsilon") or 1e-5))
@@ -560,7 +733,9 @@ def convert_hf_model(
     w.add(f"{arch}.attention.key_length", head_dim)
     w.add(f"{arch}.attention.value_length", head_dim)
     rope_dims = head_dim
-    if hf_cfg.get("partial_rotary_factor"):  # phi2
+    if arch == "deepseek2":  # decoupled rope part only
+        rope_dims = int(hf_cfg["qk_rope_head_dim"])
+    elif hf_cfg.get("partial_rotary_factor"):  # phi2
         rope_dims = int(float(hf_cfg["partial_rotary_factor"]) * head_dim)
     elif hf_cfg.get("rotary_pct"):  # gpt-neox
         rope_dims = int(float(hf_cfg["rotary_pct"]) * head_dim)
@@ -587,9 +762,46 @@ def convert_hf_model(
         w.add(f"{arch}.attention.max_alibi_bias", 8.0)
     if arch == "olmo" and hf_cfg.get("clip_qkv"):
         w.add(f"{arch}.attention.clamp_kqv", float(hf_cfg["clip_qkv"]))
+    if arch == "t5encoder":
+        w.add(f"{arch}.attention.relative_buckets_count",
+              int(hf_cfg.get("relative_attention_num_buckets", 32)))
+    if arch == "deepseek2":
+        w.add(f"{arch}.attention.kv_lora_rank", int(hf_cfg["kv_lora_rank"]))
+        if hf_cfg.get("q_lora_rank"):
+            w.add(f"{arch}.attention.q_lora_rank", int(hf_cfg["q_lora_rank"]))
+        w.add(f"{arch}.attention.value_length", int(hf_cfg["v_head_dim"]))
+        w.add(f"{arch}.leading_dense_block_count",
+              int(hf_cfg.get("first_k_dense_replace", 0)))
+        w.add(f"{arch}.expert_shared_count",
+              int(hf_cfg.get("n_shared_experts") or 0))
+        w.add(f"{arch}.expert_weights_scale",
+              float(hf_cfg.get("routed_scaling_factor", 1.0)))
+        if hf_cfg.get("n_routed_experts"):
+            w.add(f"{arch}.expert_count", int(hf_cfg["n_routed_experts"]))
+            w.add(f"{arch}.expert_used_count",
+                  int(hf_cfg.get("num_experts_per_tok") or 2))
+            w.add(f"{arch}.expert_feed_forward_length",
+                  int(hf_cfg.get("moe_intermediate_size") or 0))
+    if arch == "mamba":
+        import math
+
+        w.add(f"{arch}.ssm.inner_size", int(hf_cfg.get(
+            "intermediate_size") or 2 * n_embd))
+        w.add(f"{arch}.ssm.state_size", int(hf_cfg.get("state_size", 16)))
+        w.add(f"{arch}.ssm.conv_kernel", int(hf_cfg.get("conv_kernel", 4)))
+        dt_rank = hf_cfg.get("time_step_rank")
+        if not isinstance(dt_rank, int):
+            dt_rank = math.ceil(n_embd / 16)
+        w.add(f"{arch}.ssm.time_step_rank", int(dt_rank))
     if hf_cfg.get("num_local_experts"):
         w.add(f"{arch}.expert_count", int(hf_cfg["num_local_experts"]))
         w.add(f"{arch}.expert_used_count", int(hf_cfg.get("num_experts_per_tok", 2)))
+    if arch == "qwen2moe":
+        w.add(f"{arch}.expert_count", int(hf_cfg["num_experts"]))
+        w.add(f"{arch}.expert_used_count", int(hf_cfg.get("num_experts_per_tok", 4)))
+        w.add(f"{arch}.expert_feed_forward_length",
+              int(hf_cfg.get("moe_intermediate_size") or 0))
+        w.add(f"{arch}.expert_weights_norm", bool(hf_cfg.get("norm_topk_prob", False)))
     for key, val in (tokenizer_vocab or {}).items():
         w.add(key, val)
 

@@ -40,6 +40,8 @@ _ARCH_ROPE = {
     "mpt": ROPE_NONE,
     "bloom": ROPE_NONE,
     "jais": ROPE_NONE,
+    "mamba": ROPE_NONE,
+    "t5": ROPE_NONE,
     # NORM-rope families (:17043)
     "starcoder": ROPE_NORM,
     "orion": ROPE_NORM,
@@ -92,11 +94,27 @@ class ModelConfig:
     n_experts: int = 0
     n_experts_used: int = 0
     moe_ff: int = 0  # expert ffn width (defaults to n_ff)
+    moe_norm_topk: bool = True  # renormalize top-k weights (deepseek2: no)
+    moe_scale: float = 1.0  # expert_weights_scale (deepseek2)
+    n_shared_experts: int = 0  # deepseek2 shared expert FFN
+    n_dense_layers: int = 0  # leading dense (non-MoE) layers
+    # MLA (deepseek2): low-rank kv compression + decoupled rope
+    kv_lora_rank: int = 0
+    q_lora_rank: int = 0
+    head_dim_v: int = 0  # 0 → head_dim (MLA: v dim ≠ qk dim)
     # broader-family quirks
     norm_type: str = "rms"  # "rms" | "layer" (gpt2/falcon/phi2/mpt/command-r)
     parallel_residual: bool = False  # x + attn + ffn(attn_norm(x)) (falcon…)
     alibi_max_bias: float = 0.0  # mpt: ALiBi slopes replace rope
     clamp_kqv: float = 0.0  # mpt: clamp qkv projections to ±clamp
+    # mamba SSM (recurrent — no KV cache)
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_d_conv: int = 0
+    ssm_dt_rank: int = 0
+    # t5 encoder
+    rel_buckets: int = 0  # relative attention bias buckets (0 = off)
+    rel_max_dist: int = 128
 
     @property
     def gqa_groups(self) -> int:
@@ -144,6 +162,9 @@ class ModelConfig:
             )
         if arch in ("qwen2", "qwen2moe"):
             quirks.update(qkv_bias=True)
+        if arch == "qwen2moe":
+            quirks.update(moe_norm_topk=bool(
+                md.get(f"{arch}.expert_weights_norm", False)))
         if arch in ("qwen3", "qwen3moe"):
             quirks.update(q_norm=True)
         if arch in ("gpt2", "starcoder", "mpt", "bloom", "jais", "bert",
@@ -159,6 +180,29 @@ class ModelConfig:
         if arch == "olmo":
             quirks.update(
                 clamp_kqv=float(g("attention.clamp_kqv", 0.0) or 0.0))
+        if arch == "deepseek2":
+            quirks.update(
+                kv_lora_rank=int(g("attention.kv_lora_rank", 0) or 0),
+                q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
+                head_dim_v=int(g("attention.value_length", 0) or 0),
+                n_dense_layers=int(g("leading_dense_block_count", 0) or 0),
+                n_shared_experts=int(g("expert_shared_count", 0) or 0),
+                moe_scale=float(g("expert_weights_scale", 1.0) or 1.0),
+                moe_norm_topk=False,
+            )
+        if arch in ("t5", "t5encoder"):
+            quirks.update(
+                rel_buckets=int(g("attention.relative_buckets_count", 32) or 32),
+                attn_scale=1.0,  # T5 attention is unscaled
+                act="gelu",  # gated t5 v1.1 (non-gated path uses relu)
+            )
+        if arch == "mamba":
+            quirks.update(
+                ssm_d_inner=int(g("ssm.inner_size", 0) or 0),
+                ssm_d_state=int(g("ssm.state_size", 16) or 16),
+                ssm_d_conv=int(g("ssm.conv_kernel", 4) or 4),
+                ssm_dt_rank=int(g("ssm.time_step_rank", 0) or 0),
+            )
         if arch in ("falcon", "phi2", "gptneox"):
             quirks.update(norm_type="layer", act="gelu",
                           parallel_residual=True)

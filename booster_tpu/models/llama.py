@@ -43,6 +43,8 @@ def _use_fused_decode(cfg: ModelConfig, T: int, S: int) -> bool:
         return False
     if cfg.alibi_max_bias > 0:  # ALiBi bias not in the fused kernel (yet)
         return False
+    if cfg.head_dim_v and cfg.head_dim_v != cfg.head_dim:  # MLA
+        return False
     return S % 128 == 0
 
 
@@ -108,7 +110,10 @@ def _moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     router_logits = qlinear(x, lp["router"])  # [B,T,E]
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     topv, topi = jax.lax.top_k(probs, k)  # [B,T,k]
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.moe_norm_topk:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.moe_scale != 1.0:  # deepseek2 expert_weights_scale
+        topv = topv * cfg.moe_scale
     weights = jnp.zeros_like(probs).at[
         jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], topi
     ].set(topv)  # [B,T,E] sparse mixture weights
@@ -166,7 +171,31 @@ def _layer(
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = _norm(x, lp, "attn_norm", cfg)
-    if "wqkv" in lp:  # fused projection (loader folds q+k+v rows)
+    if cfg.kv_lora_rank > 0:  # deepseek2 MLA (build_deepseek2, :12842)
+        Dq = cfg.head_dim  # qk_nope + qk_rope
+        Dv = cfg.head_dim_v or Dq
+        rope_d = cfg.rope_dims
+        nope = Dq - rope_d
+        lora = cfg.kv_lora_rank
+        if "wq_a" in lp:  # low-rank q (non-lite)
+            qh = rms_norm(qlinear(h, lp["wq_a"]), lp["q_a_norm"], cfg.rms_eps)
+            q = qlinear(qh, lp["wq_b"]).reshape(B, T, H, Dq)
+        else:
+            q = qlinear(h, lp["wq"]).reshape(B, T, H, Dq)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+        kv_pe = qlinear(h, lp["kv_a_mqa"])  # [B, T, lora + rope_d]
+        c_kv = rms_norm(kv_pe[..., :lora], lp["kv_a_norm"], cfg.rms_eps)
+        k_pe = kv_pe[..., lora:].reshape(B, T, 1, rope_d)
+        kvb = qlinear(c_kv, lp["kv_b"]).reshape(B, T, H, nope + Dv)
+        k_nope, v = kvb[..., :nope], kvb[..., nope:]
+        q_pe = apply_rope_tables(q_pe, rope_cos, rope_sin, cfg.rope_style)
+        k_pe = apply_rope_tables(k_pe, rope_cos, rope_sin, cfg.rope_style)
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (B, T, H, rope_d))], axis=-1
+        )
+        D = Dq  # cache stores the full qk dim for K, Dv for V
+    elif "wqkv" in lp:  # fused projection (loader folds q+k+v rows)
         qkv = qlinear(h, lp["wqkv"])
         d_q, d_kv = H * D, Hkv * D
         q = qkv[..., :d_q].reshape(B, T, H, D)
@@ -177,17 +206,18 @@ def _layer(
         k = _lin(h, lp, "wk", lp.get("bk")).reshape(B, T, Hkv, D)
         v = _lin(h, lp, "wv", lp.get("bv")).reshape(B, T, Hkv, D)
 
-    if cfg.clamp_kqv > 0:  # mpt
-        q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
-        k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
-        v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
+    if cfg.kv_lora_rank == 0:  # MLA ropes its decoupled parts above
+        if cfg.clamp_kqv > 0:  # mpt
+            q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
+            k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
+            v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
 
-    if cfg.q_norm:  # qwen3: per-head rmsnorm before rope
-        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        if cfg.q_norm:  # qwen3: per-head rmsnorm before rope
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
 
-    q = apply_rope_tables(q, rope_cos, rope_sin, cfg.rope_style)
-    k = apply_rope_tables(k, rope_cos, rope_sin, cfg.rope_style)
+        q = apply_rope_tables(q, rope_cos, rope_sin, cfg.rope_style)
+        k = apply_rope_tables(k, rope_cos, rope_sin, cfg.rope_style)
 
     k_slice, v_slice, ks_slice, vs_slice = update_layer(
         k_slice, v_slice, k, v, offsets, ks_slice, vs_slice
@@ -234,7 +264,7 @@ def _layer(
             alibi_slopes=(alibi_slopes(H, cfg.alibi_max_bias)
                           if cfg.alibi_max_bias > 0 else None),
         )
-    attn_out = _lin(attn_out.reshape(B, T, H * D), lp, "wo", lp.get("bo"))
+    attn_out = _lin(attn_out.reshape(B, T, -1), lp, "wo", lp.get("bo"))
     if cfg.post_norms:
         attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
 
@@ -249,8 +279,16 @@ def _layer(
         residual = x
 
     h = ffn_h
-    if cfg.n_experts > 0:
+    if cfg.n_experts > 0 and "gate_exps" in lp:
         ffn_out = _moe_ffn(h, lp, cfg)
+        if "gate_shexp" in lp:  # deepseek2/qwen2moe shared expert in parallel
+            sh = _act(_lin(h, lp, "gate_shexp"), cfg.act) * _lin(h, lp, "up_shexp")
+            sh = _lin(sh, lp, "down_shexp")
+            if "shexp_gate" in lp:  # qwen2moe: sigmoid-gated shared expert
+                sh = sh * jax.nn.sigmoid(
+                    qlinear(h, lp["shexp_gate"]).astype(jnp.float32)
+                ).astype(sh.dtype)
+            ffn_out = ffn_out + sh
     elif "w_gateup" in lp:  # fused gate+up (loader folds rows)
         gu = qlinear(h, lp["w_gateup"])
         ff = gu.shape[-1] // 2
@@ -336,15 +374,35 @@ def forward(
         )
         return x, updated
 
-    scanned = (
-        params["layers"],
-        jnp.arange(cfg.n_layers, dtype=jnp.int32),
-        cache.k,
-        cache.v,
-        cache.k_scale,
-        cache.v_scale,
-    )
-    x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, scanned)
+    # heterogeneous models (deepseek2: dense lead layers then the MoE stack)
+    # load as several stacked groups; each group is its own lax.scan
+    groups = (params["layer_groups"] if "layer_groups" in params
+              else [params["layers"]])
+    off = 0
+    parts = []
+    for g in groups:
+        Lg = jax.tree.leaves(g)[0].shape[0]
+        sl = slice(off, off + Lg)
+        scanned = (
+            g,
+            jnp.arange(off, off + Lg, dtype=jnp.int32),
+            cache.k[sl],
+            cache.v[sl],
+            None if cache.k_scale is None else cache.k_scale[sl],
+            None if cache.v_scale is None else cache.v_scale[sl],
+        )
+        x, updated = jax.lax.scan(body, x, scanned)
+        parts.append(updated)
+        off += Lg
+    if len(parts) == 1:
+        new_k, new_v, new_ks, new_vs = parts[0]
+    else:
+        def cat(i):
+            if parts[0][i] is None:
+                return None
+            return jnp.concatenate([p[i] for p in parts], axis=0)
+
+        new_k, new_v, new_ks, new_vs = cat(0), cat(1), cat(2), cat(3)
 
     if cfg.norm_type == "layer":
         x = layer_norm(x, params.get("output_norm"),

@@ -61,12 +61,50 @@ _LAYER_MAP = {
     "attn_output_norm.bias": "attn_out_norm_b",
     "layer_output_norm.weight": "layer_out_norm",
     "layer_output_norm.bias": "layer_out_norm_b",
+    # deepseek2 MLA + shared experts
+    "attn_q_a.weight": "wq_a",
+    "attn_q_a_norm.weight": "q_a_norm",
+    "attn_q_b.weight": "wq_b",
+    "attn_kv_a_mqa.weight": "kv_a_mqa",
+    "attn_kv_a_norm.weight": "kv_a_norm",
+    "attn_kv_b.weight": "kv_b",
+    "ffn_gate_inp_shexp.weight": "shexp_gate",
+    "ffn_gate_shexp.weight": "gate_shexp",
+    "ffn_up_shexp.weight": "up_shexp",
+    "ffn_down_shexp.weight": "down_shexp",
+    # mamba SSM blocks
+    "ssm_in.weight": "ssm_in",
+    "ssm_conv1d.weight": "conv_w",
+    "ssm_conv1d.bias": "conv_b",
+    "ssm_x.weight": "ssm_x",
+    "ssm_dt.weight": "ssm_dt",
+    "ssm_dt.bias": "ssm_dt_b",
+    "ssm_a": "ssm_a",
+    "ssm_d": "ssm_d",
+    "ssm_out.weight": "ssm_out",
+}
+
+# small dense per-layer tensors loaded as plain arrays (not QTensors)
+_DENSE_KEYS = {"conv_w", "conv_b", "ssm_a", "ssm_d", "ssm_dt_b"}
+
+# T5 encoder layer tensors (enc.blk.%d.*, llama.cpp:1253-1262)
+_T5_ENC_MAP = {
+    "attn_norm.weight": "attn_norm",
+    "attn_q.weight": "wq",
+    "attn_k.weight": "wk",
+    "attn_v.weight": "wv",
+    "attn_o.weight": "wo",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_gate.weight": "w_gate",
+    "ffn_up.weight": "w_up",
+    "ffn_down.weight": "w_down",
 }
 
 _NORM_KEYS = {
     "attn_norm", "ffn_norm", "q_norm", "k_norm", "post_attn_norm", "post_ffn_norm",
     "attn_norm_b", "ffn_norm_b",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
+    "q_a_norm", "kv_a_norm",
 }
 _BIAS_KEYS = {"bq", "bk", "bv", "bo", "b_up", "b_down"}
 
@@ -228,16 +266,27 @@ def load_model(
         "mscale": put(np.float32(mscale), "norm"),
     }
 
+    # T5 encoder: enc.* namespace; relative bias table is global (block 0)
+    t5_enc = cfg.arch in ("t5", "t5encoder")
+    if t5_enc:
+        rel = load_dense("enc.blk.0.attn_rel_b.weight")
+        if rel is not None:
+            params["rel_b"] = put(rel, "norm")
+        enc_norm = load_dense("enc.output_norm.weight")
+        if enc_norm is not None:
+            params["output_norm"] = put(enc_norm, "norm")
+
     # -- per-layer tensors ---------------------------------------------------
     layer_dicts: list[dict[str, Any]] = []
+    layer_map = _T5_ENC_MAP if t5_enc else _LAYER_MAP
     for i in range(cfg.n_layers):
-        prefix = f"blk.{i}."
+        prefix = f"enc.blk.{i}." if t5_enc else f"blk.{i}."
         lp: dict[str, Any] = {}
-        for suffix, key in _LAYER_MAP.items():
+        for suffix, key in layer_map.items():
             name = prefix + suffix
             if name not in reader.tensors:
                 continue
-            if key in _NORM_KEYS or key in _BIAS_KEYS:
+            if key in _NORM_KEYS or key in _BIAS_KEYS or key in _DENSE_KEYS:
                 lp[key] = load_dense(name)
             else:
                 lp[key] = load_q(name)
@@ -257,6 +306,8 @@ def load_model(
             lp["w_gate"], lp["w_up"] = _split_rows(lp["w_up"], [cfg.n_ff, cfg.n_ff])
 
         # fuse q/k/v and gate/up into single matmuls (decode launch overhead)
+        if t5_enc:
+            fuse = False  # t5 encode() consumes separate projections
         if fuse and {"wq", "wk", "wv"} <= set(lp) and "bq" not in lp and not cfg.q_norm:
             fused = _concat_rows([lp["wq"], lp["wk"], lp["wv"]])
             if fused is not None:
@@ -271,20 +322,32 @@ def load_model(
 
     if not layer_dicts:
         raise ValueError("no layers found")
-    keys = set(layer_dicts[0])
-    for i, lp in enumerate(layer_dicts):
-        if set(lp) != keys:
-            raise ValueError(f"layer {i} keys {set(lp)} differ from layer 0 {keys}")
 
-    stacked: dict[str, Any] = {}
-    for key in sorted(keys):
-        vals = [lp[key] for lp in layer_dicts]
-        if isinstance(vals[0], QTensor):
-            qt = _stack_qtensors(vals)
-            stacked[key] = jax.tree.map(lambda a: put(a, key), qt)
-        else:
-            stacked[key] = put(np.stack(vals), key)
-    params["layers"] = stacked
+    def stack_group(dicts: list[dict[str, Any]]) -> dict[str, Any]:
+        stacked: dict[str, Any] = {}
+        for key in sorted(dicts[0]):
+            vals = [lp[key] for lp in dicts]
+            if isinstance(vals[0], QTensor):
+                qt = _stack_qtensors(vals)
+                stacked[key] = jax.tree.map(lambda a: put(a, key), qt)
+            else:
+                stacked[key] = put(np.stack(vals), key)
+        return stacked
+
+    # consecutive layers with identical key sets stack into one lax.scan
+    # group; heterogeneous models (deepseek2: leading dense layers before the
+    # MoE stack) produce multiple groups that forward() runs in sequence
+    runs: list[tuple[int, int]] = []
+    start = 0
+    for i in range(1, len(layer_dicts)):
+        if set(layer_dicts[i]) != set(layer_dicts[start]):
+            runs.append((start, i))
+            start = i
+    runs.append((start, len(layer_dicts)))
+    if len(runs) == 1:
+        params["layers"] = stack_group(layer_dicts)
+    else:
+        params["layer_groups"] = [stack_group(layer_dicts[s:e]) for s, e in runs]
 
     md = dict(reader.metadata)
     if not keep_reader:

@@ -107,7 +107,7 @@ def attention(
         "bhgts,bhsd->bhgtd", probs, vf,
         preferred_element_type=jnp.float32,
     )
-    out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, D)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, -1)
     return out.astype(q.dtype)
 
 
@@ -164,8 +164,8 @@ def _attention_chunked(
 
     m0 = jnp.full((B, Hkv, groups, T), NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, Hkv, groups, T), jnp.float32)
-    acc0 = jnp.zeros((B, Hkv, groups, T, D), jnp.float32)
+    acc0 = jnp.zeros((B, Hkv, groups, T, v_cache.shape[-1]), jnp.float32)
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(n_chunks))
     out = acc / jnp.maximum(l, 1e-30)[..., None]
-    out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, D)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, -1)
     return out.astype(q.dtype)

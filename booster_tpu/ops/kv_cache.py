@@ -50,20 +50,22 @@ class KVCache:
         head_dim: int,
         dtype=jnp.bfloat16,
         quantized: bool = False,
+        head_dim_v: int = 0,  # 0 → head_dim (MLA: v dim ≠ qk dim)
     ) -> "KVCache":
+        dv = head_dim_v or head_dim
+        k_shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
+        v_shape = (n_layers, batch, n_kv_heads, max_len, dv)
         if quantized:
-            shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
             return cls(
-                k=jnp.zeros(shape, jnp.int8),
-                v=jnp.zeros(shape, jnp.int8),
+                k=jnp.zeros(k_shape, jnp.int8),
+                v=jnp.zeros(v_shape, jnp.int8),
                 lengths=jnp.zeros(batch, jnp.int32),
-                k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
-                v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+                k_scale=jnp.zeros(k_shape[:-1] + (1,), jnp.float32),
+                v_scale=jnp.zeros(v_shape[:-1] + (1,), jnp.float32),
             )
-        shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
         return cls(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            k=jnp.zeros(k_shape, dtype),
+            v=jnp.zeros(v_shape, dtype),
             lengths=jnp.zeros(batch, jnp.int32),
         )
 
@@ -98,7 +100,8 @@ def update_layer(
 ):
     """Write new tokens at per-slot offsets; returns updated slices."""
     if (new_k.shape[1] == 1 and layer_k.shape[2] % 128 == 0
-            and layer_k.shape[3] % 128 == 0  # D=64 pads lanes; Mosaic rejects
+            and layer_k.shape[3] == layer_v.shape[3]  # MLA: D_k ≠ D_v
+            and (layer_k.shape[3] % 128 == 0 or layer_k.shape[3] == 64)
             and _use_fused_append()):
         from booster_tpu.ops.pallas_kv import kv_append_decode
 

@@ -47,6 +47,29 @@ def _rmw_payload(cref, b, off, new_h1d, win_s, sem):
     wr.wait()
 
 
+def _rmw_payload_paired(cref2, b, off, new_h1d, win_s, sem):
+    """D=64 variant: the cache is viewed as [B, H, S/2, 128] (two adjacent
+    positions share a 128-lane row).  Row off//2's OTHER half is past data —
+    preserved by the RMW; strictly later rows are clobbered."""
+    half = off % 2
+    prow = off // 2
+    prow_al = pl.multiple_of((prow // _WIN) * _WIN, _WIN)
+    rd = pltpu.make_async_copy(cref2.at[b, :, pl.ds(prow_al, _WIN), :], win_s, sem)
+    rd.start()
+    rd.wait()
+    row = prow_al + jax.lax.broadcasted_iota(jnp.int32, (1, _WIN, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _WIN, 128), 2) // 64
+    new_mask = (row > prow) | ((row == prow) & (lane == half))
+    new128 = jnp.concatenate([new_h1d, new_h1d], axis=-1)  # [H, 1, 128]
+    H = new_h1d.shape[0]
+    win_s[:] = jnp.where(new_mask,
+                         jnp.broadcast_to(new128, (H, _WIN, 128)).astype(win_s.dtype),
+                         win_s[:])
+    wr = pltpu.make_async_copy(win_s, cref2.at[b, :, pl.ds(prow_al, _WIN), :], sem)
+    wr.start()
+    wr.wait()
+
+
 def _rmw_scale(sref, b, off, new_h1, win_s, sem):
     """RMW an aligned [H, _SWIN] lane window of the [B, H, S] scale plane."""
     off_al = pl.multiple_of((off // _SWIN) * _SWIN, _SWIN)
@@ -66,12 +89,14 @@ def _append_kernel_quant(
     knew_ref,  # [1, H, 1, D] f32/bf16 (VMEM block, grid b)
     vnew_ref,
     kc_in, vc_in, ks_in, vs_in,  # aliased inputs (ANY) — same buffers as out
-    kc_ref, vc_ref,  # [B, H, S, D] i8 (ANY)
+    kc_ref, vc_ref,  # [B, H, S, D] i8 (ANY); [B, H, S/2, 128] when paired
     ks_ref, vs_ref,  # [B, H, S] f32 (ANY)
     kwin, vwin, swin, sem,
+    *,
+    paired: bool = False,
+    S: int = 0,
 ):
     b = pl.program_id(0)
-    S = kc_ref.shape[2]
     off = jnp.minimum(off_ref[b, 0], S - 1)  # dynamic_update_slice clamping
 
     def quantize(new_ref):
@@ -86,8 +111,12 @@ def _append_kernel_quant(
 
     kq, ksc = quantize(knew_ref)
     vq, vsc = quantize(vnew_ref)
-    _rmw_payload(kc_ref, b, off, kq, kwin, sem)
-    _rmw_payload(vc_ref, b, off, vq, vwin, sem)
+    if paired:
+        _rmw_payload_paired(kc_ref, b, off, kq, kwin, sem)
+        _rmw_payload_paired(vc_ref, b, off, vq, vwin, sem)
+    else:
+        _rmw_payload(kc_ref, b, off, kq, kwin, sem)
+        _rmw_payload(vc_ref, b, off, vq, vwin, sem)
     _rmw_scale(ks_ref, b, off, ksc, swin, sem)
     _rmw_scale(vs_ref, b, off, vsc, swin, sem)
 
@@ -97,11 +126,18 @@ def _append_kernel_plain(
     kc_in, vc_in,
     kc_ref, vc_ref,
     win, sem,
+    *,
+    paired: bool = False,
+    S: int = 0,
 ):
     b = pl.program_id(0)
-    off = jnp.minimum(off_ref[b, 0], kc_ref.shape[2] - 1)
-    _rmw_payload(kc_ref, b, off, knew_ref[0], win, sem)
-    _rmw_payload(vc_ref, b, off, vnew_ref[0], win, sem)
+    off = jnp.minimum(off_ref[b, 0], S - 1)
+    if paired:
+        _rmw_payload_paired(kc_ref, b, off, knew_ref[0], win, sem)
+        _rmw_payload_paired(vc_ref, b, off, vnew_ref[0], win, sem)
+    else:
+        _rmw_payload(kc_ref, b, off, knew_ref[0], win, sem)
+        _rmw_payload(vc_ref, b, off, vnew_ref[0], win, sem)
 
 
 def kv_append_decode(
@@ -114,11 +150,17 @@ def kv_append_decode(
     layer_v_scale=None,
 ):
     """Returns updated (k, v, k_scale, v_scale) — one kernel launch."""
+    import functools
+
     B, H, S, D = layer_k.shape
     quantized = layer_k_scale is not None
+    paired = D == 64  # pair adjacent positions into 128-lane rows
+    kc = layer_k.reshape(B, H, S // 2, 128) if paired else layer_k
+    vc = layer_v.reshape(B, H, S // 2, 128) if paired else layer_v
     kn = new_k.transpose(0, 2, 1, 3)  # [B, H, 1, D]
     vn = new_v.transpose(0, 2, 1, 3)
     off2 = offsets.astype(jnp.int32).reshape(B, 1)
+    win_d = 128 if paired else D
 
     new_block = pl.BlockSpec((1, H, 1, D), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -130,45 +172,46 @@ def kv_append_decode(
         ks3 = layer_k_scale.reshape(B, H, S)
         vs3 = layer_v_scale.reshape(B, H, S)
         out = pl.pallas_call(
-            _append_kernel_quant,
+            functools.partial(_append_kernel_quant, paired=paired, S=S),
             grid=(B,),
             in_specs=[smem_spec, new_block, new_block,
                       any_spec, any_spec, any_spec, any_spec],
             out_specs=(any_spec, any_spec, any_spec, any_spec),
             out_shape=(
-                jax.ShapeDtypeStruct(layer_k.shape, layer_k.dtype),
-                jax.ShapeDtypeStruct(layer_v.shape, layer_v.dtype),
+                jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+                jax.ShapeDtypeStruct(vc.shape, vc.dtype),
                 jax.ShapeDtypeStruct(ks3.shape, jnp.float32),
                 jax.ShapeDtypeStruct(vs3.shape, jnp.float32),
             ),
             input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
             scratch_shapes=[
-                pltpu.VMEM((H, _WIN, D), jnp.int8),
-                pltpu.VMEM((H, _WIN, D), jnp.int8),
+                pltpu.VMEM((H, _WIN, win_d), jnp.int8),
+                pltpu.VMEM((H, _WIN, win_d), jnp.int8),
                 pltpu.VMEM((H, _SWIN), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=INTERPRET,
-        )(off2, kn, vn, layer_k, layer_v, ks3, vs3)
+        )(off2, kn, vn, kc, vc, ks3, vs3)
         k, v, ks, vs = out
-        return k, v, ks.reshape(B, H, S, 1), vs.reshape(B, H, S, 1)
+        return (k.reshape(B, H, S, D), v.reshape(B, H, S, D),
+                ks.reshape(B, H, S, 1), vs.reshape(B, H, S, 1))
 
     k, v = pl.pallas_call(
-        _append_kernel_plain,
+        functools.partial(_append_kernel_plain, paired=paired, S=S),
         grid=(B,),
         in_specs=[smem_spec, new_block, new_block, any_spec, any_spec],
         out_specs=(any_spec, any_spec),
         out_shape=(
-            jax.ShapeDtypeStruct(layer_k.shape, layer_k.dtype),
-            jax.ShapeDtypeStruct(layer_v.shape, layer_v.dtype),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ),
         input_output_aliases={3: 0, 4: 1},
         scratch_shapes=[
-            pltpu.VMEM((H, _WIN, D), layer_k.dtype),
+            pltpu.VMEM((H, _WIN, win_d), layer_k.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=INTERPRET,
-    )(off2, kn, vn, layer_k, layer_v)
-    return k, v, None, None
+    )(off2, kn, vn, kc, vc)
+    return k.reshape(B, H, S, D), v.reshape(B, H, S, D), None, None

@@ -1,0 +1,87 @@
+"""DeepSeek-V2 (MLA + shared-expert MoE) parity vs HF transformers.
+
+Reference: build_deepseek2 (/root/reference/cpp/src/llama.cpp:12842) —
+low-rank kv compression, decoupled rope, leading dense layers, unnormalized
+scaled expert weights, shared experts.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from booster_tpu.convert import convert_hf_model
+from booster_tpu.gguf import GGMLType
+from booster_tpu.models import load_model
+from booster_tpu.models.llama import forward
+from booster_tpu.ops.kv_cache import KVCache
+
+
+def _check(hf, path, ids, atol=0.4):
+    convert_hf_model(hf, out_path=path, quant_type=GGMLType.F32)
+    loaded = load_model(path)
+    with torch.no_grad():
+        want = hf(torch.tensor(ids.astype(np.int64))).logits.float().numpy()
+    cache = KVCache.create(
+        loaded.cfg.n_layers, 1, 32, loaded.cfg.n_kv_heads,
+        loaded.cfg.head_dim, dtype=jnp.float32,
+        head_dim_v=loaded.cfg.head_dim_v,
+    )
+    got, _ = forward(loaded.params, loaded.cfg, jnp.asarray(ids), cache)
+    got = np.asarray(got)
+    top2 = np.sort(want, axis=-1)[..., -2:]
+    decisive = (top2[..., 1] - top2[..., 0]) > 0.02
+    np.testing.assert_array_equal(
+        got.argmax(-1)[decisive], want.argmax(-1)[decisive]
+    )
+    np.testing.assert_allclose(got, want, atol=atol, rtol=0.05)
+    return loaded
+
+
+def test_deepseek2_lite_mla_moe(tmp_path):
+    """Lite variant: direct q projection, 1 dense lead layer + MoE layers
+    with a shared expert (heterogeneous layer groups)."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=None,
+        qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, topk_method="greedy", norm_topk_prob=False,
+        routed_scaling_factor=1.5, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = _check(hf, str(tmp_path / "ds2lite.gguf"), ids)
+    assert loaded.cfg.arch == "deepseek2"
+    assert loaded.cfg.kv_lora_rank == 32
+    assert loaded.cfg.head_dim == 48 and loaded.cfg.head_dim_v == 32
+    assert loaded.cfg.n_dense_layers == 1
+    assert "layer_groups" in loaded.params  # dense + moe groups
+    assert not loaded.cfg.moe_norm_topk and loaded.cfg.moe_scale == 1.5
+
+
+def test_deepseek2_q_lora(tmp_path):
+    """Full variant: low-rank q projection path."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=48,
+        qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=0, topk_method="greedy", norm_topk_prob=True,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = _check(hf, str(tmp_path / "ds2full.gguf"), ids)
+    assert loaded.cfg.q_lora_rank == 48
+    assert "layers" in loaded.params  # homogeneous: single group

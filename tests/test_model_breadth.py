@@ -189,3 +189,23 @@ def test_command_r(tmp_path):
     assert loaded.cfg.logit_scale == 0.25
     assert loaded.cfg.parallel_residual
     assert loaded.params["output"] is None  # tied embeddings
+
+
+def test_qwen2moe(tmp_path):
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, shared_expert_intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        norm_topk_prob=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Qwen2MoeForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = check_model(hf, str(tmp_path / "qwen2moe.gguf"), ids)
+    assert loaded.cfg.arch == "qwen2moe"
+    assert loaded.cfg.n_experts == 4
+    assert not loaded.cfg.moe_norm_topk
+    layers = loaded.params.get("layers") or loaded.params["layer_groups"][0]
+    assert "shexp_gate" in layers  # sigmoid-gated shared expert
