@@ -141,8 +141,29 @@ def main(argv=None) -> int:
 
         from booster_tpu.serving.server import make_app
 
+        async def monitor():
+            """--debug job monitor (booster.go:374-435): periodic job table."""
+            import sys as _sys
+
+            while True:
+                await asyncio.sleep(2.0)
+                h = scheduler.health()
+                rows = [
+                    f"  {j.id[:8]}  {j.status:<10} in:{j.n_prompt_tokens:<5} "
+                    f"out:{j.n_generated:<5} {j.finish_reason or '-'}"
+                    for j in list(scheduler.jobs.values())[-16:]
+                ]
+                _sys.stderr.write(
+                    f"[monitor] slots {h['slots_busy']}/{h['slots_total']} "
+                    f"queued {h['jobs_queued']} tok/s {h['tokens_per_sec']} "
+                    f"ttft_p50 {h['ttft_p50_ms']}ms\n" + "\n".join(rows)
+                    + ("\n" if rows else "")
+                )
+
         async def serve():
             scheduler.start()
+            if args.debug:
+                asyncio.get_event_loop().create_task(monitor())
             app = make_app(scheduler, config, model_name=model_spec.name or "default")
             runner = web.AppRunner(app)
             await runner.setup()
@@ -161,15 +182,18 @@ def main(argv=None) -> int:
         asyncio.run(serve())
         return 0
 
-    # interactive chat loop (booster.go:316-370)
+    # interactive chat loop (booster.go:316-370; console.cpp color handling)
     async def chat():
+        from booster_tpu.utils.console import CYAN, DIM, GREEN, colorize, stream_print
+
         scheduler.start()
         session = str(uuid.uuid4())
-        print("chat mode — empty line or Ctrl-D to exit")
+        print(colorize("chat mode — empty line or Ctrl-D to exit", DIM))
         loop = asyncio.get_event_loop()
+        prompt_str = colorize("\n> ", CYAN)
         while True:
             try:
-                line = await loop.run_in_executor(None, input, "\n> ")
+                line = await loop.run_in_executor(None, input, prompt_str)
             except EOFError:
                 break
             if not line.strip():
@@ -181,8 +205,8 @@ def main(argv=None) -> int:
                 delta = job.output[printed:]
                 if delta:
                     printed += len(delta)
-                    print(delta, end="", flush=True)
-            print(job.output[printed:], end="", flush=True)
+                    stream_print(delta, GREEN)
+            stream_print(job.output[printed:], GREEN)
         await scheduler.shutdown(drain=False)
 
     asyncio.run(chat())

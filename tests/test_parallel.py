@@ -61,3 +61,37 @@ def test_sharded_weights_actually_sharded(paths):
     assert len(shard_shapes) == 1
     full = qw.shape
     assert next(iter(shard_shapes))[1] == full[1] // 8
+
+
+def test_pipeline_parallel_prefill_matches_single():
+    """GPipe-style pp=4 pipelined prefill equals the plain forward (the
+    reference's sched pipeline analog, ggml-backend.c:1066-1076)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from booster_tpu.models import load_model
+    from booster_tpu.models.llama import forward
+    from booster_tpu.ops.kv_cache import KVCache
+    from booster_tpu.parallel.pipeline import make_pp_mesh, pipeline_prefill
+    from tools.make_test_model import make_model
+    import tempfile, os
+
+    path = os.path.join(tempfile.gettempdir(), "pp_tiny.gguf")
+    if not os.path.exists(path):
+        make_model(path, vocab_size=256, hidden=128, layers=4)
+    m = load_model(path, fuse=False)  # pipeline stages use split projections
+
+    B, T = 8, 16
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 250, (B, T)).astype(np.int32))
+
+    cache = KVCache.create(m.cfg.n_layers, B, T, m.cfg.n_kv_heads,
+                           m.cfg.head_dim)
+    want, _ = forward(m.params, m.cfg, ids, cache, last_only=False)
+
+    mesh = make_pp_mesh(4)
+    got = pipeline_prefill(m.params, m.cfg, ids, mesh, n_micro=4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.15, rtol=0.05
+    )
