@@ -219,12 +219,15 @@ def main() -> None:
     )
 
     if os.environ.get("BENCH_BATCH", "1") == "1":
-        streams = int(os.environ.get("BENCH_STREAMS", "16"))
+        streams = int(os.environ.get("BENCH_STREAMS", "64"))
         try:
+            # int8 KV is the fast path since the fused append+attention
+            # kernels landed (ROUND2_NOTES ablations)
             b = bench_batch(model, streams, min(n_tokens, 128),
-                            kv_quant=os.environ.get("BENCH_KV_QUANT") == "1")
+                            kv_quant=os.environ.get("BENCH_KV_QUANT", "1") == "1")
             sys.stderr.write(
-                f"[bench] continuous batching {b['streams']} streams: "
+                f"[bench] continuous batching {b['streams']} streams"
+                f"{' (int8 KV)' if b['kv_quant'] else ''}: "
                 f"{b['agg_tps']:.1f} tok/s aggregate "
                 f"({b['per_stream_tps']:.1f}/stream)\n"
             )

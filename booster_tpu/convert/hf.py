@@ -626,6 +626,7 @@ def _convert_t5_encoder(state_dict, hf_cfg) -> dict[str, np.ndarray]:
 _HF_CLASS_ARCH = {
     "LlamaForCausalLM": "llama", "MistralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2", "Qwen2MoeForCausalLM": "qwen2moe",
+    "Qwen3ForCausalLM": "qwen3", "Qwen3MoeForCausalLM": "qwen3moe",
     "Gemma2ForCausalLM": "gemma2",
     "MixtralForCausalLM": "mixtral", "Phi3ForCausalLM": "phi3",
     "GPT2LMHeadModel": "gpt2", "GPTBigCodeForCausalLM": "starcoder",
@@ -796,7 +797,7 @@ def convert_hf_model(
     if hf_cfg.get("num_local_experts"):
         w.add(f"{arch}.expert_count", int(hf_cfg["num_local_experts"]))
         w.add(f"{arch}.expert_used_count", int(hf_cfg.get("num_experts_per_tok", 2)))
-    if arch == "qwen2moe":
+    if arch in ("qwen2moe", "qwen3moe"):
         w.add(f"{arch}.expert_count", int(hf_cfg["num_experts"]))
         w.add(f"{arch}.expert_used_count", int(hf_cfg.get("num_experts_per_tok", 4)))
         w.add(f"{arch}.expert_feed_forward_length",

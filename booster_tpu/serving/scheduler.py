@@ -76,6 +76,7 @@ class Scheduler:
         n_keep: int = 0,
         swap_dir: str = "",
         draft_engine: Optional[Engine] = None,
+        prefix_cache_bytes: int = 256 * 1024 * 1024,
     ):
         self.engine = engine
         self.prompt_spec = prompt_spec or PromptSpec(id="default")
@@ -88,6 +89,13 @@ class Scheduler:
         # draft model → speculative decoding for standard jobs (pod-style
         # dedicated path; greedy or residual sampled acceptance)
         self.draft_engine = draft_engine
+        # shared-prefix KV reuse across jobs (system prompts etc.)
+        from booster_tpu.serving.prefix_cache import PrefixCache
+
+        self.prefix_cache = (
+            PrefixCache(max_bytes=prefix_cache_bytes)
+            if prefix_cache_bytes > 0 else None
+        )
         # session swap: per-session KV save/restore (the fixed version of the
         # reference's commented-out swap files, bridge.cpp:224-263)
         self.swap_dir = swap_dir
@@ -370,6 +378,15 @@ class Scheduler:
                                            max_predict=job.max_tokens)
                     job._prompt_ids = ids
                     restored = self._try_restore_session(slot, job, ids)
+                    if not restored and self.prefix_cache is not None:
+                        from booster_tpu.serving.prefix_cache import restore_slot_prefix
+
+                        hit = self.prefix_cache.lookup(ids)
+                        if hit is not None:
+                            entry, common = hit
+                            restored = restore_slot_prefix(
+                                self.engine, slot, entry, common
+                            )
                     prefill_map[slot] = ids[restored:]
                     if restored:
                         history_map[slot] = ids
@@ -568,6 +585,15 @@ class Scheduler:
         job.finished_at = time.time()
         self._save_session(job)
         self._save_session_state(slot, job)  # KV swap (while slot still valid)
+        if (self.prefix_cache is not None and not job._shifted
+                and job.n_prompt_tokens >= self.prefix_cache.min_prefix):
+            from booster_tpu.serving.prefix_cache import snapshot_slot_prefix
+
+            snap = snapshot_slot_prefix(self.engine, slot, job.n_prompt_tokens)
+            if snap is not None:
+                self.prefix_cache.insert(
+                    job._prompt_ids, snap, job.n_prompt_tokens
+                )
         if slot in self.running:
             del self.running[slot]
             self.free_slots.append(slot)

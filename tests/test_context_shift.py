@@ -123,6 +123,51 @@ def test_session_swap_restores_kv(tmp_path_factory, tmp_path):
     assert j2.n_generated >= 1
 
 
+def test_prefix_cache_reuse(tmp_path_factory):
+    """Jobs sharing a long prompt prefix reuse the cached KV (only the
+    suffix is prefilled) and produce the same greedy output as without
+    the cache."""
+    m = get_model(tmp_path_factory)
+    system = "you are a helpful assistant " * 4
+
+    async def run(prefix_bytes):
+        engine = Engine(m, max_batch=2, max_seq=256, decode_chunk=4)
+        sched = Scheduler(
+            engine, prompt_spec=PromptSpec(id="default"),
+            default_sampling=SamplingParams(temp=0.0),
+            default_max_tokens=8, prefix_cache_bytes=prefix_bytes,
+        )
+        sched.start()
+        j1 = sched.place_job(prompt=system + "first question")
+        await sched.wait_job(j1.id, timeout=60)
+        restores = []
+        if sched.prefix_cache is not None:
+            from booster_tpu.serving import prefix_cache as pc
+            orig = pc.restore_slot_prefix
+            def spy(engine, slot, entry, n):
+                r = orig(engine, slot, entry, n)
+                restores.append(r)
+                return r
+            pc.restore_slot_prefix = spy
+        try:
+            j2 = sched.place_job(prompt=system + "second question")
+            await sched.wait_job(j2.id, timeout=60)
+        finally:
+            if sched.prefix_cache is not None:
+                from booster_tpu.serving import prefix_cache as pc
+                pc.restore_slot_prefix = orig
+        await sched.shutdown(drain=False)
+        return j1, j2, restores
+
+    j1, j2, restores = asyncio.run(run(64 * 1024 * 1024))
+    assert j1.status == j2.status == "finished"
+    assert restores and restores[0] >= 16  # prefix actually reused
+
+    # equivalence: same second job without the cache → same greedy tokens
+    j1n, j2n, _ = asyncio.run(run(0))
+    assert j2n.token_ids == j2.token_ids
+
+
 def test_scheduler_infinite_generation(tmp_path_factory):
     """A batched slot that outgrows max_seq keeps generating via in-place
     shifts — no 'length' bail-out before max_tokens."""

@@ -209,3 +209,20 @@ def test_qwen2moe(tmp_path):
     assert not loaded.cfg.moe_norm_topk
     layers = loaded.params.get("layers") or loaded.params["layer_groups"][0]
     assert "shexp_gate" in layers  # sigmoid-gated shared expert
+
+
+def test_qwen3moe(tmp_path):
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        norm_topk_prob=True,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Qwen3MoeForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7]], np.int32)
+    loaded = check_model(hf, str(tmp_path / "qwen3moe.gguf"), ids)
+    assert loaded.cfg.arch == "qwen3moe"
+    assert loaded.cfg.q_norm and loaded.cfg.n_experts == 4
