@@ -136,21 +136,26 @@ def sample_vectorized(
     raw = logits.astype(jnp.float32)
     lg = raw
 
-    # penalties (traced per-row scalars, windowed by penalty_last_n)
-    window = history_window_mask(state.prev_tokens, state.prev_pos, vp.penalty_last_n)
-    tok = jnp.where(window, state.prev_tokens, 0)
-    counts = jnp.zeros((B, V), jnp.float32).at[
-        jnp.arange(B)[:, None], tok
-    ].add(window.astype(jnp.float32))
-    seen = counts > 0
-    pr = vp.penalty_repeat[:, None]
-    scaled = jnp.where(lg <= 0, lg * pr, lg / pr)
-    lg = jnp.where(seen, scaled, lg)
-    lg = lg - counts * vp.penalty_freq[:, None] - seen * vp.penalty_present[:, None]
-    if nl_token >= 0:  # restore NL logit for rows with penalize_nl=False
-        lg = lg.at[:, nl_token].set(
-            jnp.where(vp.penalize_nl, lg[:, nl_token], raw[:, nl_token])
-        )
+    # penalties (traced per-row scalars, windowed by penalty_last_n);
+    # compiled out entirely when no active slot uses them ("penalties" not
+    # in the engine's static feature set — the [B, V] scatter is the most
+    # expensive sampler op at high batch)
+    if "nopenalties" not in features:  # engine opts out when no slot uses them
+        window = history_window_mask(state.prev_tokens, state.prev_pos,
+                                     vp.penalty_last_n)
+        tok = jnp.where(window, state.prev_tokens, 0)
+        counts = jnp.zeros((B, V), jnp.float32).at[
+            jnp.arange(B)[:, None], tok
+        ].add(window.astype(jnp.float32))
+        seen = counts > 0
+        pr = vp.penalty_repeat[:, None]
+        scaled = jnp.where(lg <= 0, lg * pr, lg / pr)
+        lg = jnp.where(seen, scaled, lg)
+        lg = lg - counts * vp.penalty_freq[:, None] - seen * vp.penalty_present[:, None]
+        if nl_token >= 0:  # restore NL logit for rows with penalize_nl=False
+            lg = lg.at[:, nl_token].set(
+                jnp.where(vp.penalize_nl, lg[:, nl_token], raw[:, nl_token])
+            )
 
     greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
 

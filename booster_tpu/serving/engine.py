@@ -352,6 +352,7 @@ class Engine:
         # compile variant per distinct feature set that actually occurs)
         self._slot_janus = np.zeros(B, bool)
         self._slot_mirostat = np.zeros(B, bool)
+        self._slot_penalties = np.zeros(B, bool)
         # per-slot Self-Extend knobs (0 = off)
         self._slot_se_group = np.zeros(B, np.int32)
         self._slot_se_window = np.zeros(B, np.int32)
@@ -377,6 +378,9 @@ class Engine:
             feats.append("janus")
         if self._slot_mirostat.any():
             feats.append("mirostat")
+        if not self._slot_penalties.any():
+            # the [B, V] penalty scatter compiles out when nothing uses it
+            feats.append("nopenalties")
         return tuple(feats)
 
     def _vector_janus_tables(self, features):
@@ -410,6 +414,10 @@ class Engine:
         self.vp = self.vp.set_slot(slot, sampling, max_predict=max_predict)
         self._slot_janus[slot] = bool(sampling.janus)
         self._slot_mirostat[slot] = sampling.mirostat in (1, 2)
+        self._slot_penalties[slot] = (
+            sampling.penalty_repeat != 1.0 or sampling.penalty_freq != 0.0
+            or sampling.penalty_present != 0.0
+        )
         self._slot_se_group[slot] = se_group
         self._slot_se_window[slot] = se_window
         if hasattr(self, "slot_lengths"):

@@ -19,7 +19,10 @@ __attribute__((constructor)) static void init_table(void) {
     }
 }
 // minimal stand-ins for ggml core symbols referenced by unused quantize paths
-size_t ggml_row_size(int type, int64_t ne) { exit(8); }
+size_t ggml_row_size(int type, int64_t ne) {
+    if (type == 2) return (ne / 32) * 18;  // GGML_TYPE_Q4_0 (imatrix harness)
+    exit(8);
+}
 size_t ggml_type_size(int type) { exit(8); }
 int64_t ggml_blck_size(int type) { exit(8); }
 const char* ggml_type_name(int type) { return "?"; }

@@ -95,3 +95,45 @@ def test_pipeline_parallel_prefill_matches_single():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=0.15, rtol=0.05
     )
+
+
+def test_tp_sharded_quantized_decode_matches_unsharded():
+    """Multi-step greedy decode with tp=4-sharded QTensor weights equals the
+    unsharded run token-for-token (megatron plan, PARAM_SPECS)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from booster_tpu.models import load_model
+    from booster_tpu.models.llama import forward
+    from booster_tpu.ops.kv_cache import KVCache
+    from booster_tpu.parallel.mesh import make_device_put, make_mesh, shard_cache
+    from tools.make_test_model import make_model
+
+    path = os.path.join(tempfile.gettempdir(), "tp_tiny.gguf")
+    if not os.path.exists(path):
+        make_model(path, vocab_size=256, hidden=128, layers=2)
+
+    def run(mesh):
+        m = load_model(path, device_put=make_device_put(mesh) if mesh else None)
+        cache = KVCache.create(m.cfg.n_layers, 2, 64, m.cfg.n_kv_heads,
+                               m.cfg.head_dim)
+        if mesh:
+            cache = shard_cache(cache, mesh)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(3, 250, (2, 12)).astype(np.int32))
+        logits, cache = forward(m.params, m.cfg, ids, cache, last_only=True)
+        toks = []
+        tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+        for _ in range(8):
+            toks.append(np.asarray(tok).tolist())
+            logits, cache = forward(m.params, m.cfg, tok[:, None], cache,
+                                    last_only=True)
+            tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+        return toks
+
+    want = run(None)
+    got = run(make_mesh(8, tp=4, dp=2))
+    assert got == want

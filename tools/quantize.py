@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Requantize a GGUF model (llama-quantize analog).
 
-    python tools/quantize.py in.gguf out.gguf Q4_K
+    python tools/quantize.py in.gguf out.gguf Q4_K [--imatrix im.npz]
+
+An importance matrix (from tools/imatrix.py) weights the Q4_0 rounding
+toward high-activation columns (ggml-quants.c quant_weights paths).
 """
 
 import argparse
@@ -19,11 +22,15 @@ def main():
     ap.add_argument("type", help="target type (Q4_0, Q4_K, Q5_K, Q6_K, Q8_0, F16...)")
     ap.add_argument("--keep-output-f16", action="store_true",
                     help="keep the lm head at F16 (quality)")
+    ap.add_argument("--imatrix", help="importance matrix .npz (tools/imatrix.py)")
     args = ap.parse_args()
 
     from booster_tpu.gguf import GGMLType, GGUFReader, GGUFWriter
     from booster_tpu.gguf.constants import TYPE_TRAITS
     from booster_tpu.quant import SUPPORTED_ENCODE, dequantize, quantize
+    from booster_tpu.quant.imatrix import load_imatrix, quantize_imatrix
+
+    imatrix = load_imatrix(args.imatrix) if args.imatrix else None
 
     target = GGMLType[args.type]
     if target not in SUPPORTED_ENCODE:
@@ -48,7 +55,12 @@ def main():
             if tt == info.ggml_type:
                 data = bytes(raw)
             else:
-                data = quantize(dequantize(raw, info.ggml_type, shape=info.shape), tt)
+                vals = dequantize(raw, info.ggml_type, shape=info.shape)
+                qw = (imatrix or {}).get(info.name)
+                if qw is not None and len(qw) == info.shape[-1]:
+                    data = quantize_imatrix(vals, tt, qw)
+                else:
+                    data = quantize(vals, tt)
             w.add_tensor(info.name, data, info.shape, tt)
             total_in += info.nbytes
             total_out += len(data)
