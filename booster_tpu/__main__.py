@@ -89,6 +89,23 @@ def main(argv=None) -> int:
         decode_chunk=args.decode_chunk,
     )
 
+    profiling = bool(getattr(args, "profile", ""))
+    if profiling:
+        # pkg/profile pprof analog: device-level trace viewable in
+        # tensorboard / xprof (booster.go:84,:189-191)
+        platform = jax.devices()[0].platform
+        if platform == "axon":
+            # the remote-TPU tunnel cannot serve device traces (start/stop
+            # hang); profile on a directly-attached backend instead
+            log.warning("--profile unsupported on the remote 'axon' tunnel; "
+                        "skipping trace")
+        else:
+            jax.profiler.start_trace(args.profile)
+            log.info(f"profiler trace -> {args.profile}")
+            import atexit
+
+            atexit.register(jax.profiler.stop_trace)
+
     if args.prompt and not args.server and not args.chat:
         # one-shot generation (plain / speculative / grammar-constrained)
         ids = model.tokenizer.encode(args.prompt)

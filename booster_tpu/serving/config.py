@@ -229,7 +229,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--self-extend-window", type=int, default=512, dest="se_window")
     ap.add_argument("--decode-chunk", type=int, default=8, dest="decode_chunk")
     ap.add_argument("--tp", type=int, default=0, help="tensor-parallel degree (0=auto)")
-    ap.add_argument("--profile", action="store_true", help="write JAX profiler trace")
+    ap.add_argument("--profile", nargs="?", const="/tmp/booster_tpu_trace",
+                    default="", metavar="DIR",
+                    help="write a JAX/TPU profiler trace to DIR "
+                         "(the reference's pprof flag analog)")
     return ap
 
 
