@@ -623,6 +623,52 @@ def _convert_t5_encoder(state_dict, hf_cfg) -> dict[str, np.ndarray]:
     return out
 
 
+def _convert_t5(state_dict, hf_cfg) -> dict[str, np.ndarray]:
+    """HF T5ForConditionalGeneration → GGUF t5 names (enc.* + dec.*).
+
+    Decoder blocks (llama.cpp:1236-1252): layer.0 self-attention,
+    layer.1 cross-attention (EncDecAttention), layer.2 feed-forward.
+    """
+    out = _convert_t5_encoder(state_dict, hf_cfg)
+
+    def to_np(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    lm = {
+        "layer.0.SelfAttention.q.weight": "attn_q.weight",
+        "layer.0.SelfAttention.k.weight": "attn_k.weight",
+        "layer.0.SelfAttention.v.weight": "attn_v.weight",
+        "layer.0.SelfAttention.o.weight": "attn_o.weight",
+        "layer.0.layer_norm.weight": "attn_norm.weight",
+        "layer.1.EncDecAttention.q.weight": "cross_attn_q.weight",
+        "layer.1.EncDecAttention.k.weight": "cross_attn_k.weight",
+        "layer.1.EncDecAttention.v.weight": "cross_attn_v.weight",
+        "layer.1.EncDecAttention.o.weight": "cross_attn_o.weight",
+        "layer.1.layer_norm.weight": "cross_attn_norm.weight",
+        "layer.2.DenseReluDense.wi.weight": "ffn_up.weight",
+        "layer.2.DenseReluDense.wi_0.weight": "ffn_gate.weight",
+        "layer.2.DenseReluDense.wi_1.weight": "ffn_up.weight",
+        "layer.2.layer_norm.weight": "ffn_norm.weight",
+        "layer.2.DenseReluDense.wo.weight": "ffn_down.weight",
+    }
+    for name, tensor in state_dict.items():
+        if name == "decoder.final_layer_norm.weight":
+            out["dec.output_norm.weight"] = to_np(tensor)
+        elif name == "lm_head.weight":
+            out["output.weight"] = to_np(tensor)
+        elif name.startswith("decoder.block."):
+            rest = name[len("decoder.block."):]
+            idx, _, sub = rest.partition(".")
+            if sub == "layer.0.SelfAttention.relative_attention_bias.weight":
+                if idx == "0":
+                    out["dec.blk.0.attn_rel_b.weight"] = to_np(tensor)
+            elif sub in lm:
+                out[f"dec.blk.{idx}.{lm[sub]}"] = to_np(tensor)
+    return out
+
+
 _HF_CLASS_ARCH = {
     "LlamaForCausalLM": "llama", "MistralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2", "Qwen2MoeForCausalLM": "qwen2moe",
@@ -638,6 +684,7 @@ _HF_CLASS_ARCH = {
     "Starcoder2ForCausalLM": "starcoder2", "OlmoForCausalLM": "olmo",
     "MambaForCausalLM": "mamba",
     "T5EncoderModel": "t5encoder",
+    "T5ForConditionalGeneration": "t5",
     "DeepseekV2ForCausalLM": "deepseek2",
 }
 
@@ -683,8 +730,14 @@ def convert_hf_model(
         n_kv = n_heads
         head_dim = (int(hf_cfg["qk_nope_head_dim"])
                     + int(hf_cfg["qk_rope_head_dim"]))
-    elif arch == "t5encoder":
-        tensors = _convert_t5_encoder(model.state_dict(), hf_cfg)
+    elif arch in ("t5encoder", "t5"):
+        if arch == "t5":
+            dec_layers = cfg_int("num_decoder_layers", default=None)
+            if dec_layers is not None and dec_layers != cfg_int("num_layers"):
+                raise ValueError("t5: num_decoder_layers != num_layers unsupported")
+            tensors = _convert_t5(model.state_dict(), hf_cfg)
+        else:
+            tensors = _convert_t5_encoder(model.state_dict(), hf_cfg)
         n_heads = cfg_int("num_heads", default=n_heads)
         n_kv = n_heads
         head_dim = cfg_int("d_kv", default=head_dim)
@@ -763,9 +816,14 @@ def convert_hf_model(
         w.add(f"{arch}.attention.max_alibi_bias", 8.0)
     if arch == "olmo" and hf_cfg.get("clip_qkv"):
         w.add(f"{arch}.attention.clamp_kqv", float(hf_cfg["clip_qkv"]))
-    if arch == "t5encoder":
+    if arch in ("t5encoder", "t5"):
         w.add(f"{arch}.attention.relative_buckets_count",
               int(hf_cfg.get("relative_attention_num_buckets", 32)))
+        w.add(f"{arch}.attention.relative_max_distance",
+              int(hf_cfg.get("relative_attention_max_distance", 128)))
+        if arch == "t5":
+            w.add(f"{arch}.decoder_start_token_id",
+                  int(hf_cfg.get("decoder_start_token_id") or 0))
     if arch == "deepseek2":
         w.add(f"{arch}.attention.kv_lora_rank", int(hf_cfg["kv_lora_rank"]))
         if hf_cfg.get("q_lora_rank"):

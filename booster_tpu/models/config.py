@@ -112,9 +112,10 @@ class ModelConfig:
     ssm_d_state: int = 0
     ssm_d_conv: int = 0
     ssm_dt_rank: int = 0
-    # t5 encoder
+    # t5 encoder / encoder-decoder
     rel_buckets: int = 0  # relative attention bias buckets (0 = off)
     rel_max_dist: int = 128
+    dec_start_token: int = -1  # t5 decoder start token (llama.cpp:389)
 
     @property
     def gqa_groups(self) -> int:
@@ -193,8 +194,12 @@ class ModelConfig:
         if arch in ("t5", "t5encoder"):
             quirks.update(
                 rel_buckets=int(g("attention.relative_buckets_count", 32) or 32),
+                rel_max_dist=int(g("attention.relative_max_distance", 128) or 128),
                 attn_scale=1.0,  # T5 attention is unscaled
                 act="gelu",  # gated t5 v1.1 (non-gated path uses relu)
+                dec_start_token=int(g("decoder_start_token_id", -1)
+                                    if g("decoder_start_token_id") is not None
+                                    else -1),
             )
         if arch == "mamba":
             quirks.update(

@@ -100,11 +100,21 @@ _T5_ENC_MAP = {
     "ffn_down.weight": "w_down",
 }
 
+# T5 decoder layer tensors (dec.blk.%d.*, llama.cpp:1236-1252):
+# causal self-attention + cross-attention over the encoder output
+_T5_DEC_MAP = dict(_T5_ENC_MAP) | {
+    "cross_attn_norm.weight": "cross_norm",
+    "cross_attn_q.weight": "wq_x",
+    "cross_attn_k.weight": "wk_x",
+    "cross_attn_v.weight": "wv_x",
+    "cross_attn_o.weight": "wo_x",
+}
+
 _NORM_KEYS = {
     "attn_norm", "ffn_norm", "q_norm", "k_norm", "post_attn_norm", "post_ffn_norm",
     "attn_norm_b", "ffn_norm_b",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
-    "q_a_norm", "kv_a_norm",
+    "q_a_norm", "kv_a_norm", "cross_norm",
 }
 _BIAS_KEYS = {"bq", "bk", "bv", "bo", "b_up", "b_down"}
 
@@ -268,19 +278,29 @@ def load_model(
 
     # T5 encoder: enc.* namespace; relative bias table is global (block 0)
     t5_enc = cfg.arch in ("t5", "t5encoder")
+    t5_full = cfg.arch == "t5"  # encoder-decoder: dec.* is the main stack
     if t5_enc:
         rel = load_dense("enc.blk.0.attn_rel_b.weight")
         if rel is not None:
             params["rel_b"] = put(rel, "norm")
         enc_norm = load_dense("enc.output_norm.weight")
         if enc_norm is not None:
-            params["output_norm"] = put(enc_norm, "norm")
+            params["enc_norm" if t5_full else "output_norm"] = put(enc_norm, "norm")
+    if t5_full:
+        rel = load_dense("dec.blk.0.attn_rel_b.weight")
+        if rel is not None:
+            params["dec_rel_b"] = put(rel, "norm")
+        dec_norm = load_dense("dec.output_norm.weight")
+        if dec_norm is not None:
+            params["output_norm"] = put(dec_norm, "norm")
 
     # -- per-layer tensors ---------------------------------------------------
     layer_dicts: list[dict[str, Any]] = []
-    layer_map = _T5_ENC_MAP if t5_enc else _LAYER_MAP
+    layer_map = (_T5_DEC_MAP if t5_full
+                 else _T5_ENC_MAP if t5_enc else _LAYER_MAP)
     for i in range(cfg.n_layers):
-        prefix = f"enc.blk.{i}." if t5_enc else f"blk.{i}."
+        prefix = (f"dec.blk.{i}." if t5_full
+                  else f"enc.blk.{i}." if t5_enc else f"blk.{i}.")
         lp: dict[str, Any] = {}
         for suffix, key in layer_map.items():
             name = prefix + suffix
@@ -333,6 +353,18 @@ def load_model(
             else:
                 stacked[key] = put(np.stack(vals), key)
         return stacked
+
+    # t5 encoder stack (enc.blk.*) alongside the decoder's main stack
+    if t5_full:
+        enc_dicts: list[dict[str, Any]] = []
+        for i in range(cfg.n_layers):
+            lp = {}
+            for suffix, key in _T5_ENC_MAP.items():
+                name = f"enc.blk.{i}.{suffix}"
+                if name in reader.tensors:
+                    lp[key] = load_dense(name) if key in _NORM_KEYS else load_q(name)
+            enc_dicts.append(lp)
+        params["enc_layers"] = stack_group(enc_dicts)
 
     # consecutive layers with identical key sets stack into one lax.scan
     # group; heterogeneous models (deepseek2: leading dense layers before the
