@@ -835,6 +835,10 @@ def convert_hf_model(
               int(hf_cfg.get("n_shared_experts") or 0))
         w.add(f"{arch}.expert_weights_scale",
               float(hf_cfg.get("routed_scaling_factor", 1.0)))
+        if hf_cfg.get("topk_method") == "group_limited_greedy":
+            w.add(f"{arch}.expert_group_count", int(hf_cfg.get("n_group", 1)))
+            w.add(f"{arch}.expert_group_used_count",
+                  int(hf_cfg.get("topk_group", 1)))
         if hf_cfg.get("n_routed_experts"):
             w.add(f"{arch}.expert_count", int(hf_cfg["n_routed_experts"]))
             w.add(f"{arch}.expert_used_count",

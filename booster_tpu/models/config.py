@@ -96,6 +96,8 @@ class ModelConfig:
     moe_ff: int = 0  # expert ffn width (defaults to n_ff)
     moe_norm_topk: bool = True  # renormalize top-k weights (deepseek2: no)
     moe_scale: float = 1.0  # expert_weights_scale (deepseek2)
+    n_expert_groups: int = 0  # deepseek2 group_limited_greedy: expert groups
+    n_group_used: int = 0  # ... groups kept before top-k
     n_shared_experts: int = 0  # deepseek2 shared expert FFN
     n_dense_layers: int = 0  # leading dense (non-MoE) layers
     # MLA (deepseek2): low-rank kv compression + decoupled rope
@@ -190,6 +192,8 @@ class ModelConfig:
                 n_shared_experts=int(g("expert_shared_count", 0) or 0),
                 moe_scale=float(g("expert_weights_scale", 1.0) or 1.0),
                 moe_norm_topk=False,
+                n_expert_groups=int(g("expert_group_count", 0) or 0),
+                n_group_used=int(g("expert_group_used_count", 0) or 0),
             )
         if arch in ("t5", "t5encoder"):
             quirks.update(

@@ -85,6 +85,30 @@ def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     return jax.nn.silu(x)
 
 
+def moe_route(router_logits: jnp.ndarray, cfg: ModelConfig):
+    """softmax → (group-limited) top-k → optional renorm + scale.
+
+    deepseek2 group_limited_greedy (HF DeepseekV2MoEGate): experts are split
+    into n_expert_groups; keep the top n_group_used groups by per-group max
+    probability, zero the rest, then take top-k over the survivors.
+    Returns (topv [.., k] float32 mixture weights, topi [.., k] int32)."""
+    E, k = cfg.n_experts, cfg.n_experts_used
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    G = cfg.n_expert_groups
+    if G > 1 and cfg.n_group_used and cfg.n_group_used < G:
+        pg = probs.reshape(*probs.shape[:-1], G, E // G)
+        gscore = pg.max(-1)  # [.., G]
+        _, gi = jax.lax.top_k(gscore, cfg.n_group_used)
+        gmask = jax.nn.one_hot(gi, G, dtype=probs.dtype).sum(-2)
+        probs = (pg * gmask[..., None]).reshape(probs.shape)
+    topv, topi = jax.lax.top_k(probs, k)
+    if cfg.moe_norm_topk:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.moe_scale != 1.0:  # deepseek2 expert_weights_scale
+        topv = topv * cfg.moe_scale
+    return topv, topi
+
+
 def _moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     """Mixtral-style routed experts (llm_build_moe_ffn semantics: softmax over
     all experts, take top-k, renormalize over the selected).
@@ -108,13 +132,8 @@ def _moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     ff = cfg.moe_ff or cfg.n_ff
     B, T, C = x.shape
     router_logits = qlinear(x, lp["router"])  # [B,T,E]
-    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
-    topv, topi = jax.lax.top_k(probs, k)  # [B,T,k]
-    if cfg.moe_norm_topk:
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-    if cfg.moe_scale != 1.0:  # deepseek2 expert_weights_scale
-        topv = topv * cfg.moe_scale
-    weights = jnp.zeros_like(probs).at[
+    topv, topi = moe_route(router_logits, cfg)  # [B,T,k]
+    weights = jnp.zeros((B, T, E), topv.dtype).at[
         jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], topi
     ].set(topv)  # [B,T,E] sparse mixture weights
 

@@ -194,13 +194,10 @@ def moe_ffn_grouped(x: jnp.ndarray, lp: dict, cfg) -> jnp.ndarray:
     N = B * T
     xf = x.reshape(N, C)
 
+    from booster_tpu.models.llama import moe_route
+
     router_logits = qlinear(xf, lp["router"])  # [N, E]
-    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
-    topv, topi = jax.lax.top_k(probs, k)  # [N, k]
-    if cfg.moe_norm_topk:
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-    if cfg.moe_scale != 1.0:  # deepseek2 expert_weights_scale
-        topv = topv * cfg.moe_scale
+    topv, topi = moe_route(router_logits, cfg)  # [N, k]
 
     xp, pos, tile_expert = route_pad(xf, topi, E)
     g = grouped_qmm(xp, lp["gate_exps"], tile_expert, E)

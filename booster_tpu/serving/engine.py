@@ -325,6 +325,7 @@ class Engine:
             self.cfg.head_dim,
             dtype=self.kv_dtype,
             quantized=self.kv_quantized,
+            head_dim_v=self.cfg.head_dim_v,  # MLA (deepseek2): v dim ≠ qk dim
         )
 
     def janus_tables(self) -> JanusTables:

@@ -85,3 +85,42 @@ def test_deepseek2_q_lora(tmp_path):
     loaded = _check(hf, str(tmp_path / "ds2full.gguf"), ids)
     assert loaded.cfg.q_lora_rank == 48
     assert "layers" in loaded.params  # homogeneous: single group
+
+
+def test_deepseek2_group_limited_routing(tmp_path):
+    """group_limited_greedy (HF DeepseekV2MoEGate): top-2 of 4 expert groups
+    kept by per-group max prob, then top-k over the survivors."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=None,
+        qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=0, topk_method="group_limited_greedy",
+        n_group=4, topk_group=2, norm_topk_prob=False,
+        routed_scaling_factor=1.0, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+    ids = np.array([[3, 17, 42, 99, 7, 55, 201]], np.int32)
+    loaded = _check(hf, str(tmp_path / "ds2grp.gguf"), ids)
+    assert loaded.cfg.n_expert_groups == 4 and loaded.cfg.n_group_used == 2
+
+    # the group mask must actually bite: routing with vs without grouping
+    # picks different experts for this seed
+    import dataclasses
+
+    from booster_tpu.models.llama import moe_route
+
+    # (with k == topk_group·1 the top-2 experts always sit in kept groups, so
+    # force a 1-group budget to exercise the mask)
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)), jnp.float32)
+    one_grp = dataclasses.replace(loaded.cfg, n_group_used=1)
+    _, gi = moe_route(logits, one_grp)
+    flat = dataclasses.replace(loaded.cfg, n_expert_groups=0)
+    _, fi = moe_route(logits, flat)
+    gi, fi = np.asarray(gi), np.asarray(fi)
+    assert not np.array_equal(np.sort(gi), np.sort(fi))
+    assert (gi // 2 == gi[:, :1] // 2).all()  # both picks in one group
