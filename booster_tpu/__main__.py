@@ -82,25 +82,21 @@ def main(argv=None) -> int:
     sampling = config.samplings.get(pod.sampling, SamplingParams())
     prompt_spec = config.prompts.get(pod.prompt)
 
-    if model.cfg.arch in ("mamba", "t5"):
-        # recurrent / encoder-decoder families: explicit-state generation
-        # (no KV-cache Engine); one-shot CLI only
+    if model.cfg.arch == "t5":
+        # encoder-decoder: explicit-state generation (no KV-cache Engine);
+        # one-shot CLI only
         if not args.prompt or args.server or args.chat:
             log.error(f"arch {model.cfg.arch}: only one-shot --prompt mode")
             return 1
+        from booster_tpu.models.t5 import generate_t5
+
         ids = model.tokenizer.encode(args.prompt)
-        if model.cfg.arch == "mamba":
-            from booster_tpu.models.mamba import generate_mamba
-
-            out = generate_mamba(model, ids, max_new_tokens=model_spec.predict,
-                                 temp=sampling.temp)
-        else:
-            from booster_tpu.models.t5 import generate_t5
-
-            out = generate_t5(model, ids, max_new_tokens=model_spec.predict,
-                              temp=sampling.temp)
+        out = generate_t5(model, ids, max_new_tokens=model_spec.predict,
+                          temp=sampling.temp)
         print(model.tokenizer.decode(out))
         return 0
+    # mamba (recurrent) runs through the same Engine/scheduler as attention
+    # models — MambaCache replaces the KVCache (llama.cpp:2711 analog)
     engine = Engine(
         model,
         max_batch=max(pod.count, 1),
@@ -129,6 +125,13 @@ def main(argv=None) -> int:
     if args.prompt and not args.server and not args.chat:
         # one-shot generation (plain / speculative / grammar-constrained)
         ids = model.tokenizer.encode(args.prompt)
+        if model.cfg.arch == "mamba":
+            from booster_tpu.models.mamba import generate_mamba
+
+            out = generate_mamba(model, ids, max_new_tokens=model_spec.predict,
+                                 temp=sampling.temp)
+            print(model.tokenizer.decode(out))
+            return 0
         if args.model_draft:
             from booster_tpu.serving.speculative import generate_speculative
 

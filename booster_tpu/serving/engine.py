@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from booster_tpu.models.config import ModelConfig
-from booster_tpu.models.llama import forward
+from booster_tpu.models.llama import forward as _dense_forward
 from booster_tpu.models.loader import LoadedModel
 from booster_tpu.ops.kv_cache import KVCache
 from booster_tpu.sampling import (
@@ -40,6 +40,17 @@ from booster_tpu.sampling.samplers import (
     sample,
     seed_prompt_row,
 )
+
+
+def forward(params, cfg: ModelConfig, tokens, cache, **kw):
+    """Per-arch forward dispatch (cfg is a static jit arg, so this resolves
+    at trace time): attention models run llama.forward over a KVCache;
+    the recurrent family runs mamba.forward_slots over a MambaCache."""
+    if cfg.arch == "mamba":
+        from booster_tpu.models.mamba import forward_slots
+
+        return forward_slots(params, cfg, tokens, cache, **kw)
+    return _dense_forward(params, cfg, tokens, cache, **kw)
 
 
 @dataclasses.dataclass
@@ -316,7 +327,11 @@ class Engine:
                     mask[t] = True
             self._eog_mask = jnp.asarray(mask)
 
-    def _new_cache(self) -> KVCache:
+    def _new_cache(self):
+        if self.cfg.arch == "mamba":
+            from booster_tpu.models.mamba import MambaCache
+
+            return MambaCache.create(self.cfg, self.max_batch)
         return KVCache.create(
             self.cfg.n_layers,
             self.max_batch,
@@ -401,9 +416,17 @@ class Engine:
         """Free/claim a slot: zero its cache length and sampler-state row."""
         import jax as _jax
 
-        self.cache = dataclasses.replace(
-            self.cache, lengths=self.cache.lengths.at[slot].set(0)
-        )
+        if hasattr(self.cache, "conv"):  # recurrent: zero the slot's state
+            self.cache = dataclasses.replace(
+                self.cache,
+                conv=self.cache.conv.at[:, slot].set(0.0),
+                ssm=self.cache.ssm.at[:, slot].set(0.0),
+                lengths=self.cache.lengths.at[slot].set(0),
+            )
+        else:
+            self.cache = dataclasses.replace(
+                self.cache, lengths=self.cache.lengths.at[slot].set(0)
+            )
         st = self.state
         self.state = SamplerState(
             prev_tokens=st.prev_tokens.at[slot].set(-1),
@@ -549,6 +572,11 @@ class Engine:
         length = int(self.slot_lengths[slot])
         if n_discard is None:
             n_discard = max(1, (length - n_keep) // 2)
+        if self.cfg.arch == "mamba":
+            # recurrent state is O(1): nothing to discard, only the host
+            # bookkeeping moves (infinite generation is native)
+            self.slot_lengths[slot] = length - n_discard
+            return n_discard
         self.cache = shift_slot_cache(
             self.cache, jnp.int32(slot), jnp.int32(n_keep),
             jnp.int32(n_discard), self.params["rope"]["inv_freq"],
@@ -601,6 +629,9 @@ class Engine:
         from booster_tpu.grammar import GrammarSampler, parse_gbnf
         from booster_tpu.sampling.samplers import seed_prompt_row
 
+        if self.cfg.arch == "mamba":
+            raise ValueError("grammar decoding needs a rewindable KV cache; "
+                             "unsupported for recurrent models")
         sampling = sampling.normalized()
         gs = GrammarSampler(parse_gbnf(grammar_gbnf), self.tokenizer)
         cfg = self.cfg
@@ -750,6 +781,9 @@ class Engine:
         `self_extend_group/window` enable grp_attn position compression."""
         sampling = sampling.normalized()
         cfg = self.cfg
+        if cfg.arch == "mamba":
+            raise ValueError("recurrent models: use models.mamba.generate_mamba"
+                             " (or the batched scheduler path)")
         if len(prompt_ids) > self.max_seq - 4:
             raise ValueError(
                 f"prompt too long: {len(prompt_ids)} > {self.max_seq - 4}"

@@ -92,9 +92,10 @@ class Scheduler:
         # shared-prefix KV reuse across jobs (system prompts etc.)
         from booster_tpu.serving.prefix_cache import PrefixCache
 
+        # recurrent caches (mamba) have no per-position KV to snapshot/restore
         self.prefix_cache = (
             PrefixCache(max_bytes=prefix_cache_bytes)
-            if prefix_cache_bytes > 0 else None
+            if prefix_cache_bytes > 0 and engine.cfg.arch != "mamba" else None
         )
         # session swap: per-session KV save/restore (the fixed version of the
         # reference's commented-out swap files, bridge.cpp:224-263)
@@ -249,6 +250,9 @@ class Scheduler:
 
         if not (self.swap_dir and job.session_id):
             return 0
+        if hasattr(self.engine.cache, "conv"):
+            # recurrent state can't be truncated to a shorter matching prefix
+            return 0
         path = self._swap_path(job.session_id)
         if not os.path.exists(path):
             return 0
@@ -273,6 +277,8 @@ class Scheduler:
 
     def _save_session_state(self, slot: int, job: Job) -> None:
         if not (self.swap_dir and job.session_id) or job._shifted:
+            return
+        if hasattr(self.engine.cache, "conv"):
             return
         try:
             from booster_tpu.serving.state import save_slot_state
@@ -352,8 +358,20 @@ class Scheduler:
                 history_map: dict[int, list[int]] = {}
                 rejected: list[int] = []
                 for slot, job in admits.items():
-                    job.full_prompt = self.build_full_prompt(job)
-                    ids = self.engine.tokenizer.encode(job.full_prompt)
+                    try:
+                        job.full_prompt = self.build_full_prompt(job)
+                        ids = self.engine.tokenizer.encode(job.full_prompt)
+                    except Exception as e:  # noqa: BLE001 — a bad job must
+                        # not kill the serving loop (failure isolation,
+                        # server.go's per-job error handling)
+                        job.finish_reason = "error"
+                        job.output = f"error: {e}"
+                        job.status = STATUS_STOPPED
+                        job.finished_at = time.time()
+                        job._done.set()
+                        self.free_slots.append(slot)
+                        rejected.append(slot)
+                        continue
                     if len(ids) > self.engine.max_seq - 4:
                         # reference rejects prompts > n_ctx - 4
                         # (bridge.cpp:382-386); so does engine.generate
