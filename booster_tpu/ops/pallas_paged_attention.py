@@ -1,0 +1,221 @@
+"""Fused paged-KV decode attention (Pallas, scalar-prefetched page steering).
+
+The paged sibling of ops/pallas_attention.py: K/V live in a physical page
+pool [Np, Hkv, P, D] (ops/paged_kv.py) and each batch row follows its own
+page table, so the kernel cannot use a plain blocked index over a dense
+[B, Hkv, S, D] cache.  Instead the page table is a scalar-prefetch argument
+and each grid step's K/V DMA is steered to table[row, page] — the TPU
+realization of paged attention (reference analog: the flash-attention
+instances reading llama_kv_cache cells, /root/reference/cpp/ggml/src/
+ggml-cuda/fattn.cu; cells+seq sharing llama.cpp:2495-2540).
+
+Design notes:
+  - bt rows are processed per grid step.  A BlockSpec carries ONE block
+    index per step, so the pool is passed bt times — one ref per row-in-
+    tile, each with its own table-steered index map.  This keeps the
+    dense kernel's grid-step economy instead of degrading to one row per
+    step (8× more steps at bt=8).
+  - pages logically past a row's valid length resolve to table entries
+    that still hold 0 (a real page): the repeated block index elides the
+    DMA after the first fetch, and pl.when skips the compute.
+  - int8 scales fold into score/probability space exactly as in the dense
+    kernel; online softmax carry lives in VMEM scratch across the page
+    grid dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INTERPRET = False  # flipped by tests for CPU interpret mode
+
+_BT = int(_os.environ.get("BT_PAGED_BT", "4"))  # rows per grid step
+
+_NEG = -1e30
+
+
+def _paged_attn_kernel(
+    tbl_ref,  # [B, MAXP] i32 (scalar prefetch — steers the K/V DMA)
+    lens_ref,  # [B] i32 (scalar prefetch)
+    *refs,
+    bt: int,
+    p: int,
+    softcap: float,
+    quantized: bool,
+):
+    # refs layout: q, k*bt, v*bt, (ks*bt, vs*bt)?, win, out, m, l, acc
+    q_ref = refs[0]
+    k_refs = refs[1 : 1 + bt]
+    v_refs = refs[1 + bt : 1 + 2 * bt]
+    at = 1 + 2 * bt
+    if quantized:
+        ks_refs = refs[at : at + bt]
+        vs_refs = refs[at + bt : at + 2 * bt]
+        at += 2 * bt
+    win_ref, out_ref, m_ref, l_ref, acc_ref = refs[at : at + 5]
+
+    s_idx = pl.program_id(2)
+    ns = pl.num_programs(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    col0 = s_idx * p
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)  # [1, P]
+    win = win_ref[0, 0]
+
+    row0 = pl.program_id(0) * bt
+    for b in range(bt):  # static unroll: constant ref indices
+        len_b = lens_ref[row0 + b]
+
+        @pl.when(col0 < len_b)
+        def _(b=b, len_b=len_b):
+            qb = q_ref[b, 0]  # [G, D] bf16
+            kq = k_refs[b][0, 0].astype(jnp.bfloat16)  # [P, D] cast-only
+            s = jax.lax.dot_general(
+                qb, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, P]
+            if quantized:
+                s = s * ks_refs[b][0, 0]  # [1, P] broadcast over G
+            if softcap > 0.0:
+                s = softcap * jnp.tanh(s / softcap)
+            valid = (col < len_b) & (col >= len_b - win)
+            s = jnp.where(valid, s, _NEG)
+
+            m_prev = m_ref[b]
+            l_prev = l_ref[b]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            pr = jnp.exp(s - m_new)  # [G, P]
+            l_new = l_prev * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+            if quantized:
+                pr = pr * vs_refs[b][0, 0]
+            vq = v_refs[b][0, 0].astype(jnp.bfloat16)  # [P, D]
+            pv = jax.lax.dot_general(
+                pr.astype(jnp.bfloat16), vq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[b] = m_new
+            l_ref[b] = l_new
+            acc_ref[b] = acc_ref[b] * alpha + pv
+
+        @pl.when(s_idx == ns - 1)
+        def _(b=b):
+            out_ref[b, 0] = acc_ref[b] / jnp.maximum(l_ref[b], 1e-30)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,  # [B, 1, H, D] (already roped), any float dtype
+    pool_k: jnp.ndarray,  # [Np, Hkv, P, D] int8 or bf16 (one layer's pool)
+    pool_v: jnp.ndarray,
+    pool_ks,  # [Np, Hkv, P, 1] f32 or None
+    pool_vs,
+    table: jnp.ndarray,  # [B, MAXP] i32 physical page per logical page
+    kv_valid_len: jnp.ndarray,  # [B] i32
+    scale: float,
+    logit_softcap: float = 0.0,
+    window=None,  # traced i32 scalar or None
+) -> jnp.ndarray:
+    """Fused paged decode attention; returns [B, 1, H, D] in q.dtype.
+
+    Numerics match the dense masked-softmax path over gather_layer views
+    (tests/test_paged_kv.py, interpret mode)."""
+    B, T, H, D = q.shape
+    assert T == 1
+    Np, Hkv, P, _ = pool_k.shape
+    MAXP = table.shape[1]
+    G = H // Hkv
+    quantized = pool_ks is not None
+
+    qb = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    qb = qb.reshape(B, 1, Hkv, G, D).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, G, D)
+
+    bt = _BT
+    while B % bt:
+        bt //= 2
+    bt = max(bt, 1)
+    grid = (B // bt, Hkv, MAXP)
+
+    lens = kv_valid_len.astype(jnp.int32)
+    win = (jnp.asarray(window, jnp.int32) if window is not None
+           else jnp.int32(MAXP * P + 1)).reshape(1, 1)
+
+    def pool_spec(r, dim):
+        return pl.BlockSpec(
+            (1, 1, P, dim),
+            functools.partial(
+                lambda i, j, k, tbl, ln, r=r: (tbl[i * bt + r, k], j, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    def scale_spec(r):
+        return pl.BlockSpec(
+            (1, 1, 1, P),
+            functools.partial(
+                lambda i, j, k, tbl, ln, r=r: (tbl[i * bt + r, k], j, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    Dv = pool_v.shape[-1]
+    in_specs = [
+        pl.BlockSpec((bt, 1, G, D), lambda i, j, k, tbl, ln: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    in_specs += [pool_spec(r, D) for r in range(bt)]
+    in_specs += [pool_spec(r, Dv) for r in range(bt)]
+    args = [qb] + [pool_k] * bt + [pool_v] * bt
+    if quantized:
+        ks = pool_ks.reshape(Np, Hkv, 1, P)  # free reshape (trailing 1)
+        vs = pool_vs.reshape(Np, Hkv, 1, P)
+        in_specs += [scale_spec(r) for r in range(bt)]
+        in_specs += [scale_spec(r) for r in range(bt)]
+        args += [ks] * bt + [vs] * bt
+    in_specs += [
+        pl.BlockSpec((1, 1), lambda i, j, k, tbl, ln: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args += [win]
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, 1, G, Dv),
+                               lambda i, j, k, tbl, ln: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bt, G, 1), jnp.float32),
+            pltpu.VMEM((bt, G, 1), jnp.float32),
+            pltpu.VMEM((bt, G, Dv), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_attn_kernel, bt=bt, p=P,
+                          softcap=logit_softcap, quantized=quantized),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * MAXP * P * D,
+            bytes_accessed=(2 * B * Hkv * MAXP * P * D
+                            * pool_k.dtype.itemsize
+                            + (8 * B * Hkv * MAXP * P if quantized else 0)),
+            transcendentals=B * H * MAXP * P,
+        ),
+        interpret=INTERPRET,
+    )(table, lens, *args)
+
+    out = out.reshape(B, Hkv, G, 1, Dv).transpose(0, 3, 1, 2, 4).reshape(B, 1, H, Dv)
+    return out.astype(q.dtype)

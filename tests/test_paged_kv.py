@@ -1,0 +1,216 @@
+"""Paged KV cache: append/gather parity vs the dense cache, allocator
+bookkeeping (refcounts + prefix dedup), and the paged decode-attention
+kernel (interpret mode) vs the XLA attention reference.
+
+Reference analog: llama_kv_cache cells + seq sharing
+(/root/reference/cpp/src/llama.cpp:2495-2540).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import booster_tpu.ops.pallas_paged_attention as ppa
+from booster_tpu.ops.attention import attention
+from booster_tpu.ops.kv_cache import KVCache, _quantize_kv, update_layer
+from booster_tpu.ops.paged_kv import (
+    PageAllocator,
+    PagedKVCache,
+    append_paged_layer,
+    gather_layer,
+    scatter_layer,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    ppa.INTERPRET = True
+    yield
+    ppa.INTERPRET = False
+
+
+def seq_tables(B, maxp):
+    """Identity mapping: slot b owns pages [b*maxp, (b+1)*maxp)."""
+    return jnp.asarray(
+        np.arange(B * maxp, dtype=np.int32).reshape(B, maxp))
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_append_matches_dense(quantized):
+    B, Hkv, D, P, maxp = 2, 2, 64, 128, 2
+    S = P * maxp
+    rng = np.random.default_rng(0)
+    paged = PagedKVCache.create(1, B, S, Hkv, D, quantized=quantized,
+                                page_size=P)
+    dense = KVCache.create(1, B, S, Hkv, D, quantized=quantized)
+    table = seq_tables(B, maxp)
+
+    pk, pv, pks, pvs = (paged.k[0], paged.v[0],
+                        None if not quantized else paged.k_scale[0],
+                        None if not quantized else paged.v_scale[0])
+    dk, dv, dks, dvs = (dense.k[0], dense.v[0],
+                        None if not quantized else dense.k_scale[0],
+                        None if not quantized else dense.v_scale[0])
+
+    # a multi-token prefill at mixed offsets, then a single-token decode
+    for T, offs in (((5), [0, 0]), ((1), [5, 5]), ((3), [6, 6])):
+        new_k = jnp.asarray(rng.normal(size=(B, T, Hkv, D)).astype(np.float32))
+        new_v = jnp.asarray(rng.normal(size=(B, T, Hkv, D)).astype(np.float32))
+        offsets = jnp.asarray(np.asarray(offs, np.int32))
+        pk, pv, pks, pvs = append_paged_layer(
+            pk, pv, new_k, new_v, offsets, table, pks, pvs)
+        dk, dv, dks, dvs = update_layer(dk, dv, new_k, new_v, offsets, dks, dvs)
+
+    np.testing.assert_array_equal(np.asarray(gather_layer(pk, table)),
+                                  np.asarray(dk))
+    np.testing.assert_array_equal(np.asarray(gather_layer(pv, table)),
+                                  np.asarray(dv))
+    if quantized:
+        np.testing.assert_array_equal(
+            np.asarray(gather_layer(pks, table)), np.asarray(dks))
+
+
+def test_append_crosses_page_boundary():
+    B, Hkv, D, P, maxp = 1, 1, 64, 128, 3
+    rng = np.random.default_rng(1)
+    paged = PagedKVCache.create(1, B, P * maxp, Hkv, D, page_size=P)
+    # non-contiguous physical pages: logical order 2, 0, 1
+    table = jnp.asarray(np.array([[2, 0, 1]], np.int32))
+    T = 2 * P + 7  # spans all three pages
+    new_k = jnp.asarray(rng.normal(size=(B, T, Hkv, D)).astype(np.float32))
+    new_v = jnp.asarray(rng.normal(size=(B, T, Hkv, D)).astype(np.float32))
+    pk, pv, _, _ = append_paged_layer(
+        paged.k[0], paged.v[0], new_k, new_v,
+        jnp.zeros(B, jnp.int32), table)
+    got = np.asarray(gather_layer(pk, table))[0, :, :T]  # [Hkv, T, D]
+    want = np.asarray(new_k.astype(jnp.bfloat16)).transpose(0, 2, 1, 3)[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gather_scatter_roundtrip():
+    B, Hkv, D, P, maxp = 2, 2, 64, 128, 2
+    rng = np.random.default_rng(2)
+    pool = jnp.asarray(
+        rng.normal(size=(B * maxp, Hkv, P, D)).astype(np.float32))
+    table = seq_tables(B, maxp)
+    dense = gather_layer(pool, table)
+    pool2 = scatter_layer(jnp.zeros_like(pool), table, dense)
+    np.testing.assert_array_equal(np.asarray(pool2), np.asarray(pool))
+
+
+def test_allocator_refcounts_and_dedup():
+    al = PageAllocator(8, page_size=4)
+    ids = list(range(11))  # 2 full pages + tail
+    a = al.alloc(3)
+    assert al.n_free == 5
+    al.publish_prefix(ids, a[:2])
+
+    # a second request with the same leading chain finds both full pages
+    pages, n = al.lookup_prefix(ids + [99])
+    assert pages == a[:2] and n == 8
+    al.retain(pages)
+    assert al.refcount[a[0]] == 2
+
+    # divergent chain shares nothing
+    assert al.lookup_prefix([7] + ids)[1] == 0
+
+    # release the original owner: pages stay resident (refcount 1) and
+    # still hashed; release the sharer too → pages return to the free list
+    al.release(a)
+    assert al.n_free == 6  # a[2] freed; a[0], a[1] still shared
+    pages2, n2 = al.lookup_prefix(ids)
+    assert pages2 == a[:2] and n2 == 8
+    al.release(a[:2])
+    assert al.n_free == 8
+    assert al.lookup_prefix(ids)[1] == 0  # hashes dropped with the pages
+
+
+def paged_case(B, Hkv, G, D, P, maxp, seed=0, share=False, quantized=False):
+    """Build a pool + tables; optionally slots 0 and 1 share their first
+    (full) page — the dedup layout the scheduler produces."""
+    rng = np.random.default_rng(seed)
+    H = Hkv * G
+    S = P * maxp
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)).astype(np.float32))
+    tbl = np.arange(B * maxp, dtype=np.int32).reshape(B, maxp)
+    if share:
+        tbl[1, 0] = tbl[0, 0]
+    table = jnp.asarray(tbl)
+    Np = B * maxp
+    kf = rng.normal(size=(Np, Hkv, P, D)).astype(np.float32)
+    vf = rng.normal(size=(Np, Hkv, P, D)).astype(np.float32)
+    lens = np.minimum(rng.integers(1, S, B), S).astype(np.int32)
+    if share:
+        lens[0] = max(lens[0], P)  # shared page fully valid for slot 0
+        lens[1] = max(lens[1], P)
+    if quantized:
+        kq, ks = _quantize_kv(jnp.asarray(kf))
+        vq, vs = _quantize_kv(jnp.asarray(vf))
+        pools = (kq, vq, ks, vs)
+        kd = (kq.astype(jnp.float32) * ks).astype(jnp.bfloat16)
+        vd = (vq.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+    else:
+        pools = (jnp.asarray(kf, jnp.bfloat16), jnp.asarray(vf, jnp.bfloat16),
+                 None, None)
+        kd, vd = pools[0], pools[1]
+    dense_k = gather_layer(kd, table)
+    dense_v = gather_layer(vd, table)
+    return q, pools, table, jnp.asarray(lens), dense_k, dense_v
+
+
+def ref_attention(q, k, v, lens, scale, softcap=0.0, window=None):
+    qpos = (lens - 1)[:, None]
+    return attention(
+        q.astype(jnp.bfloat16), k, v, qpos, lens, scale,
+        logit_softcap=softcap, sliding_window=window,
+    )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("share", [False, True])
+def test_paged_attention_matches_xla(quantized, share):
+    B, Hkv, G, D, P, maxp = 4, 2, 2, 64, 128, 2
+    q, pools, table, lens, dk, dv = paged_case(
+        B, Hkv, G, D, P, maxp, share=share, quantized=quantized)
+    scale = 0.125
+    ref = ref_attention(q, dk, dv, lens, scale)
+    out = ppa.paged_decode_attention(
+        q, *pools, table, lens, scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_paged_attention_window_and_softcap():
+    B, Hkv, G, D, P, maxp = 2, 1, 4, 64, 128, 2
+    q, pools, table, lens, dk, dv = paged_case(B, Hkv, G, D, P, maxp, seed=3)
+    scale = 0.1
+    ref = ref_attention(q, dk, dv, lens, scale, softcap=30.0,
+                        window=jnp.int32(96))
+    out = ppa.paged_decode_attention(
+        q, *pools, table, lens, scale, logit_softcap=30.0,
+        window=jnp.int32(96))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_paged_attention_scattered_tables():
+    """Non-contiguous, permuted physical pages give the same result as the
+    dense gather (the whole point of paging)."""
+    B, Hkv, G, D, P, maxp = 2, 2, 2, 64, 128, 3
+    rng = np.random.default_rng(7)
+    q, pools, _, lens, _, _ = paged_case(B, Hkv, G, D, P, maxp, seed=7)
+    perm = rng.permutation(B * maxp).astype(np.int32).reshape(B, maxp)
+    table = jnp.asarray(perm)
+    dk = gather_layer(pools[0] if pools[2] is None else
+                      (pools[0].astype(jnp.float32) * pools[2]).astype(jnp.bfloat16),
+                      table)
+    dv = gather_layer(pools[1], table)
+    scale = 0.125
+    ref = ref_attention(q, dk, dv, lens, scale)
+    out = ppa.paged_decode_attention(q, *pools, table, lens, scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
