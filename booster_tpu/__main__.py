@@ -164,7 +164,10 @@ def main(argv=None) -> int:
     draft_engine = None
     if args.model_draft:
         draft_model = load_model(os.path.expanduser(args.model_draft))
-        draft_engine = Engine(draft_model, max_batch=1, max_seq=model_spec.context)
+        # batched multi-slot speculation: the draft mirrors the target's
+        # slot layout (serving/spec_batch.py)
+        draft_engine = Engine(draft_model, max_batch=engine.max_batch,
+                              max_seq=engine.max_seq)
 
     scheduler = Scheduler(
         engine,

@@ -123,6 +123,54 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def chain_cutoff(lg: jnp.ndarray, vp: VectorSampling) -> jnp.ndarray:
+    """Per-row logit cutoff [B, 1] combining top-k/top-p/min-p over a top-K
+    shortlist (shared by the decode sampler and the speculative-acceptance
+    distributions).  Disabled filters contribute a -inf cutoff."""
+    B, V = lg.shape
+    K = min(256, V)
+    sorted_lg, _ = jax.lax.top_k(lg, K)  # [B, K] descending
+    probs = jax.nn.softmax(sorted_lg, axis=-1)  # shortlist-renormalized
+    cum = jnp.cumsum(probs, axis=-1)
+
+    # top-k cutoff: kth largest logit (disabled → no cutoff)
+    k = jnp.clip(jnp.minimum(vp.top_k, K), 1, K)
+    k_cut = jnp.take_along_axis(sorted_lg, (k - 1)[:, None], axis=-1)
+    k_cut = jnp.where(vp.top_k[:, None] <= 0, -jnp.inf, k_cut)
+
+    # top-p: smallest prefix with mass >= p (tokens whose preceding mass < p)
+    keep_sorted = (cum - probs) < vp.top_p[:, None]
+    n_keep = jnp.maximum(keep_sorted.sum(axis=-1), 1)
+    p_cut = jnp.take_along_axis(sorted_lg, (n_keep - 1)[:, None], axis=-1)
+    p_cut = jnp.where(vp.top_p[:, None] >= 1.0, -jnp.inf, p_cut)
+
+    # min-p relative threshold
+    m_cut = sorted_lg[:, :1] + jnp.log(jnp.maximum(vp.min_p[:, None], 1e-20))
+    m_cut = jnp.where(vp.min_p[:, None] <= 0, -jnp.inf, m_cut)
+
+    return jnp.maximum(jnp.maximum(k_cut, p_cut), m_cut)
+
+
+def filtered_probs_vectorized(
+    logits: jnp.ndarray, vp: VectorSampling
+) -> jnp.ndarray:
+    """Per-slot filtered sampling distributions [B, V]: the standard
+    temp/top-k/top-p/min-p chain as explicit probabilities.  temp<=0 rows
+    return a one-hot at the argmax, so residual speculative acceptance
+    (serving/spec_batch.py) degenerates to exact greedy verification for
+    greedy rows.  Penalties/mirostat/janus are not applied on this path
+    (matches the single-sequence speculative chain, speculative.py:16)."""
+    lg = logits.astype(jnp.float32)
+    cutoff = chain_cutoff(lg, vp)
+    filtered = jnp.where(lg < cutoff, NEG_INF, lg)
+    t = jnp.maximum(vp.temp, 1e-6)[:, None]
+    probs = jax.nn.softmax(filtered / t, axis=-1)
+    onehot = jax.nn.one_hot(
+        jnp.argmax(lg, axis=-1), lg.shape[-1], dtype=jnp.float32
+    )
+    return jnp.where((vp.temp <= 0)[:, None], onehot, probs)
+
+
 def sample_vectorized(
     logits: jnp.ndarray,  # [B, V]
     state: SamplerState,
@@ -164,27 +212,7 @@ def sample_vectorized(
     # shortlist — exact whenever the shortlist carries ≥ p of the mass, which
     # holds for every practical temperature.  Rows with a filter disabled get
     # a -inf cutoff (no shortlist clamp at all).
-    K = min(256, V)
-    sorted_lg, _ = jax.lax.top_k(lg, K)  # [B, K] descending
-    probs = jax.nn.softmax(sorted_lg, axis=-1)  # shortlist-renormalized
-    cum = jnp.cumsum(probs, axis=-1)
-
-    # top-k cutoff: kth largest logit (disabled → no cutoff)
-    k = jnp.clip(jnp.minimum(vp.top_k, K), 1, K)
-    k_cut = jnp.take_along_axis(sorted_lg, (k - 1)[:, None], axis=-1)
-    k_cut = jnp.where(vp.top_k[:, None] <= 0, -jnp.inf, k_cut)
-
-    # top-p: smallest prefix with mass >= p (tokens whose preceding mass < p)
-    keep_sorted = (cum - probs) < vp.top_p[:, None]
-    n_keep = jnp.maximum(keep_sorted.sum(axis=-1), 1)
-    p_cut = jnp.take_along_axis(sorted_lg, (n_keep - 1)[:, None], axis=-1)
-    p_cut = jnp.where(vp.top_p[:, None] >= 1.0, -jnp.inf, p_cut)
-
-    # min-p relative threshold
-    m_cut = sorted_lg[:, :1] + jnp.log(jnp.maximum(vp.min_p[:, None], 1e-20))
-    m_cut = jnp.where(vp.min_p[:, None] <= 0, -jnp.inf, m_cut)
-
-    cutoff = jnp.maximum(jnp.maximum(k_cut, p_cut), m_cut)
+    cutoff = chain_cutoff(lg, vp)
     filtered = jnp.where(lg < cutoff, NEG_INF, lg)
 
     t = jnp.maximum(vp.temp, 1e-6)[:, None]

@@ -86,9 +86,16 @@ class Scheduler:
         self.locale = locale
         self.context_shift = context_shift
         self.n_keep = n_keep
-        # draft model → speculative decoding for standard jobs (pod-style
-        # dedicated path; greedy or residual sampled acceptance)
+        # draft model → batched multi-slot speculative decoding for standard
+        # jobs (all slots draft-propose + verify inside one dispatch per
+        # round, serving/spec_batch.py); greedy or residual sampled
+        # acceptance per slot
         self.draft_engine = draft_engine
+        self.spec = None
+        if draft_engine is not None:
+            from booster_tpu.serving.spec_batch import SpecBatch
+
+            self.spec = SpecBatch(engine, draft_engine)
         # shared-prefix KV reuse across jobs (system prompts etc.)
         from booster_tpu.serving.prefix_cache import PrefixCache
 
@@ -321,14 +328,14 @@ class Scheduler:
             # grammar jobs run on the dedicated generate path (host automaton
             # between steps); janus + mirostat ride the vectorized batch
             # sampler like everything else (the reference runs Janus on every
-            # request concurrently, bridge.cpp:586-599)
+            # request concurrently, bridge.cpp:586-599).  With a draft model
+            # the batch runs speculative rounds, which skip janus/mirostat —
+            # those jobs fall back to the dedicated single-sequence path.
             def needs_dedicated(j: Job) -> bool:
                 sp = j.sampling or self.default_sampling
-                if self.draft_engine is not None and not (
-                    j.grammar or sp.janus or sp.mirostat
-                ):
-                    return True  # speculative decoding path
-                return bool(j.grammar or sp.cfg_scale != 1.0)
+                if j.grammar or sp.cfg_scale != 1.0:
+                    return True
+                return self.spec is not None and bool(sp.janus or sp.mirostat)
 
             for jid in [j for j in self.queue if needs_dedicated(self.jobs[j])]:
                 self.queue.remove(jid)
@@ -394,6 +401,8 @@ class Scheduler:
                     seed = sp.seed if sp.seed >= 0 else (hash(job.id) & 0x7FFFFFFF)
                     self.engine.reset_slot(slot, sp, seed,
                                            max_predict=job.max_tokens)
+                    if self.spec is not None:
+                        self.spec.reset_slot(slot, seed)
                     job._prompt_ids = ids
                     restored = self._try_restore_session(slot, job, ids)
                     if not restored and self.prefix_cache is not None:
@@ -410,12 +419,21 @@ class Scheduler:
                         history_map[slot] = ids
                 for slot in rejected:
                     del admits[slot]
-                first = await loop.run_in_executor(
-                    None,
-                    lambda: self.engine.prefill_slots(
+                def _admit_prefill():
+                    first = self.engine.prefill_slots(
                         prefill_map, full_history=history_map
-                    ),
-                )
+                    )
+                    if self.spec is not None and admits:
+                        # draft sees the full prompt (prefix/session restores
+                        # apply only to the target cache)
+                        self.spec.prefill_draft(
+                            {s: j._prompt_ids for s, j in admits.items()}
+                        )
+                        for s in admits:
+                            self.spec.seed_first_token(s, first[s])
+                    return first
+
+                first = await loop.run_in_executor(None, _admit_prefill)
                 for slot, job in admits.items():
                     self.running[slot] = job
                     self._append_token(job, first[slot])
@@ -425,9 +443,11 @@ class Scheduler:
             # batched context shift: slots running out of cache keep
             # generating (reference "infinite generation", bridge.cpp:487-507)
             if self.context_shift:
+                advance = (self.spec.k + 1 if self.spec is not None
+                           else self.engine.decode_chunk)
                 need_shift = [
                     s for s in self.running
-                    if int(self.engine.slot_lengths[s]) + self.engine.decode_chunk
+                    if int(self.engine.slot_lengths[s]) + advance
                     >= self.engine.max_seq - 1
                 ]
                 if need_shift and pending is not None:
@@ -435,15 +455,17 @@ class Scheduler:
                     pending = None
                 for s in need_shift:
                     if s in self.running:  # may have finished in _consume
-                        self.engine.shift_slot(s, n_keep=self.n_keep)
+                        n_disc = self.engine.shift_slot(s, n_keep=self.n_keep)
+                        if self.spec is not None:
+                            self.spec.shift_draft(s, self.n_keep, n_disc)
                         self.running[s]._shifted = True
 
             # batched decode chunk for running slots (dispatch-ahead)
             if self.running:
                 slots = list(self.running)
-                handle = await loop.run_in_executor(
-                    None, self.engine.decode_slots_start, slots
-                )
+                dispatch = (self.spec.start if self.spec is not None
+                            else self.engine.decode_slots_start)
+                handle = await loop.run_in_executor(None, dispatch, slots)
                 snapshot = dict(self.running)
                 if pending is not None:
                     await self._consume(loop, pending)
@@ -466,9 +488,9 @@ class Scheduler:
     async def _consume(self, loop, pending) -> None:
         """Read back a finished chunk and distribute tokens to its jobs."""
         handle, snapshot = pending
-        toks, eog = await loop.run_in_executor(
-            None, self.engine.decode_slots_finish, handle
-        )
+        finisher = (self.spec.finish if self.spec is not None
+                    else self.engine.decode_slots_finish)
+        toks, eog = await loop.run_in_executor(None, finisher, handle)
         for slot, job in snapshot.items():
             if job.status not in (STATUS_PROCESSING,):
                 continue  # finished/cancelled while this chunk was in flight
@@ -582,8 +604,10 @@ class Scheduler:
         hit_eog = eog or (job.token_ids and vocab.is_eog(job.token_ids[-1]))
         # with context_shift on, running out of cache never ends a job — the
         # slot is shifted in place by the run loop instead
+        advance = (self.spec.k + 1 if self.spec is not None
+                   else self.engine.decode_chunk)
         out_of_space = not self.context_shift and (
-            int(self.engine.slot_lengths[slot]) + self.engine.decode_chunk
+            int(self.engine.slot_lengths[slot]) + advance
             >= self.engine.max_seq - 1
         )
         reason = None

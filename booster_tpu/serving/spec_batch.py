@@ -1,0 +1,314 @@
+"""Batched multi-slot speculative decoding.
+
+The single-sequence path (serving/speculative.py) runs one request at a
+time; this module runs draft-propose → target-verify for ALL active slots
+of the continuous batch in one device dispatch per round, with acceptance
+computed on device (no [B, k, V] host readbacks):
+
+  - the draft consumes each slot's pending tokens (the tokens the target
+    committed since the draft last saw the sequence — between 1 and k+1 of
+    them) as a right-padded [B, P] prefill, then proposes k tokens with a
+    k-1-step scan;
+  - the target verifies [last_committed, p_1..p_k] for every slot in ONE
+    [B, k+1] forward (M=k+1 matvecs cost the same as M=1 on the MXU —
+    verification is nearly free, the same argument as speculative.py:3);
+  - residual acceptance (Leviathan et al.) runs vectorized on device with
+    per-slot sampling params: filtered target/draft distributions come from
+    sampling.vector.filtered_probs_vectorized, so temp<=0 rows degenerate
+    to exact greedy verification (one-hot p and q);
+  - rounds chain on device: a round's output token matrix IS the next
+    round's draft-pending input, so consecutive rounds need no host→device
+    transfer and the host readback (token distribution to jobs) overlaps
+    the next round's compute, mirroring Engine.decode_slots_start/finish.
+
+The reference ships only a vestigial lookup-decoding cache
+(/root/reference/cpp/common/ngram-cache.cpp, not linked); concurrency
+model parity is with its N-pods-each-generating design
+(/root/reference/pkg/server/server.go:653-689) — here every pod-equivalent
+slot speculates simultaneously inside one compiled step.
+
+Penalties/mirostat/janus are not applied on this path (matches
+speculative.py); the scheduler routes such jobs elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from booster_tpu.serving.engine import Engine, forward
+from booster_tpu.sampling.vector import filtered_probs_vectorized
+
+
+def _split_rows(keys):
+    """Split a [B, 2] key array into (step [B,2], next [B,2])."""
+    ks = jax.vmap(jax.random.split, in_axes=(0, None))(keys, 2)
+    return ks[:, 0], ks[:, 1]
+
+
+def _pick_rows(probs, keys):
+    """Sample one token per row from explicit distributions [B, V]."""
+    sub, keys = _split_rows(keys)
+    tok = jax.vmap(
+        lambda kk, p: jax.random.categorical(
+            kk, jnp.log(jnp.maximum(p, 1e-30))
+        )
+    )(sub, probs).astype(jnp.int32)
+    return tok, keys
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "k"),
+    donate_argnames=("t_cache", "d_cache", "keys"),
+)
+def _spec_round(
+    t_params,
+    d_params,
+    tcfg,
+    dcfg,
+    t_cache,
+    d_cache,
+    pending: jnp.ndarray,  # [B, P] tokens the draft hasn't consumed yet
+    pend_n: jnp.ndarray,  # [B] valid counts (last entry = last committed tok)
+    active: jnp.ndarray,  # [B] bool
+    vp,  # VectorSampling (per-slot temp/top-k/top-p/min-p)
+    keys: jnp.ndarray,  # [B, 2] per-slot PRNG keys
+    k: int,
+):
+    """One speculative round for the whole batch.
+
+    Returns (out [B, k+1] emitted tokens, n_new [B] valid counts, t_cache,
+    d_cache, keys).  Inactive rows advance nothing and report n_new=0.
+    Invariant: target cache covers seq[:n] with seq[n] the one unconsumed
+    token (= pending's last entry); draft cache covers seq[:m] with
+    pending = seq[m:n+1].
+    """
+    B, P = pending.shape
+    nv = jnp.where(active, pend_n, 0).astype(jnp.int32)
+    t0_len = t_cache.lengths  # committed prefix per slot (before verify)
+    d_committed = d_cache.lengths + nv  # draft committed after the consume
+
+    # ---- draft: consume pending, propose k tokens ----------------------
+    d_logits, d_cache = forward(
+        d_params, dcfg, pending, d_cache,
+        gather_idx=jnp.maximum(nv - 1, 0), n_valid=nv,
+    )
+    q0 = filtered_probs_vectorized(d_logits[:, -1, :], vp)
+    t_prop0, keys = _pick_rows(q0, keys)
+
+    def step(carry, _):
+        d_cache, tok, keys = carry
+        lg, d_cache = forward(
+            d_params, dcfg, tok, d_cache, last_only=True,
+            n_valid=active.astype(jnp.int32),
+        )
+        q = filtered_probs_vectorized(lg[:, -1, :], vp)
+        nxt, keys = _pick_rows(q, keys)
+        return (d_cache, nxt[:, None], keys), (nxt, q)
+
+    (d_cache, _, keys), (prop_rest, q_rest) = jax.lax.scan(
+        step, (d_cache, t_prop0[:, None], keys), None, length=k - 1
+    )
+    prop = jnp.concatenate([t_prop0[:, None], prop_rest.T], axis=1)  # [B, k]
+    q = jnp.concatenate(
+        [q0[:, None, :], jnp.swapaxes(q_rest, 0, 1)], axis=1
+    )  # [B, k, V]
+    # drop the proposals' KV: the draft keeps only what the target committed
+    # (accepted tokens come back through the next round's pending buffer)
+    d_cache = dataclasses.replace(d_cache, lengths=d_committed)
+
+    # ---- target: verify [last, p_1..p_k] in one forward ----------------
+    last = jnp.take_along_axis(
+        pending, jnp.maximum(nv - 1, 0)[:, None], axis=1
+    )  # [B, 1]
+    ver = jnp.concatenate([last, prop], axis=1)  # [B, k+1]
+    t_logits, t_cache = forward(
+        t_params, tcfg, ver, t_cache,
+        n_valid=(k + 1) * active.astype(jnp.int32),
+    )
+    p = jax.vmap(
+        lambda lg: filtered_probs_vectorized(lg, vp),
+        in_axes=1, out_axes=1,
+    )(t_logits)  # [B, k+1, V]
+
+    # ---- residual acceptance (vectorized Leviathan scheme) -------------
+    V = p.shape[-1]
+    flat = lambda a: a.reshape(B * k, V)
+    px = jnp.take_along_axis(
+        flat(p[:, :k]), prop.reshape(B * k)[:, None], axis=1
+    ).reshape(B, k)
+    qx = jnp.take_along_axis(
+        flat(q), prop.reshape(B * k)[:, None], axis=1
+    ).reshape(B, k)
+    sub, keys = _split_rows(keys)
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (k,)))(sub)
+    acc = u < px / jnp.maximum(qx, 1e-30)  # min(1, p/q) implicit: u < 1
+    pref = jnp.cumprod(acc.astype(jnp.int32), axis=1).astype(bool)
+    n_acc = pref.sum(axis=1)  # [B] accepted prefix length (0..k)
+
+    # correction / bonus token from the residual at position n_acc
+    p_j = jnp.take_along_axis(p, n_acc[:, None, None], axis=1)[:, 0]  # [B,V]
+    q_pad = jnp.concatenate([q, jnp.zeros((B, 1, V), q.dtype)], axis=1)
+    q_j = jnp.take_along_axis(q_pad, n_acc[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_j - q_j, 0.0)
+    z = resid.sum(axis=-1, keepdims=True)
+    dist = jnp.where(
+        z > 1e-12, resid / jnp.maximum(z, 1e-30),
+        p_j / jnp.maximum(p_j.sum(axis=-1, keepdims=True), 1e-30),
+    )
+    corr, keys = _pick_rows(dist, keys)
+
+    iota = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    prop_pad = jnp.concatenate(
+        [prop, jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    out = jnp.where(
+        iota < n_acc[:, None], prop_pad,
+        jnp.where(iota == n_acc[:, None], corr[:, None], 0),
+    )
+    n_new = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)
+
+    # commit: target keeps last + accepted (the correction's KV is written
+    # on the NEXT round's verify — it is the new unconsumed token)
+    t_cache = dataclasses.replace(
+        t_cache, lengths=jnp.where(active, t0_len + n_new, t0_len)
+    )
+    return out, n_new, t_cache, d_cache, keys
+
+
+class SpecBatch:
+    """Owns the draft-side state for batched speculative decoding and
+    exposes the scheduler-facing start/finish API (decode_slots contract:
+    start(slots) → handle; finish(handle) → (tokens per slot, eog flags))."""
+
+    def __init__(self, target: Engine, draft: Engine, k: int = 8):
+        if target.cfg.arch == "mamba" or draft.cfg.arch == "mamba":
+            raise ValueError("speculative decoding needs a rewindable KV "
+                             "cache; unsupported for recurrent models")
+        if draft.max_batch != target.max_batch:
+            raise ValueError("draft engine must be built with the same "
+                             "max_batch as the target")
+        if draft.max_seq < target.max_seq:
+            raise ValueError("draft max_seq must cover the target's")
+        self.target = target
+        self.draft = draft
+        self.k = k
+        B = target.max_batch
+        self.d_cache = draft._new_cache()
+        self._pending = jnp.zeros((B, k + 1), jnp.int32)
+        self._pend_n = jnp.zeros(B, jnp.int32)
+        self._keys = jax.vmap(jax.random.PRNGKey)(jnp.zeros(B, jnp.uint32))
+        # per-round acceptance telemetry (rolling totals)
+        self.n_rounds = 0
+        self.n_accepted = 0
+
+    # -- admission -------------------------------------------------------
+
+    def reset_slot(self, slot: int, seed: int) -> None:
+        self.d_cache = dataclasses.replace(
+            self.d_cache, lengths=self.d_cache.lengths.at[slot].set(0)
+        )
+        self._keys = self._keys.at[slot].set(jax.random.PRNGKey(seed ^ 0x5A))
+        self._pend_n = self._pend_n.at[slot].set(0)
+
+    def prefill_draft(self, jobs: dict[int, list[int]],
+                      chunk: int = 512) -> None:
+        """Build the draft cache for newly admitted slots (full prompts —
+        target-side prefix/session restores don't apply to the draft)."""
+        B = self.draft.max_batch
+        remaining = {s: list(ids) for s, ids in jobs.items()}
+        while remaining:
+            max_take = max(min(len(r), chunk) for r in remaining.values())
+            T = min(max(16, 1 << (max_take - 1).bit_length()), chunk)
+            tokens = np.zeros((B, T), np.int32)
+            n_valid = np.zeros(B, np.int32)
+            for s, ids in list(remaining.items()):
+                take = min(len(ids), T)
+                tokens[s, :take] = ids[:take]
+                n_valid[s] = take
+                remaining[s] = ids[take:]
+                if not remaining[s]:
+                    del remaining[s]
+            _, self.d_cache = forward(
+                self.draft.params, self.draft.cfg, jnp.asarray(tokens),
+                self.d_cache, last_only=True, n_valid=jnp.asarray(n_valid),
+            )
+
+    def seed_first_token(self, slot: int, token: int) -> None:
+        """Record the target's first sampled token (prefill output) as the
+        slot's pending chain head."""
+        self._pending = self._pending.at[slot, 0].set(token)
+        self._pend_n = self._pend_n.at[slot].set(1)
+
+    # -- context shift ---------------------------------------------------
+
+    def shift_draft(self, slot: int, n_keep: int, n_discard: int) -> None:
+        """Mirror the target's in-cache context shift on the draft cache
+        (same token range is dropped, so positions stay aligned).  Pending
+        tokens live at the very end of the sequence — far past the discard
+        range — so the pending buffer itself is untouched."""
+        from booster_tpu.ops.kv_cache import shift_slot_cache
+
+        self.d_cache = shift_slot_cache(
+            self.d_cache, jnp.int32(slot), jnp.int32(n_keep),
+            jnp.int32(n_discard), self.draft.params["rope"]["inv_freq"],
+            self.draft.cfg.rope_style,
+        )
+
+    # -- rounds (decode_slots_start/finish contract) ---------------------
+
+    def start(self, active_slots, n_steps: Optional[int] = None):
+        """Dispatch one speculative round for the active slots (async).
+        Bookkeeping adds the k+1 upper bound to slot_lengths; finish()
+        corrects it once acceptance counts are known."""
+        eng = self.target
+        B = eng.max_batch
+        active = np.zeros(B, bool)
+        for s in active_slots:
+            active[s] = True
+            eng.slot_lengths[s] += self.k + 1
+        out, n_new, eng.cache, self.d_cache, self._keys = _spec_round(
+            eng.params, self.draft.params, eng.cfg, self.draft.cfg,
+            eng.cache, self.d_cache, self._pending, self._pend_n,
+            jnp.asarray(active), eng.vp, self._keys, self.k,
+        )
+        # chain: this round's output is the next round's pending input
+        act_dev = jnp.asarray(active)
+        self._pending = jnp.where(act_dev[:, None], out, self._pending)
+        self._pend_n = jnp.where(act_dev, n_new, self._pend_n)
+        return (out, n_new, list(active_slots))
+
+    def finish(self, handle):
+        """Block on a round; returns ({slot: tokens}, {slot: hit_eog})."""
+        out_dev, n_new_dev, slots = handle
+        eng = self.target
+        out = np.asarray(out_dev)
+        n_new = np.asarray(n_new_dev)
+        eog_np = np.asarray(eng._eog_mask)
+        toks: dict[int, list[int]] = {}
+        hit: dict[int, bool] = {}
+        for s in slots:
+            n = int(n_new[s])
+            row = [int(t) for t in out[s, :n]]
+            # correct the dispatch-time upper bound to the true advance
+            eng.slot_lengths[s] -= (self.k + 1) - n
+            self.n_rounds += 1
+            self.n_accepted += max(n - 1, 0)
+            cut = next(
+                (i + 1 for i, t in enumerate(row) if eog_np[t]), None
+            )
+            if cut is not None:
+                row = row[:cut]
+            toks[s] = row
+            hit[s] = bool(row and eog_np[row[-1]])
+        return toks, hit
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.n_accepted / max(self.n_rounds * self.k, 1)

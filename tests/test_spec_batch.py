@@ -1,0 +1,147 @@
+"""Batched multi-slot speculative decoding (serving/spec_batch.py):
+every slot's output must equal the target's own (greedy) sequence, and
+concurrent jobs must all run speculatively inside the batched rounds."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")
+
+from booster_tpu.models import load_model
+from booster_tpu.sampling import SamplingParams
+from booster_tpu.serving import Engine
+from booster_tpu.serving.spec_batch import SpecBatch
+from tools.make_test_model import make_model
+
+GREEDY = SamplingParams(temp=0.0, penalty_repeat=1.0)
+
+
+@pytest.fixture(scope="module")
+def models(tmp_path_factory):
+    d = tmp_path_factory.mktemp("specb")
+    tpath = str(d / "target.gguf")
+    dpath = str(d / "draft.gguf")
+    # decisive logits: bf16 T=1-vs-T=k+1 rounding can't flip the argmax
+    make_model(tpath, vocab_size=512, hidden=128, layers=2, seed=0,
+               weight_scale=0.3)
+    make_model(dpath, vocab_size=512, hidden=64, layers=1, seed=7,
+               weight_scale=0.3)
+    return tpath, dpath
+
+
+def _spec_generate(target, draft, prompts, k=4, n_rounds=12,
+                   sampling=GREEDY, seeds=None):
+    """Drive SpecBatch directly; returns {slot: token list} (uncut)."""
+    target.init_batch_state()
+    sb = SpecBatch(target, draft, k=k)
+    for s in prompts:
+        target.reset_slot(s, sampling, seed=(seeds or {}).get(s, s))
+        sb.reset_slot(s, (seeds or {}).get(s, s))
+    first = target.prefill_slots(dict(prompts))
+    sb.prefill_draft(dict(prompts))
+    out = {}
+    for s in prompts:
+        sb.seed_first_token(s, first[s])
+        out[s] = [first[s]]
+    for _ in range(n_rounds):
+        toks, _eog = sb.finish(sb.start(list(prompts)))
+        for s in prompts:
+            out[s].extend(toks[s])
+    return out, sb
+
+
+def test_multislot_greedy_matches_plain(models):
+    """3 concurrent slots, weak draft: every slot's sequence equals the
+    target's plain greedy output for its prompt."""
+    tpath, dpath = models
+    target = Engine(load_model(tpath), max_batch=4, max_seq=256)
+    draft = Engine(load_model(dpath), max_batch=4, max_seq=256)
+    texts = ["hello world", "the", "one two three"]
+    prompts = {s: target.tokenizer.encode(t) for s, t in enumerate(texts)}
+
+    out, sb = _spec_generate(target, draft, prompts, k=4, n_rounds=10)
+
+    plain_eng = Engine(load_model(tpath), max_batch=1, max_seq=256)
+    for s, ids in prompts.items():
+        plain = plain_eng.generate(ids, GREEDY, max_new_tokens=24)
+        n = min(len(plain.token_ids), len(out[s]), 24)
+        # cut both at the first EOG (plain stops there; spec rows keep going)
+        vocab = target.tokenizer.vocab
+        got = out[s][:n]
+        for i, t in enumerate(got):
+            if vocab.is_eog(t):
+                got = got[:i]
+                break
+        assert got[: len(plain.token_ids)] == plain.token_ids[: len(got)], (
+            f"slot {s} diverged from target greedy"
+        )
+    assert 0.0 <= sb.acceptance_rate <= 1.0
+
+
+def test_identical_draft_accepts_all_greedy(models):
+    """Draft == target, greedy: proposals are the target's own argmax —
+    acceptance is near-total (only bf16 T=1-vs-T=k+1 near-ties reject)."""
+    tpath, _ = models
+    target = Engine(load_model(tpath), max_batch=2, max_seq=256)
+    draft = Engine(load_model(tpath), max_batch=2, max_seq=256)
+    prompts = {0: target.tokenizer.encode("hello world")}
+    _, sb = _spec_generate(target, draft, prompts, k=4, n_rounds=8)
+    assert sb.acceptance_rate > 0.5
+
+
+def test_identical_draft_sampled_accepts(models):
+    """p == q → accept prob min(1, p/q) = 1 for every proposal."""
+    tpath, _ = models
+    target = Engine(load_model(tpath), max_batch=2, max_seq=256)
+    draft = Engine(load_model(tpath), max_batch=2, max_seq=256)
+    sp = SamplingParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0,
+                        penalty_repeat=1.0, seed=11)
+    prompts = {0: target.tokenizer.encode("hello world"),
+               1: target.tokenizer.encode("the")}
+    _, sb = _spec_generate(target, draft, prompts, k=4, n_rounds=8,
+                           sampling=sp)
+    assert sb.acceptance_rate > 0.8
+
+
+def test_scheduler_concurrent_spec_jobs(models):
+    """4 concurrent jobs through the scheduler with a draft engine: all
+    finish, outputs equal the no-draft scheduler's greedy outputs, and the
+    batched spec path (not the serialized dedicated path) served them."""
+    import asyncio
+
+    from booster_tpu.serving.config import PromptSpec
+    from booster_tpu.serving.scheduler import Scheduler
+
+    tpath, dpath = models
+    prompts = ["hello world", "the", "one two", "alpha beta"]
+
+    def run_sched(with_draft: bool):
+        target = Engine(load_model(tpath), max_batch=4, max_seq=256)
+        draft = (Engine(load_model(dpath), max_batch=4, max_seq=256)
+                 if with_draft else None)
+
+        async def run():
+            sched = Scheduler(
+                target, prompt_spec=PromptSpec(id="default"),
+                default_sampling=GREEDY, default_max_tokens=12,
+                draft_engine=draft, prefix_cache_bytes=0,
+            )
+            sched.start()
+            jobs = [sched.place_job(prompt=p, full_prompt=p) for p in prompts]
+            for j in jobs:
+                await sched.wait_job(j.id, timeout=300)
+            await sched.shutdown(drain=False)
+            return jobs, sched
+
+        return asyncio.run(run())
+
+    spec_jobs, spec_sched = run_sched(True)
+    plain_jobs, _ = run_sched(False)
+    assert spec_sched.spec is not None and spec_sched.spec.n_rounds > 0
+    for js, jp in zip(spec_jobs, plain_jobs):
+        assert js.status == "finished"
+        assert js.token_ids == jp.token_ids, (
+            f"spec output diverged for prompt {js.prompt!r}"
+        )
