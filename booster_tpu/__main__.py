@@ -103,6 +103,8 @@ def main(argv=None) -> int:
         max_seq=model_spec.context,
         kv_quantized=args.kv_quant,
         decode_chunk=args.decode_chunk,
+        paged=args.paged_kv,
+        page_size=args.page_size,
     )
 
     profiling = bool(getattr(args, "profile", ""))

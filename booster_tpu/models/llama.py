@@ -27,9 +27,11 @@ from booster_tpu.ops.rope import apply_rope_tables, rope_tables
 from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor
 
 
-def _use_fused_decode(cfg: ModelConfig, T: int, S: int) -> bool:
+def _use_fused_decode(cfg: ModelConfig, T: int, S: int,
+                      page_size: int = 0) -> bool:
     """Fused decode attention applies to single-token steps on the Pallas
-    path with lane-friendly head dims and a tileable cache length."""
+    path with lane-friendly head dims and a tileable cache length.  For a
+    paged cache (`page_size` > 0) the tiling unit is the page."""
     import os
 
     from booster_tpu.ops.linear import use_pallas
@@ -45,6 +47,8 @@ def _use_fused_decode(cfg: ModelConfig, T: int, S: int) -> bool:
         return False
     if cfg.head_dim_v and cfg.head_dim_v != cfg.head_dim:  # MLA
         return False
+    if page_size:
+        return page_size % 128 == 0
     return S % 128 == 0
 
 
@@ -185,6 +189,7 @@ def _layer(
     offsets: jnp.ndarray,  # [B]
     kv_valid: jnp.ndarray,  # [B]
     cfg: ModelConfig,
+    table: Optional[jnp.ndarray] = None,  # [B, MAXP]: paged-cache page table
 ):
     B, T, C = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -238,17 +243,24 @@ def _layer(
         q = apply_rope_tables(q, rope_cos, rope_sin, cfg.rope_style)
         k = apply_rope_tables(k, rope_cos, rope_sin, cfg.rope_style)
 
-    k_slice, v_slice, ks_slice, vs_slice = update_layer(
-        k_slice, v_slice, k, v, offsets, ks_slice, vs_slice
-    )
+    if table is None:
+        k_slice, v_slice, ks_slice, vs_slice = update_layer(
+            k_slice, v_slice, k, v, offsets, ks_slice, vs_slice
+        )
+    else:
+        from booster_tpu.ops.paged_kv import append_paged_layer
+
+        k_slice, v_slice, ks_slice, vs_slice = append_paged_layer(
+            k_slice, v_slice, k, v, offsets, table, ks_slice, vs_slice
+        )
 
     scale = cfg.attn_scale if cfg.attn_scale > 0 else 1.0 / (D**0.5)
     if mask_base is None:
         # fused decode attention (T=1): one Pallas kernel does cast-only
-        # dequant + QK^T + mask + online softmax + PV (ops/pallas_attention)
-        from booster_tpu.ops.pallas_attention import decode_attention
-
-        S = k_slice.shape[2]
+        # dequant + QK^T + mask + online softmax + PV (ops/pallas_attention,
+        # table-steered pool DMA in the paged variant)
+        S = (k_slice.shape[2] if table is None
+             else table.shape[1] * k_slice.shape[2])
         if cfg.sliding_window > 0 and cfg.sliding_window_pattern > 1:
             use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
             window = jnp.where(use_swa, jnp.int32(cfg.sliding_window),
@@ -257,11 +269,41 @@ def _layer(
             window = jnp.int32(cfg.sliding_window)
         else:
             window = None
-        attn_out = decode_attention(
-            q, k_slice, v_slice, ks_slice, vs_slice, kv_valid,
-            scale=scale, logit_softcap=cfg.attn_logit_softcap, window=window,
-        )
+        if table is None:
+            from booster_tpu.ops.pallas_attention import decode_attention
+
+            attn_out = decode_attention(
+                q, k_slice, v_slice, ks_slice, vs_slice, kv_valid,
+                scale=scale, logit_softcap=cfg.attn_logit_softcap,
+                window=window,
+            )
+        else:
+            from booster_tpu.ops.pallas_paged_attention import (
+                paged_decode_attention,
+            )
+
+            attn_out = paged_decode_attention(
+                q, k_slice, v_slice, ks_slice, vs_slice, table, kv_valid,
+                scale=scale, logit_softcap=cfg.attn_logit_softcap,
+                window=window,
+            )
     else:
+        if table is not None:
+            # paged prefill / fallback: materialize slot-dense views through
+            # the page table (ops/paged_kv.gather_layer), then the standard
+            # masked-attention path below reads them like a dense cache
+            from booster_tpu.ops.paged_kv import gather_layer
+
+            k_view = gather_layer(k_slice, table)
+            v_view = gather_layer(v_slice, table)
+            ks_view = (None if ks_slice is None
+                       else gather_layer(ks_slice, table))
+            vs_view = (None if vs_slice is None
+                       else gather_layer(vs_slice, table))
+        else:
+            k_view, v_view, ks_view, vs_view = (
+                k_slice, v_slice, ks_slice, vs_slice
+            )
         # sliding window: gemma2 applies SWA on even layers only
         if mask_swa is not None and cfg.sliding_window_pattern > 1:
             use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
@@ -273,8 +315,8 @@ def _layer(
 
         attn_out = attention(
             q,
-            dequant_kv(k_slice, ks_slice, x.dtype),
-            dequant_kv(v_slice, vs_slice, x.dtype),
+            dequant_kv(k_view, ks_view, x.dtype),
+            dequant_kv(v_view, vs_view, x.dtype),
             positions,
             kv_valid,
             scale=scale,
@@ -374,8 +416,13 @@ def forward(
     rope_cos, rope_sin = rope_tables(
         rope_pos, params["rope"]["inv_freq"], params["rope"]["mscale"]
     )
+    from booster_tpu.ops.paged_kv import PagedKVCache
+
+    paged = isinstance(cache, PagedKVCache)
+    table = cache.table if paged else None
     S = cache.max_len
-    if _use_fused_decode(cfg, T, S):
+    if _use_fused_decode(cfg, T, S,
+                         page_size=cache.page_size if paged else 0):
         mask_base = mask_swa = None  # fused kernel masks internally
     else:
         mask_base = build_mask(positions, kv_valid, S)
@@ -389,7 +436,7 @@ def forward(
         x, updated = _layer(
             x, lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice,
             positions, rope_cos, rope_sin, mask_base, mask_swa,
-            offsets, kv_valid, cfg,
+            offsets, kv_valid, cfg, table=table,
         )
         return x, updated
 
@@ -452,9 +499,16 @@ def forward(
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
 
     adv = jnp.minimum(n_valid, T) if n_valid is not None else T
-    new_cache = KVCache(
-        k=new_k, v=new_v, lengths=cache.lengths + adv, k_scale=new_ks, v_scale=new_vs
-    )
+    if paged:
+        new_cache = PagedKVCache(
+            k=new_k, v=new_v, table=cache.table,
+            lengths=cache.lengths + adv, k_scale=new_ks, v_scale=new_vs,
+        )
+    else:
+        new_cache = KVCache(
+            k=new_k, v=new_v, lengths=cache.lengths + adv,
+            k_scale=new_ks, v_scale=new_vs,
+        )
     return logits, new_cache
 
 

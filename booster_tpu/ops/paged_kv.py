@@ -125,8 +125,13 @@ def append_paged_layer(
     B, T, Hkv, D = new_k.shape
     P = pool_k.shape[2]
     pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B,T]
-    logical = jnp.minimum(pos // P, table.shape[1] - 1)
+    logical_raw = pos // P
+    logical = jnp.minimum(logical_raw, table.shape[1] - 1)
     phys = jnp.take_along_axis(table, logical, axis=1)  # [B, T]
+    # positions past the table range (padding at the very end of a full
+    # cache) divert to physical page 0 — the reserved scratch page — so they
+    # can never overwrite the last real page (engine.py reserves page 0)
+    phys = jnp.where(logical_raw < table.shape[1], phys, 0)
     o = pos % P
     b_idx = phys[:, :, None]  # [B, T, 1] broadcast over heads
     h_idx = jnp.arange(Hkv, dtype=jnp.int32)[None, None, :]
@@ -187,32 +192,52 @@ class PageAllocator:
         # prefix dedup: hash(token chain through page end) → physical page
         self._by_hash: dict[int, int] = {}
         self._hash_of: dict[int, int] = {}
+        # released-but-hashed pages stay resident for future prefix hits and
+        # are only evicted (LRU) when the free list runs dry — the paged
+        # analog of the reference keeping a session's cells warm
+        self._cached: dict[int, None] = {}  # insertion-ordered set
 
     @property
     def n_free(self) -> int:
-        return len(self.free_list)
+        return len(self.free_list) + len(self._cached)
+
+    def _evict_one(self) -> Optional[int]:
+        if not self._cached:
+            return None
+        p = next(iter(self._cached))
+        del self._cached[p]
+        h = self._hash_of.pop(p, None)
+        if h is not None and self._by_hash.get(h) == p:
+            del self._by_hash[h]
+        return p
 
     def alloc(self, n: int) -> Optional[list[int]]:
-        if n > len(self.free_list):
+        if n > self.n_free:
             return None
-        pages = [self.free_list.pop() for _ in range(n)]
+        pages = []
+        for _ in range(n):
+            if self.free_list:
+                pages.append(self.free_list.pop())
+            else:
+                pages.append(self._evict_one())
         for p in pages:
             self.refcount[p] = 1
         return pages
 
     def retain(self, pages: list[int]) -> None:
         for p in pages:
-            assert self.refcount[p] > 0
+            if self.refcount[p] == 0:  # revive a cached (hashed) page
+                self._cached.pop(p, None)
             self.refcount[p] += 1
 
     def release(self, pages: list[int]) -> None:
         for p in pages:
             self.refcount[p] -= 1
             if self.refcount[p] == 0:
-                h = self._hash_of.pop(p, None)
-                if h is not None and self._by_hash.get(h) == p:
-                    del self._by_hash[h]
-                self.free_list.append(p)
+                if p in self._hash_of:
+                    self._cached[p] = None  # keep resident for prefix hits
+                else:
+                    self.free_list.append(p)
 
     # ---- prefix dedup -------------------------------------------------
     @staticmethod
@@ -234,7 +259,7 @@ class PageAllocator:
         pages = []
         for h in self.chain_hashes(ids, self.page_size):
             p = self._by_hash.get(h)
-            if p is None or self.refcount[p] <= 0:
+            if p is None or (self.refcount[p] <= 0 and p not in self._cached):
                 break
             pages.append(p)
         return pages, len(pages) * self.page_size

@@ -219,6 +219,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--mirostat-ent", type=float, default=5.0, dest="mirostat_tau")
     ap.add_argument("--mirostat-lr", type=float, default=0.1, dest="mirostat_eta")
     ap.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
+    ap.add_argument("--paged-kv", action="store_true",
+                    help="paged KV cache (page pool + per-slot tables, "
+                         "cross-slot shared-prefix page dedup)")
+    ap.add_argument("--page-size", type=int, default=256,
+                    help="paged KV page size in tokens (default 256)")
     ap.add_argument("--model-draft", default="", dest="model_draft",
                     help="draft model GGUF for speculative decoding")
     ap.add_argument("--draft-k", type=int, default=8, dest="draft_k",

@@ -303,6 +303,9 @@ class Engine:
         kv_dtype=jnp.bfloat16,
         history_window: int = 256,
         decode_chunk: int = 1,
+        paged: bool = False,
+        page_size: int = 256,
+        n_pages: int = 0,  # 0 → B·ceil(max_seq/P) + one slot's worth slack
     ):
         self.model = model
         self.cfg = model.cfg
@@ -317,6 +320,29 @@ class Engine:
         # tokens per device dispatch; >1 amortizes host↔device latency
         self.decode_chunk = max(1, decode_chunk)
         self._janus_tables: Optional[JanusTables] = None
+        # paged KV serving mode (ops/paged_kv.py): physical page pool +
+        # per-slot tables; pages are allocated on demand between dispatches
+        # and shared across slots for common prompt prefixes
+        self.paged = paged
+        self.page_size = page_size
+        if paged:
+            from booster_tpu.ops.paged_kv import PageAllocator
+
+            if self.cfg.arch == "mamba":
+                raise ValueError("paged KV is for attention caches; "
+                                 "recurrent state is O(1) already")
+            maxp = -(-max_seq // page_size)
+            total = n_pages or (max_batch * maxp + maxp + 1)
+            self.n_pages = total
+            self.page_alloc = PageAllocator(total, page_size)
+            # physical page 0 is the permanent scratch page: unallocated
+            # table entries point at it, so padding/inactive-row writes and
+            # speculative DMA land harmlessly (paged_kv.py docstring)
+            scratch = self.page_alloc.alloc(1)
+            assert scratch == [0]
+            self._slot_pages: dict[int, list[int]] = {
+                s: [] for s in range(max_batch)
+            }
         self.cache = self._new_cache()
         self._eog_mask = None
         if model.tokenizer is not None:
@@ -327,11 +353,29 @@ class Engine:
                     mask[t] = True
             self._eog_mask = jnp.asarray(mask)
 
-    def _new_cache(self):
+    def _new_cache(self, dense: bool = False):
+        """Batch cache for the slot API; `dense=True` forces a plain dense
+        cache (the single-sequence paths — generate/grammar/CFG/speculative
+        — build private caches outside the page pool)."""
         if self.cfg.arch == "mamba":
             from booster_tpu.models.mamba import MambaCache
 
             return MambaCache.create(self.cfg, self.max_batch)
+        if self.paged and not dense:
+            from booster_tpu.ops.paged_kv import PagedKVCache
+
+            return PagedKVCache.create(
+                self.cfg.n_layers,
+                self.max_batch,
+                self.max_seq,
+                self.cfg.n_kv_heads,
+                self.cfg.head_dim,
+                dtype=self.kv_dtype,
+                quantized=self.kv_quantized,
+                head_dim_v=self.cfg.head_dim_v,
+                page_size=self.page_size,
+                n_pages=self.n_pages,
+            )
         return KVCache.create(
             self.cfg.n_layers,
             self.max_batch,
@@ -342,6 +386,93 @@ class Engine:
             quantized=self.kv_quantized,
             head_dim_v=self.cfg.head_dim_v,  # MLA (deepseek2): v dim ≠ qk dim
         )
+
+    # -- paged-mode page bookkeeping (host side, between dispatches) ---------
+
+    def ensure_slot_pages(self, slot: int, upto: int) -> None:
+        """Grow a slot's page table so logical positions [0, upto) are backed
+        by physical pages (covers padded dispatch widths — padding rows must
+        land in owned pages, not the shared scratch page)."""
+        if not self.paged:
+            return
+        P = self.page_size
+        need = min(-(-upto // P), self.cache.table.shape[1])
+        have = len(self._slot_pages[slot])
+        if need <= have:
+            return
+        newp = self.page_alloc.alloc(need - have)
+        if newp is None:
+            raise RuntimeError(
+                f"KV page pool exhausted ({self.page_alloc.stats()})"
+            )
+        import numpy as _np
+
+        table = self.cache.table.at[slot, have:need].set(
+            jnp.asarray(_np.array(newp, _np.int32))
+        )
+        self.cache = dataclasses.replace(self.cache, table=table)
+        self._slot_pages[slot].extend(newp)
+
+    def trim_slot_pages(self, slot: int) -> None:
+        """Give back pages past the slot's actual length (prefill buckets
+        over-cover by up to the padded width; the padding is garbage)."""
+        if not self.paged:
+            return
+        need = -(-int(self.slot_lengths[slot]) // self.page_size)
+        have = len(self._slot_pages[slot])
+        if have <= need:
+            return
+        self.page_alloc.release(self._slot_pages[slot][need:])
+        self._slot_pages[slot] = self._slot_pages[slot][:need]
+        table = self.cache.table.at[slot, need:have].set(0)
+        self.cache = dataclasses.replace(self.cache, table=table)
+
+    def release_slot_pages(self, slot: int) -> None:
+        if not self.paged or not self._slot_pages[slot]:
+            return
+        self.page_alloc.release(self._slot_pages[slot])
+        n = len(self._slot_pages[slot])
+        self._slot_pages[slot] = []
+        table = self.cache.table.at[slot, :n].set(jnp.zeros(n, jnp.int32))
+        self.cache = dataclasses.replace(self.cache, table=table)
+
+    def adopt_prefix(self, slot: int, ids: list[int]) -> int:
+        """Map already-resident pages whose token chain matches the prompt's
+        leading pages into this slot (cross-slot shared-prefix dedup, zero
+        copies — the paged replacement for serving/prefix_cache.py).
+        Returns how many prompt tokens are already covered."""
+        if not self.paged:
+            return 0
+        P = self.page_size
+        pages, covered = self.page_alloc.lookup_prefix(ids)
+        # keep ≥ 1 token to prefill (fresh logits needed to sample from)
+        while pages and covered > len(ids) - 1:
+            pages.pop()
+            covered -= P
+        if not pages:
+            return 0
+        import numpy as _np
+
+        self.page_alloc.retain(pages)
+        assert not self._slot_pages[slot]  # reset_slot ran first
+        self._slot_pages[slot] = list(pages)
+        table = self.cache.table.at[slot, : len(pages)].set(
+            jnp.asarray(_np.array(pages, _np.int32))
+        )
+        self.cache = dataclasses.replace(
+            self.cache, table=table,
+            lengths=self.cache.lengths.at[slot].set(covered),
+        )
+        self.slot_lengths[slot] = covered
+        return covered
+
+    def publish_slot_prefix(self, slot: int, ids: list[int]) -> None:
+        """Register the slot's full, final pages as dedup candidates."""
+        if not self.paged:
+            return
+        full = min(len(ids) // self.page_size, len(self._slot_pages[slot]))
+        if full > 0:
+            self.page_alloc.publish_prefix(ids, self._slot_pages[slot][:full])
 
     def janus_tables(self) -> JanusTables:
         if self._janus_tables is None:
@@ -424,6 +555,8 @@ class Engine:
                 lengths=self.cache.lengths.at[slot].set(0),
             )
         else:
+            if self.paged:
+                self.release_slot_pages(slot)
             self.cache = dataclasses.replace(
                 self.cache, lengths=self.cache.lengths.at[slot].set(0)
             )
@@ -477,6 +610,8 @@ class Engine:
                 take = min(len(ids), T)
                 tokens[s, :take] = ids[:take]
                 n_valid[s] = take
+                # padded width T, not take: padding rows also write KV
+                self.ensure_slot_pages(s, int(self.slot_lengths[s]) + T)
                 self.slot_lengths[s] += take
                 remaining[s] = ids[take:]
                 if not remaining[s]:
@@ -495,6 +630,7 @@ class Engine:
             tok_np = np.asarray(tok)
             for s in done_slots:
                 first[s] = int(tok_np[s])
+                self.trim_slot_pages(s)
                 del remaining[s]
         return first
 
@@ -518,6 +654,7 @@ class Engine:
                 mask[s] = True
             last = jnp.where(jnp.asarray(mask)[:, None], jnp.asarray(host), last)
         for s in active_slots:
+            self.ensure_slot_pages(s, int(self.slot_lengths[s]) + n)
             self.slot_lengths[s] += n
         active_dev = jnp.asarray(active)
         feats = self._vector_features()
@@ -577,6 +714,10 @@ class Engine:
             # bookkeeping moves (infinite generation is native)
             self.slot_lengths[slot] = length - n_discard
             return n_discard
+        if self.paged:
+            self._shift_slot_paged(slot, n_keep, n_discard, length)
+            self.slot_lengths[slot] = length - n_discard
+            return n_discard
         self.cache = shift_slot_cache(
             self.cache, jnp.int32(slot), jnp.int32(n_keep),
             jnp.int32(n_discard), self.params["rope"]["inv_freq"],
@@ -584,6 +725,63 @@ class Engine:
         )
         self.slot_lengths[slot] = length - n_discard
         return n_discard
+
+    def _shift_slot_paged(self, slot: int, n_keep: int, n_discard: int,
+                          length: int) -> None:
+        """Context shift for a paged slot: gather the slot's pages to a
+        dense single-slot view, run the exact dense shift (rope-delta
+        rotation, ops/kv_cache.shift_slot_cache), then scatter into FRESH
+        private pages (shared prefix pages must not be rewritten — the
+        shift invalidates their published token chains for this slot)."""
+        from booster_tpu.ops.kv_cache import shift_slot_cache as _shift
+        from booster_tpu.ops.paged_kv import gather_layer, scatter_layer
+
+        cache = self.cache
+        row = cache.table[slot : slot + 1]  # [1, MAXP]
+        gk = jax.vmap(gather_layer, in_axes=(0, None))(cache.k, row)
+        gv = jax.vmap(gather_layer, in_axes=(0, None))(cache.v, row)
+        gks = gvs = None
+        if cache.k_scale is not None:
+            gks = jax.vmap(gather_layer, in_axes=(0, None))(cache.k_scale, row)
+            gvs = jax.vmap(gather_layer, in_axes=(0, None))(cache.v_scale, row)
+        temp = KVCache(
+            k=gk, v=gv, lengths=jnp.asarray([length], jnp.int32),
+            k_scale=gks, v_scale=gvs,
+        )
+        temp = _shift(
+            temp, jnp.int32(0), jnp.int32(n_keep), jnp.int32(n_discard),
+            self.params["rope"]["inv_freq"], self.cfg.rope_style,
+        )
+        # swap to a fresh private page set (old pages were already copied
+        # out by the gather; releasing first lets the allocator reuse them)
+        import numpy as _np
+
+        new_len = length - n_discard
+        old_n = len(self._slot_pages[slot])
+        self.page_alloc.release(self._slot_pages[slot])
+        self._slot_pages[slot] = []
+        need = -(-new_len // self.page_size)
+        newp = self.page_alloc.alloc(need)
+        if newp is None:
+            raise RuntimeError("KV page pool exhausted during context shift")
+        self._slot_pages[slot] = list(newp)
+        new_row = _np.zeros(cache.table.shape[1], _np.int32)
+        new_row[:need] = newp
+        table = cache.table.at[slot].set(jnp.asarray(new_row))
+        row_new = table[slot : slot + 1]
+        k = jax.vmap(scatter_layer, in_axes=(0, None, 0))(cache.k, row_new, temp.k)
+        v = jax.vmap(scatter_layer, in_axes=(0, None, 0))(cache.v, row_new, temp.v)
+        ks = vs = None
+        if cache.k_scale is not None:
+            ks = jax.vmap(scatter_layer, in_axes=(0, None, 0))(
+                cache.k_scale, row_new, temp.k_scale)
+            vs = jax.vmap(scatter_layer, in_axes=(0, None, 0))(
+                cache.v_scale, row_new, temp.v_scale)
+        self.cache = dataclasses.replace(
+            cache, k=k, v=v, table=table,
+            lengths=cache.lengths.at[slot].set(new_len),
+            k_scale=ks, v_scale=vs,
+        )
 
     def _prefill_aux(self, cache: KVCache, ids: list[int]):
         """Prefill an auxiliary cache (e.g. the CFG guidance context) on slot
@@ -654,7 +852,7 @@ class Engine:
             )
 
         generated: list[int] = []
-        cache = self._new_cache()
+        cache = self._new_cache(dense=True)
         state = fresh_state(0)
         T = min(max(16, 1 << (n_prompt - 1).bit_length()), self.max_seq)
         ids = np.zeros((self.max_batch, T), np.int32)
@@ -789,7 +987,7 @@ class Engine:
                 f"prompt too long: {len(prompt_ids)} > {self.max_seq - 4}"
             )
 
-        cache = self._new_cache()
+        cache = self._new_cache(dense=True)
         state = make_sampler_state(
             self.max_batch,
             max(self.history_window, sampling.penalty_last_n, sampling.janus_depth),
@@ -805,7 +1003,7 @@ class Engine:
                 self.tokenizer.encode(sampling.cfg_negative_prompt)
                 if sampling.cfg_negative_prompt else list(prompt_ids)
             )
-            gcache = self._new_cache()
+            gcache = self._new_cache(dense=True)
         jt = self.janus_tables() if sampling.janus else None
         janus_args = dict(
             janus_scales=jnp.asarray(jt.scales) if jt else None,
@@ -918,7 +1116,7 @@ class Engine:
                 kept = list(prompt_ids[:n_keep]) if n_keep else []
                 tail = (list(prompt_ids[n_keep:]) + generated)
                 tail = tail[len(tail) // 2 :]
-                cache = self._new_cache()
+                cache = self._new_cache(dense=True)
                 keep_ids = (kept + tail)[:-1]
                 Ts = min(max(16, 1 << (max(len(keep_ids), 1) - 1).bit_length()),
                          self.max_seq)
@@ -930,7 +1128,7 @@ class Engine:
                                    last_only=True, n_valid=jnp.asarray(nv))
                 host_len = len(keep_ids)
                 if use_cfg:
-                    gcache = self._new_cache()
+                    gcache = self._new_cache(dense=True)
                     gcache, _ = self._prefill_aux(gcache, neg_ids + tail[:-1])
                 cur = np.zeros((self.max_batch, 1), np.int32)
                 cur[0, 0] = generated[-1]

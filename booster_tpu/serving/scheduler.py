@@ -99,10 +99,12 @@ class Scheduler:
         # shared-prefix KV reuse across jobs (system prompts etc.)
         from booster_tpu.serving.prefix_cache import PrefixCache
 
-        # recurrent caches (mamba) have no per-position KV to snapshot/restore
+        # recurrent caches (mamba) have no per-position KV to snapshot/restore;
+        # paged engines dedup at page granularity instead (engine.adopt_prefix)
         self.prefix_cache = (
             PrefixCache(max_bytes=prefix_cache_bytes)
-            if prefix_cache_bytes > 0 and engine.cfg.arch != "mamba" else None
+            if prefix_cache_bytes > 0 and engine.cfg.arch != "mamba"
+            and not engine.paged else None
         )
         # session swap: per-session KV save/restore (the fixed version of the
         # reference's commented-out swap files, bridge.cpp:224-263)
@@ -257,8 +259,9 @@ class Scheduler:
 
         if not (self.swap_dir and job.session_id):
             return 0
-        if hasattr(self.engine.cache, "conv"):
-            # recurrent state can't be truncated to a shorter matching prefix
+        if hasattr(self.engine.cache, "conv") or self.engine.paged:
+            # recurrent state can't be truncated to a shorter matching
+            # prefix; paged slots reuse resident pages instead (adopt_prefix)
             return 0
         path = self._swap_path(job.session_id)
         if not os.path.exists(path):
@@ -285,7 +288,7 @@ class Scheduler:
     def _save_session_state(self, slot: int, job: Job) -> None:
         if not (self.swap_dir and job.session_id) or job._shifted:
             return
-        if hasattr(self.engine.cache, "conv"):
+        if hasattr(self.engine.cache, "conv") or self.engine.paged:
             return
         try:
             from booster_tpu.serving.state import save_slot_state
@@ -405,6 +408,10 @@ class Scheduler:
                         self.spec.reset_slot(slot, seed)
                     job._prompt_ids = ids
                     restored = self._try_restore_session(slot, job, ids)
+                    if not restored and self.engine.paged:
+                        # page-table prefix dedup: shared pages are mapped,
+                        # not copied (cross-slot, copy-free)
+                        restored = self.engine.adopt_prefix(slot, ids)
                     if not restored and self.prefix_cache is not None:
                         from booster_tpu.serving.prefix_cache import restore_slot_prefix
 
@@ -627,6 +634,9 @@ class Scheduler:
         job.finished_at = time.time()
         self._save_session(job)
         self._save_session_state(slot, job)  # KV swap (while slot still valid)
+        if self.engine.paged and not job._shifted:
+            # make the prompt's full pages discoverable for future admits
+            self.engine.publish_slot_prefix(slot, job._prompt_ids)
         if (self.prefix_cache is not None and not job._shifted
                 and job.n_prompt_tokens >= self.prefix_cache.min_prefix):
             from booster_tpu.serving.prefix_cache import snapshot_slot_prefix

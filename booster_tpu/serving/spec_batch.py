@@ -200,7 +200,7 @@ class SpecBatch:
         self.draft = draft
         self.k = k
         B = target.max_batch
-        self.d_cache = draft._new_cache()
+        self.d_cache = draft._new_cache(dense=True)
         self._pending = jnp.zeros((B, k + 1), jnp.int32)
         self._pend_n = jnp.zeros(B, jnp.int32)
         self._keys = jax.vmap(jax.random.PRNGKey)(jnp.zeros(B, jnp.uint32))
@@ -272,6 +272,7 @@ class SpecBatch:
         active = np.zeros(B, bool)
         for s in active_slots:
             active[s] = True
+            eng.ensure_slot_pages(s, int(eng.slot_lengths[s]) + self.k + 1)
             eng.slot_lengths[s] += self.k + 1
         out, n_new, eng.cache, self.d_cache, self._keys = _spec_round(
             eng.params, self.draft.params, eng.cfg, self.draft.cfg,

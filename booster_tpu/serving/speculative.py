@@ -128,8 +128,8 @@ def generate_speculative(
     tcfg, dcfg = target.cfg, draft.cfg
     vocab = target.tokenizer.vocab
 
-    t_cache = target._new_cache()
-    d_cache = draft._new_cache()
+    t_cache = target._new_cache(dense=True)
+    d_cache = draft._new_cache(dense=True)
     tb, db = target.max_batch, draft.max_batch
 
     t_ids = np.zeros((tb, len(prompt_ids)), np.int32)
@@ -244,8 +244,8 @@ def _generate_speculative_sampled(
     rng = np.random.default_rng(seed)
     d_key = jax.random.PRNGKey(seed + 1)
 
-    t_cache = target._new_cache()
-    d_cache = draft._new_cache()
+    t_cache = target._new_cache(dense=True)
+    d_cache = draft._new_cache(dense=True)
     tb, db = target.max_batch, draft.max_batch
     t_ids = np.zeros((tb, len(prompt_ids)), np.int32)
     t_ids[0] = prompt_ids

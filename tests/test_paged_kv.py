@@ -116,14 +116,23 @@ def test_allocator_refcounts_and_dedup():
     assert al.lookup_prefix([7] + ids)[1] == 0
 
     # release the original owner: pages stay resident (refcount 1) and
-    # still hashed; release the sharer too → pages return to the free list
+    # still hashed; release the sharer too → hashed pages become CACHED
+    # (still discoverable, evicted lazily under allocation pressure)
     al.release(a)
     assert al.n_free == 6  # a[2] freed; a[0], a[1] still shared
     pages2, n2 = al.lookup_prefix(ids)
     assert pages2 == a[:2] and n2 == 8
     al.release(a[:2])
-    assert al.n_free == 8
-    assert al.lookup_prefix(ids)[1] == 0  # hashes dropped with the pages
+    assert al.n_free == 8  # 6 free + 2 cached
+    pages3, n3 = al.lookup_prefix(ids)
+    assert pages3 == a[:2] and n3 == 8  # cached pages still hit
+    al.retain(pages3)  # revive
+    assert al.refcount[a[0]] == 1 and al.n_free == 6
+    al.release(pages3)
+    # allocation pressure evicts the cached pages and drops their hashes
+    got = al.alloc(8)
+    assert got is not None and len(got) == 8
+    assert al.lookup_prefix(ids)[1] == 0
 
 
 def paged_case(B, Hkv, G, D, P, maxp, seed=0, share=False, quantized=False):
