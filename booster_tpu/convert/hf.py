@@ -61,7 +61,9 @@ def convert_state_dict(
     """HF state dict → {gguf_name: float32 array} with rope permutation."""
     n_heads = int(config["num_attention_heads"])
     n_kv = int(config.get("num_key_value_heads", n_heads))
-    permute = arch in ("llama", "mistral", "mixtral")  # "norm"-rope archs
+    # "norm"-rope archs whose HF checkpoints use half-split rope layout
+    # (chatglm is also "norm" rope but HF GLM is already interleaved)
+    permute = arch in ("llama", "mistral", "mixtral", "xverse")
 
     def to_np(t):
         if hasattr(t, "detach"):
@@ -686,6 +688,9 @@ _HF_CLASS_ARCH = {
     "T5EncoderModel": "t5encoder",
     "T5ForConditionalGeneration": "t5",
     "DeepseekV2ForCausalLM": "deepseek2",
+    # GLM-4 family → GGUF "chatglm" (interleaved partial rope, fused
+    # gate_up; HF stores rope-interleaved weights, so no permutation)
+    "GlmForCausalLM": "chatglm",
 }
 
 

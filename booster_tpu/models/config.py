@@ -42,14 +42,22 @@ _ARCH_ROPE = {
     "jais": ROPE_NONE,
     "mamba": ROPE_NONE,
     "t5": ROPE_NONE,
+    "refact": ROPE_NONE,
     # NORM-rope families (:17043)
     "starcoder": ROPE_NORM,
     "orion": ROPE_NORM,
     "deepseek2": ROPE_NORM,
+    "xverse": ROPE_NORM,
+    "plamo": ROPE_NORM,
+    "arctic": ROPE_NORM,
+    "chatglm": ROPE_NORM,
     # NEOX additions (:17059)
     "falcon": ROPE_NEOX,
     "dbrx": ROPE_NEOX,
     "bert": ROPE_NEOX,
+    "codeshell": ROPE_NEOX,
+    "grok": ROPE_NEOX,
+    "bitnet": ROPE_NEOX,
 }
 
 
@@ -221,6 +229,23 @@ class ModelConfig:
                 md.get(f"{arch}.use_parallel_residual", True)))
         if arch == "command-r":
             quirks.update(norm_type="layer", parallel_residual=True)
+        if arch == "plamo":
+            # build_plamo (llama.cpp:10950): rms norm, attention and FFN both
+            # read the attn_norm output, one residual add (falcon pattern)
+            quirks.update(parallel_residual=True)
+        if arch == "codeshell":
+            # build_codeshell (:11159): gpt2 graph (LayerNorm, fused qkv
+            # with bias, gelu FFN) + neox rope, no learned positions
+            quirks.update(norm_type="layer", act="gelu")
+        if arch == "grok":
+            # build_grok (:9265): rms, gelu MoE, post attn/ffn norms, fixed
+            # embedding (78.38…) and output (1/sqrt(3)) multipliers
+            quirks.update(
+                act="gelu",
+                post_norms=True,
+                embedding_scale=78.38367176906169,
+                tie_embeddings=True,
+            )
         if arch == "mpt":
             quirks.update(
                 alibi_max_bias=float(g("attention.max_alibi_bias", 0.0) or 0.0),
@@ -252,7 +277,10 @@ class ModelConfig:
             yarn_attn_factor=float(g("rope.scaling.attn_factor", 1.0)),
             yarn_log_mul=float(g("rope.scaling.yarn_log_multiplier", 0.0)),
             sliding_window=int(g("attention.sliding_window", 0) or 0),
-            logit_scale=float(g("logit_scale", 1.0) or 1.0),
+            logit_scale=float(
+                g("logit_scale", 0.0)
+                or (0.5773502691896257 if arch == "grok" else 1.0)
+            ),
             n_experts=int(g("expert_count", 0) or 0),
             n_experts_used=int(g("expert_used_count", 0) or 0),
             moe_ff=int(g("expert_feed_forward_length", 0) or 0),

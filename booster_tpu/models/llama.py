@@ -156,8 +156,17 @@ def _moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
 
 def _lin(h: jnp.ndarray, lp: dict, key: str, bias=None) -> jnp.ndarray:
     """qlinear + optional LoRA low-rank delta (llm_build_lora_mm parity:
-    y = W·x + scale·B·(A·x); scale folded into the stored B)."""
-    y = qlinear(h, lp[key], bias)
+    y = W·x + scale·B·(A·x); scale folded into the stored B).  A sibling
+    `{key}_scale` tensor applies bitnet's explicit per-tensor weight scale
+    before the bias: y = (W·x)·s + b (build_bitnet, llama.cpp:13070)."""
+    s = lp.get(f"{key}_scale")
+    if s is None:
+        y = qlinear(h, lp[key], bias)
+    else:
+        y = qlinear(h, lp[key])
+        y = (y.astype(jnp.float32) * s.astype(jnp.float32)).astype(y.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
     a = lp.get(f"lora_a_{key}")
     if a is not None:
         b = lp[f"lora_b_{key}"]
@@ -325,8 +334,11 @@ def _layer(
             alibi_slopes=(alibi_slopes(H, cfg.alibi_max_bias)
                           if cfg.alibi_max_bias > 0 else None),
         )
-    attn_out = _lin(attn_out.reshape(B, T, -1), lp, "wo", lp.get("bo"))
-    if cfg.post_norms:
+    ao = attn_out.reshape(B, T, -1)
+    if "attn_sub_norm" in lp:  # bitnet: rms between attention and wo
+        ao = rms_norm(ao, lp["attn_sub_norm"], cfg.rms_eps)
+    attn_out = _lin(ao, lp, "wo", lp.get("bo"))
+    if cfg.post_norms and "post_attn_norm" in lp:  # gemma2/grok
         attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
 
     if cfg.parallel_residual:
@@ -340,7 +352,11 @@ def _layer(
         residual = x
 
     h = ffn_h
-    if cfg.n_experts > 0 and "gate_exps" in lp:
+    # arctic (build_arctic, llama.cpp:12710): a dense FFN on the normal
+    # residual path PLUS a routed-MoE branch reading its own norm of the
+    # post-attention residual, both added in
+    arctic_moe = "ffn_norm_exps" in lp
+    if cfg.n_experts > 0 and "gate_exps" in lp and not arctic_moe:
         ffn_out = _moe_ffn(h, lp, cfg)
         if "gate_shexp" in lp:  # deepseek2/qwen2moe shared expert in parallel
             sh = _act(_lin(h, lp, "gate_shexp"), cfg.act) * _lin(h, lp, "up_shexp")
@@ -358,12 +374,18 @@ def _layer(
     elif "w_gate" in lp:
         gate = _lin(h, lp, "w_gate")
         up = _lin(h, lp, "w_up", lp.get("b_up"))
-        ffn_out = _lin(_act(gate, cfg.act) * up, lp, "w_down", lp.get("b_down"))
+        mid = _act(gate, cfg.act) * up
+        if "ffn_sub_norm" in lp:  # bitnet: rms before the down projection
+            mid = rms_norm(mid, lp["ffn_sub_norm"], cfg.rms_eps)
+        ffn_out = _lin(mid, lp, "w_down", lp.get("b_down"))
     else:  # no-gate FFN (gpt2/falcon/phi2/mpt: up → act → down)
         up = _lin(h, lp, "w_up", lp.get("b_up"))
         ffn_out = _lin(_act(up, cfg.act), lp, "w_down", lp.get("b_down"))
-    if cfg.post_norms:
+    if cfg.post_norms and "post_ffn_norm" in lp:
         ffn_out = rms_norm(ffn_out, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    if arctic_moe:
+        moe_in = rms_norm(residual, lp["ffn_norm_exps"], cfg.rms_eps)
+        ffn_out = ffn_out + _moe_ffn(moe_in, lp, cfg)
 
     if cfg.parallel_residual:
         x = residual + attn_out + ffn_out

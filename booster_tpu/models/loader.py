@@ -72,6 +72,19 @@ _LAYER_MAP = {
     "ffn_gate_shexp.weight": "gate_shexp",
     "ffn_up_shexp.weight": "up_shexp",
     "ffn_down_shexp.weight": "down_shexp",
+    # bitnet (build_bitnet, llama.cpp:13070): rms sub-norms around the out
+    # projections + explicit per-tensor weight scales ({1} tensors)
+    "attn_sub_norm.weight": "attn_sub_norm",
+    "ffn_sub_norm.weight": "ffn_sub_norm",
+    "attn_q.scale": "wq_scale",
+    "attn_k.scale": "wk_scale",
+    "attn_v.scale": "wv_scale",
+    "attn_output.scale": "wo_scale",
+    "ffn_gate.scale": "w_gate_scale",
+    "ffn_up.scale": "w_up_scale",
+    "ffn_down.scale": "w_down_scale",
+    # arctic (build_arctic, llama.cpp:12710): parallel-residual MoE norm
+    "ffn_norm_exps.weight": "ffn_norm_exps",
     # mamba SSM blocks
     "ssm_in.weight": "ssm_in",
     "ssm_conv1d.weight": "conv_w",
@@ -115,6 +128,10 @@ _NORM_KEYS = {
     "attn_norm_b", "ffn_norm_b",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
     "q_a_norm", "kv_a_norm", "cross_norm",
+    # bitnet sub-norms + per-tensor weight scales; arctic parallel-MoE norm
+    "attn_sub_norm", "ffn_sub_norm", "ffn_norm_exps",
+    "wq_scale", "wk_scale", "wv_scale", "wo_scale",
+    "w_gate_scale", "w_up_scale", "w_down_scale",
 }
 _BIAS_KEYS = {"bq", "bk", "bv", "bo", "b_up", "b_down"}
 
@@ -328,12 +345,22 @@ def load_model(
         # fuse q/k/v and gate/up into single matmuls (decode launch overhead)
         if t5_enc:
             fuse = False  # t5 encode() consumes separate projections
-        if fuse and {"wq", "wk", "wv"} <= set(lp) and "bq" not in lp and not cfg.q_norm:
+        if cfg.arch == "grok":
+            # grok reuses bert's GGUF tensor names for its post norms
+            # (attn_output_norm/layer_output_norm) but applies them
+            # pre-residual like gemma2's post norms (build_grok :9330)
+            if "attn_out_norm" in lp:
+                lp["post_attn_norm"] = lp.pop("attn_out_norm")
+            if "layer_out_norm" in lp:
+                lp["post_ffn_norm"] = lp.pop("layer_out_norm")
+        if (fuse and {"wq", "wk", "wv"} <= set(lp) and "bq" not in lp
+                and not cfg.q_norm and "wq_scale" not in lp):
             fused = _concat_rows([lp["wq"], lp["wk"], lp["wv"]])
             if fused is not None:
                 lp["wqkv"] = fused
                 del lp["wq"], lp["wk"], lp["wv"]
-        if fuse and {"w_gate", "w_up"} <= set(lp):
+        if (fuse and {"w_gate", "w_up"} <= set(lp)
+                and "w_gate_scale" not in lp and "ffn_sub_norm" not in lp):
             fused = _concat_rows([lp["w_gate"], lp["w_up"]])
             if fused is not None:
                 lp["w_gateup"] = fused
