@@ -93,6 +93,7 @@ class ModelConfig:
     post_norms: bool = False  # gemma2 post-attention/post-ffn norms
     embedding_scale: float = 1.0  # gemma: sqrt(n_embd)
     logit_scale: float = 1.0
+    residual_scale: float = 1.0  # minicpm: 1.4/sqrt(n_layer) on both adds
     attn_scale: float = 0.0  # 0 → 1/sqrt(head_dim)
     norm_eps_add_one: bool = False  # gemma rmsnorm uses (1 + w)
     act: str = "silu"  # "silu" | "gelu"
@@ -229,6 +230,32 @@ class ModelConfig:
                 md.get(f"{arch}.use_parallel_residual", True)))
         if arch == "command-r":
             quirks.update(norm_type="layer", parallel_residual=True)
+        if arch == "minicpm":
+            # build_minicpm (llama.cpp:11514): fixed embedding (12.0),
+            # residual (1.4/sqrt(L)) and lm-head (256/n_embd) multipliers
+            quirks.update(
+                embedding_scale=12.0,
+                residual_scale=1.4 / float(int(g("block_count"))) ** 0.5,
+            )
+        if arch == "orion":
+            # build_orion (:11277): mean-centered LayerNorm, silu gate FFN
+            quirks.update(norm_type="layer")
+        if arch == "dbrx":
+            # build_dbrx (:9450): biasless LayerNorm, fused clamped qkv,
+            # all-MoE FFN (attn_out_norm serves as the ffn norm — loader
+            # renames it)
+            quirks.update(
+                norm_type="layer",
+                clamp_kqv=float(g("attention.clamp_kqv", 0.0) or 0.0),
+            )
+        if arch == "jais":
+            # build_jais (:13560): gpt2-style LayerNorm + fused qkv, but a
+            # SwiGLU gate FFN, ALiBi positions, and 1/head_dim attn scale
+            quirks.update(
+                act="silu",
+                attn_scale=1.0 / float(head_dim),
+                alibi_max_bias=float(g("attention.max_alibi_bias", 8.0) or 8.0),
+            )
         if arch == "plamo":
             # build_plamo (llama.cpp:10950): rms norm, attention and FFN both
             # read the attn_norm output, one residual add (falcon pattern)
@@ -279,7 +306,8 @@ class ModelConfig:
             sliding_window=int(g("attention.sliding_window", 0) or 0),
             logit_scale=float(
                 g("logit_scale", 0.0)
-                or (0.5773502691896257 if arch == "grok" else 1.0)
+                or (0.5773502691896257 if arch == "grok"
+                    else 256.0 / n_embd if arch == "minicpm" else 1.0)
             ),
             n_experts=int(g("expert_count", 0) or 0),
             n_experts_used=int(g("expert_used_count", 0) or 0),

@@ -340,6 +340,8 @@ def _layer(
     attn_out = _lin(ao, lp, "wo", lp.get("bo"))
     if cfg.post_norms and "post_attn_norm" in lp:  # gemma2/grok
         attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    if cfg.residual_scale != 1.0:  # minicpm scale_depth/sqrt(L)
+        attn_out = attn_out * cfg.residual_scale
 
     if cfg.parallel_residual:
         # falcon/phi2/command-r: FFN reads the attn-norm output (or its own
@@ -372,7 +374,7 @@ def _layer(
         ffn_out = _lin(_act(gu[..., :ff], cfg.act) * gu[..., ff:], lp, "w_down",
                        lp.get("b_down"))
     elif "w_gate" in lp:
-        gate = _lin(h, lp, "w_gate")
+        gate = _lin(h, lp, "w_gate", lp.get("b_gate"))
         up = _lin(h, lp, "w_up", lp.get("b_up"))
         mid = _act(gate, cfg.act) * up
         if "ffn_sub_norm" in lp:  # bitnet: rms before the down projection
@@ -383,6 +385,8 @@ def _layer(
         ffn_out = _lin(_act(up, cfg.act), lp, "w_down", lp.get("b_down"))
     if cfg.post_norms and "post_ffn_norm" in lp:
         ffn_out = rms_norm(ffn_out, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_eps_add_one)
+    if cfg.residual_scale != 1.0:  # minicpm scale_depth/sqrt(L)
+        ffn_out = ffn_out * cfg.residual_scale
     if arctic_moe:
         moe_in = rms_norm(residual, lp["ffn_norm_exps"], cfg.rms_eps)
         ffn_out = ffn_out + _moe_ffn(moe_in, lp, cfg)

@@ -55,6 +55,7 @@ _LAYER_MAP = {
     "ffn_norm.bias": "ffn_norm_b",
     "attn_output.bias": "bo",
     "ffn_up.bias": "b_up",
+    "ffn_gate.bias": "b_gate",  # jais SwiGLU biases
     "ffn_down.bias": "b_down",
     # bert encoder (post-norm residuals)
     "attn_output_norm.weight": "attn_out_norm",
@@ -133,7 +134,7 @@ _NORM_KEYS = {
     "wq_scale", "wk_scale", "wv_scale", "wo_scale",
     "w_gate_scale", "w_up_scale", "w_down_scale",
 }
-_BIAS_KEYS = {"bq", "bk", "bv", "bo", "b_up", "b_down"}
+_BIAS_KEYS = {"bq", "bk", "bv", "bo", "b_up", "b_down", "b_gate"}
 
 
 def _stack_qtensors(qts: list[QTensor]) -> QTensor:
@@ -345,6 +346,9 @@ def load_model(
         # fuse q/k/v and gate/up into single matmuls (decode launch overhead)
         if t5_enc:
             fuse = False  # t5 encode() consumes separate projections
+        if cfg.arch == "dbrx" and "attn_out_norm" in lp:
+            # dbrx's attn_out_norm is its ffn norm (build_dbrx :9500)
+            lp["ffn_norm"] = lp.pop("attn_out_norm")
         if cfg.arch == "grok":
             # grok reuses bert's GGUF tensor names for its post norms
             # (attn_output_norm/layer_output_norm) but applies them
@@ -360,7 +364,8 @@ def load_model(
                 lp["wqkv"] = fused
                 del lp["wq"], lp["wk"], lp["wv"]
         if (fuse and {"w_gate", "w_up"} <= set(lp)
-                and "w_gate_scale" not in lp and "ffn_sub_norm" not in lp):
+                and "w_gate_scale" not in lp and "ffn_sub_norm" not in lp
+                and "b_gate" not in lp and "b_up" not in lp):
             fused = _concat_rows([lp["w_gate"], lp["w_up"]])
             if fused is not None:
                 lp["w_gateup"] = fused

@@ -110,8 +110,10 @@ def np_rope(x, positions, rd, style, base=10000.0):
     return out
 
 
-def np_attention(q, k, v, scale):
-    """q [T,H,D], k/v [T,Hkv,D] causal full attention with GQA."""
+def np_attention(q, k, v, scale, slopes=None):
+    """q [T,H,D], k/v [T,Hkv,D] causal full attention with GQA; `slopes`
+    adds ALiBi bias slope·key_pos (softmax-shift-equivalent to the
+    relative form)."""
     T, H, D = q.shape
     Hkv = k.shape[1]
     G = H // Hkv
@@ -119,6 +121,8 @@ def np_attention(q, k, v, scale):
     mask = np.tril(np.ones((T, T), bool))
     for h in range(H):
         s = (q[:, h] @ k[:, h // G].T) * scale
+        if slopes is not None:
+            s = s + slopes[h] * np.arange(T)[None, :]
         s = np.where(mask, s, -np.inf)
         p = np.exp(s - s.max(-1, keepdims=True))
         p /= p.sum(-1, keepdims=True)
@@ -152,7 +156,9 @@ class Spec:
                  qkv_bias=False, ffn_bias=False, post_norms=False,
                  sub_norms=False, scales=False, experts=0, experts_used=0,
                  moe_parallel=False, tied=False, emb_scale=1.0,
-                 logit_scale=1.0):
+                 logit_scale=1.0, res_scale=1.0, attn_scale=None,
+                 norm_bias=True, alibi=0.0, clamp=0.0,
+                 ffn_norm_name="ffn_norm"):
         self.__dict__.update(locals())
         self.head_dim = hidden // heads
         self.rd = rope_dim or self.head_dim
@@ -184,17 +190,21 @@ def build_gguf(spec, path, seed=0):
     if s.experts:
         w.add(f"{a}.expert_count", s.experts)
         w.add(f"{a}.expert_used_count", s.experts_used)
+    if s.alibi:
+        w.add(f"{a}.attention.max_alibi_bias", s.alibi)
+    if s.clamp:
+        w.add(f"{a}.attention.clamp_kqv", s.clamp)
 
     t = {"token_embd.weight": W(s.vocab, s.hidden),
          "output_norm.weight": 1.0 + W(s.hidden)}
-    if s.norm == "layer":
+    if s.norm == "layer" and s.norm_bias:
         t["output_norm.bias"] = W(s.hidden)
     if not s.tied:
         t["output.weight"] = W(s.vocab, s.hidden)
     for i in range(s.layers):
         p = f"blk.{i}."
         t[p + "attn_norm.weight"] = 1.0 + W(s.hidden)
-        if s.norm == "layer":
+        if s.norm == "layer" and s.norm_bias:
             t[p + "attn_norm.bias"] = W(s.hidden)
         if s.fused_qkv:
             t[p + "attn_qkv.weight"] = W(s.hidden + 2 * Hkv * hd, s.hidden)
@@ -219,16 +229,18 @@ def build_gguf(spec, path, seed=0):
                 t[p + nm + ".scale"] = np.asarray(
                     [float(rng.uniform(0.5, 1.5))], np.float32)
         if s.ffn_norm:
-            t[p + "ffn_norm.weight"] = 1.0 + W(s.hidden)
-            if s.norm == "layer":
-                t[p + "ffn_norm.bias"] = W(s.hidden)
+            t[p + s.ffn_norm_name + ".weight"] = 1.0 + W(s.hidden)
+            if s.norm == "layer" and s.norm_bias:
+                t[p + s.ffn_norm_name + ".bias"] = W(s.hidden)
         if s.moe_parallel:
             t[p + "ffn_norm_exps.weight"] = 1.0 + W(s.hidden)
         if s.experts and not s.moe_parallel:
-            pass  # grok: MoE replaces the dense FFN entirely
+            pass  # grok/dbrx: MoE replaces the dense FFN entirely
         else:
             if s.act == "silu":
                 t[p + "ffn_gate.weight"] = W(s.ff, s.hidden)
+                if s.ffn_bias:
+                    t[p + "ffn_gate.bias"] = W(s.ff)
             t[p + "ffn_up.weight"] = W(s.ff, s.hidden)
             t[p + "ffn_down.weight"] = W(s.hidden, s.ff)
             if s.ffn_bias:
@@ -254,13 +266,24 @@ def np_forward(spec, t, ids):
     act = np_silu if s.act == "silu" else np_gelu
     T = ids.shape[0]
     pos = np.arange(T)
+    a_scale = s.attn_scale or 1.0 / np.sqrt(s.head_dim)
+    slopes = None
+    if s.alibi:
+        n2 = 2 ** int(np.floor(np.log2(s.heads)))
+        m0 = 2.0 ** (-s.alibi / n2)
+        m1 = 2.0 ** (-(s.alibi / 2.0) / n2)
+        slopes = np.array(
+            [m0 ** (h + 1) for h in range(n2)]
+            + [m1 ** (2 * (h - n2) + 1) for h in range(n2, s.heads)]
+        )
     x = t["token_embd.weight"][ids].astype(np.float64) * s.emb_scale
     for i in range(s.layers):
         p = f"blk.{i}."
 
         def norm(v, key):
             if s.norm == "layer":
-                return np_ln(v, t[p + key + ".weight"], t[p + key + ".bias"])
+                return np_ln(v, t[p + key + ".weight"],
+                             t.get(p + key + ".bias", 0.0))
             return np_rms(v, t[p + key + ".weight"])
 
         def scl(nm):
@@ -278,13 +301,15 @@ def np_forward(spec, t, ids):
             q = h @ t[p + "attn_q.weight"].T * scl("attn_q")
             k = h @ t[p + "attn_k.weight"].T * scl("attn_k")
             v = h @ t[p + "attn_v.weight"].T * scl("attn_v")
+        if s.clamp:
+            q, k, v = (np.clip(z, -s.clamp, s.clamp) for z in (q, k, v))
         q = q.reshape(T, H, hd)
         k = k.reshape(T, Hkv, hd)
         v = v.reshape(T, Hkv, hd)
         if s.rope_style != "none":
             q = np_rope(q, pos, s.rd, s.rope_style)
             k = np_rope(k, pos, s.rd, s.rope_style)
-        attn = np_attention(q, k, v, 1.0 / np.sqrt(hd)).reshape(T, -1)
+        attn = np_attention(q, k, v, a_scale, slopes).reshape(T, -1)
         if s.sub_norms:
             attn = np_rms(attn, t[p + "attn_sub_norm.weight"])
         attn = attn @ t[p + "attn_output.weight"].T * scl("attn_output")
@@ -293,12 +318,13 @@ def np_forward(spec, t, ids):
         if s.post_norms:
             attn = np_rms(attn, t[p + "attn_output_norm.weight"])
 
+        attn = attn * s.res_scale
         if s.parallel:
             fh = h  # no ffn_norm: FFN reads the attn_norm output (plamo)
             resid = x
         else:
             x = x + attn
-            fh = norm(x, "ffn_norm")
+            fh = norm(x, s.ffn_norm_name)
             resid = x
 
         if s.experts and not s.moe_parallel:  # grok: MoE is the FFN
@@ -309,12 +335,19 @@ def np_forward(spec, t, ids):
                 "down_exps": t[p + "ffn_down_exps.weight"],
             }, s.experts, s.experts_used, act)
         elif s.act == "silu":
-            g = act(fh @ t[p + "ffn_gate.weight"].T * scl("ffn_gate"))
+            g = fh @ t[p + "ffn_gate.weight"].T * scl("ffn_gate")
+            if s.ffn_bias:
+                g = g + t[p + "ffn_gate.bias"]
+            g = act(g)
             u = fh @ t[p + "ffn_up.weight"].T * scl("ffn_up")
+            if s.ffn_bias:
+                u = u + t[p + "ffn_up.bias"]
             mid = g * u
             if s.sub_norms:
                 mid = np_rms(mid, t[p + "ffn_sub_norm.weight"])
             ffn = mid @ t[p + "ffn_down.weight"].T * scl("ffn_down")
+            if s.ffn_bias:
+                ffn = ffn + t[p + "ffn_down.bias"]
         else:
             u = fh @ t[p + "ffn_up.weight"].T
             if s.ffn_bias:
@@ -332,11 +365,12 @@ def np_forward(spec, t, ids):
                 "up_exps": t[p + "ffn_up_exps.weight"],
                 "down_exps": t[p + "ffn_down_exps.weight"],
             }, s.experts, s.experts_used, act)
+        ffn = ffn * s.res_scale
 
         x = resid + attn + ffn if s.parallel else resid + ffn
 
     if s.norm == "layer":
-        x = np_ln(x, t["output_norm.weight"], t["output_norm.bias"])
+        x = np_ln(x, t["output_norm.weight"], t.get("output_norm.bias", 0.0))
     else:
         x = np_rms(x, t["output_norm.weight"])
     out_w = t.get("output.weight", t["token_embd.weight"])
@@ -355,6 +389,27 @@ SPECS = {
     "arctic": Spec("arctic", "norm", experts=4, experts_used=2,
                    moe_parallel=True),
     "bitnet": Spec("bitnet", "neox", sub_norms=True, scales=True),
+    # build_minicpm (:11514): llama graph + fixed embedding/residual/lm-head
+    # multipliers (12, 1.4/sqrt(L), 256/n_embd)
+    "minicpm": Spec("minicpm", "norm", emb_scale=12.0,
+                    res_scale=1.4 / np.sqrt(2.0), logit_scale=256.0 / 64),
+    # build_orion (:11277): mean-centered LayerNorm, silu gate FFN
+    "orion": Spec("orion", "norm", norm="layer"),
+    # build_internlm2 (:10540) / build_baichuan (:8930): llama clones
+    "internlm2": Spec("internlm2", "norm"),
+    "baichuan": Spec("baichuan", "norm", kv_heads=4),
+    # build_qwen (:10166): fused biased qkv, rms, neox rope, silu gate
+    "qwen": Spec("qwen", "neox", kv_heads=4, fused_qkv=True, qkv_bias=True),
+    # build_dbrx (:9450): biasless LayerNorm, fused clamped qkv, MoE-only
+    # FFN normed by attn_output_norm
+    "dbrx": Spec("dbrx", "neox", norm="layer", norm_bias=False,
+                 fused_qkv=True, experts=4, experts_used=2, clamp=0.03,
+                 ffn_norm_name="attn_output_norm"),
+    # build_jais (:13560): gpt2-style fused qkv + LayerNorm, but SwiGLU
+    # FFN with biases, ALiBi, 1/head_dim attention scale
+    "jais": Spec("jais", "none", kv_heads=4, norm="layer", fused_qkv=True,
+                 qkv_bias=True, ffn_bias=True, attn_scale=1.0 / 16,
+                 alibi=8.0),
 }
 
 
