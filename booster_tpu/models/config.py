@@ -55,9 +55,12 @@ _ARCH_ROPE = {
     "falcon": ROPE_NEOX,
     "dbrx": ROPE_NEOX,
     "bert": ROPE_NEOX,
+    "nomic-bert": ROPE_NEOX,
+    "jina-bert-v2": ROPE_NONE,  # ALiBi
     "codeshell": ROPE_NEOX,
     "grok": ROPE_NEOX,
     "bitnet": ROPE_NEOX,
+    "openelm": ROPE_NEOX,
 }
 
 
@@ -123,6 +126,11 @@ class ModelConfig:
     ssm_d_state: int = 0
     ssm_d_conv: int = 0
     ssm_dt_rank: int = 0
+    # openelm: per-layer head/ff counts (tuples, hashable); n_heads /
+    # n_kv_heads hold the maxima (the KV cache is padded to them)
+    heads_per_layer: tuple = ()
+    kv_heads_per_layer: tuple = ()
+    ff_per_layer: tuple = ()
     # t5 encoder / encoder-decoder
     rel_buckets: int = 0  # relative attention bias buckets (0 = off)
     rel_max_dist: int = 128
@@ -144,8 +152,22 @@ class ModelConfig:
             return md.get(f"{arch}.{key}", default)
 
         n_embd = int(g("embedding_length"))
-        n_heads = int(g("attention.head_count"))
-        n_kv = int(g("attention.head_count_kv", n_heads))
+        # openelm stores per-layer arrays under the scalar keys
+        # (llama.cpp ml.get_key_or_arr into hparams.n_head_arr)
+        per_layer: dict[str, tuple] = {}
+
+        def g_scalar(key: str, default=None, agg=max):
+            v = g(key, default)
+            if isinstance(v, (list, tuple)) or (
+                hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0
+            ):
+                per_layer[key] = tuple(int(x) for x in v)
+                return agg(per_layer[key])
+            return v
+
+        n_heads = int(g_scalar("attention.head_count"))
+        n_kv = int(g_scalar("attention.head_count_kv", n_heads))
+        n_ff_max = int(g_scalar("feed_forward_length"))
         head_dim = int(g("attention.key_length", n_embd // n_heads))
         n_vocab = int(g("vocab_size", 0)) or len(md.get("tokenizer.ggml.tokens", []))
         scaling_type = str(g("rope.scaling.type", "none") or "none")
@@ -184,6 +206,14 @@ class ModelConfig:
             quirks.update(norm_type="layer", act="gelu")
         if arch in ("stablelm", "olmo"):
             quirks.update(norm_type="layer")  # silu FFN, LayerNorm
+        if arch == "nomic-bert":
+            # build_bert nomic path: rope positions, gated silu FFN
+            quirks.update(norm_type="layer", act="silu")
+        if arch == "jina-bert-v2":
+            quirks.update(
+                norm_type="layer", act="gelu",
+                alibi_max_bias=float(g("attention.max_alibi_bias", 8.0) or 8.0),
+            )
         if arch == "bloom":
             quirks.update(
                 alibi_max_bias=float(g("attention.max_alibi_bias", 8.0) or 8.0),
@@ -256,6 +286,15 @@ class ModelConfig:
                 attn_scale=1.0 / float(head_dim),
                 alibi_max_bias=float(g("attention.max_alibi_bias", 8.0) or 8.0),
             )
+        if arch == "openelm":
+            # build_openelm (llama.cpp:12443): per-layer head/ff counts,
+            # fused qkv in per-head layout, q/k rms norms, neox rope
+            quirks.update(
+                q_norm=True,
+                heads_per_layer=per_layer.get("attention.head_count", ()),
+                kv_heads_per_layer=per_layer.get("attention.head_count_kv", ()),
+                ff_per_layer=per_layer.get("feed_forward_length", ()),
+            )
         if arch == "plamo":
             # build_plamo (llama.cpp:10950): rms norm, attention and FFN both
             # read the attn_norm output, one residual add (falcon pattern)
@@ -285,7 +324,7 @@ class ModelConfig:
             n_embd=n_embd,
             n_heads=n_heads,
             n_kv_heads=n_kv,
-            n_ff=int(g("feed_forward_length")),
+            n_ff=n_ff_max,
             n_vocab=n_vocab,
             n_ctx_train=int(g("context_length", 4096)),
             head_dim=head_dim,

@@ -43,6 +43,8 @@ def _use_fused_decode(cfg: ModelConfig, T: int, S: int,
         return False
     if cfg.head_dim % 64 != 0 or cfg.n_heads % cfg.n_kv_heads != 0:
         return False
+    if cfg.heads_per_layer:  # openelm: per-layer GQA ratios
+        return False
     if cfg.alibi_max_bias > 0:  # ALiBi bias not in the fused kernel (yet)
         return False
     if cfg.head_dim_v and cfg.head_dim_v != cfg.head_dim:  # MLA
@@ -252,6 +254,13 @@ def _layer(
         q = apply_rope_tables(q, rope_cos, rope_sin, cfg.rope_style)
         k = apply_rope_tables(k, rope_cos, rope_sin, cfg.rope_style)
 
+    Hc = k_slice.shape[1]  # kv-head capacity (dense cache or paged pool)
+    if Hkv < Hc:
+        # openelm: per-layer kv-head counts — the cache is padded to the
+        # model-wide max; unused head rows hold zeros and are never read
+        pad = ((0, 0), (0, 0), (0, Hc - Hkv), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
     if table is None:
         k_slice, v_slice, ks_slice, vs_slice = update_layer(
             k_slice, v_slice, k, v, offsets, ks_slice, vs_slice
@@ -278,11 +287,15 @@ def _layer(
             window = jnp.int32(cfg.sliding_window)
         else:
             window = None
+        def _heads(a):  # read only the layer's real kv heads (openelm pad)
+            return None if a is None else (a if Hkv == Hc else a[:, :Hkv])
+
         if table is None:
             from booster_tpu.ops.pallas_attention import decode_attention
 
             attn_out = decode_attention(
-                q, k_slice, v_slice, ks_slice, vs_slice, kv_valid,
+                q, _heads(k_slice), _heads(v_slice), _heads(ks_slice),
+                _heads(vs_slice), kv_valid,
                 scale=scale, logit_softcap=cfg.attn_logit_softcap,
                 window=window,
             )
@@ -292,7 +305,8 @@ def _layer(
             )
 
             attn_out = paged_decode_attention(
-                q, k_slice, v_slice, ks_slice, vs_slice, table, kv_valid,
+                q, _heads(k_slice), _heads(v_slice), _heads(ks_slice),
+                _heads(vs_slice), table, kv_valid,
                 scale=scale, logit_softcap=cfg.attn_logit_softcap,
                 window=window,
             )
@@ -313,6 +327,11 @@ def _layer(
             k_view, v_view, ks_view, vs_view = (
                 k_slice, v_slice, ks_slice, vs_slice
             )
+        if Hkv < Hc:  # openelm: drop the cache's padding heads
+            k_view = k_view[:, :Hkv]
+            v_view = v_view[:, :Hkv]
+            ks_view = None if ks_view is None else ks_view[:, :Hkv]
+            vs_view = None if vs_view is None else vs_view[:, :Hkv]
         # sliding window: gemma2 applies SWA on even layers only
         if mask_swa is not None and cfg.sliding_window_pattern > 1:
             use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
@@ -457,17 +476,9 @@ def forward(
             if cfg.sliding_window > 0 else None
         )
 
-    def body(x, scanned):
-        lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice = scanned
-        x, updated = _layer(
-            x, lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice,
-            positions, rope_cos, rope_sin, mask_base, mask_swa,
-            offsets, kv_valid, cfg, table=table,
-        )
-        return x, updated
-
-    # heterogeneous models (deepseek2: dense lead layers then the MoE stack)
-    # load as several stacked groups; each group is its own lax.scan
+    # heterogeneous models (deepseek2: dense lead layers then the MoE stack;
+    # openelm: per-layer head counts) load as several stacked groups; each
+    # group is its own lax.scan, with per-group head/ff overrides
     groups = (params["layer_groups"] if "layer_groups" in params
               else [params["layers"]])
     off = 0
@@ -475,6 +486,26 @@ def forward(
     for g in groups:
         Lg = jax.tree.leaves(g)[0].shape[0]
         sl = slice(off, off + Lg)
+        cfg_g = cfg
+        if cfg.heads_per_layer:
+            import dataclasses as _dc
+
+            cfg_g = _dc.replace(
+                cfg,
+                n_heads=cfg.heads_per_layer[off],
+                n_kv_heads=cfg.kv_heads_per_layer[off],
+                n_ff=(cfg.ff_per_layer[off] if cfg.ff_per_layer else cfg.n_ff),
+            )
+
+        def body(x, scanned, cfg_g=cfg_g):
+            lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice = scanned
+            x, updated = _layer(
+                x, lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice,
+                positions, rope_cos, rope_sin, mask_base, mask_swa,
+                offsets, kv_valid, cfg_g, table=table,
+            )
+            return x, updated
+
         scanned = (
             g,
             jnp.arange(off, off + Lg, dtype=jnp.int32),

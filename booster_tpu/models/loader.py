@@ -62,6 +62,11 @@ _LAYER_MAP = {
     "attn_output_norm.bias": "attn_out_norm_b",
     "layer_output_norm.weight": "layer_out_norm",
     "layer_output_norm.bias": "layer_out_norm_b",
+    # jina-bert-v2 extras: optional second post-attn norm + q/k norm biases
+    "attn_norm_2.weight": "attn_norm_2",
+    "attn_norm_2.bias": "attn_norm_2_b",
+    "attn_q_norm.bias": "q_norm_b",
+    "attn_k_norm.bias": "k_norm_b",
     # deepseek2 MLA + shared experts
     "attn_q_a.weight": "wq_a",
     "attn_q_a_norm.weight": "q_a_norm",
@@ -129,6 +134,7 @@ _NORM_KEYS = {
     "attn_norm_b", "ffn_norm_b",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
     "q_a_norm", "kv_a_norm", "cross_norm",
+    "attn_norm_2", "attn_norm_2_b", "q_norm_b", "k_norm_b",
     # bitnet sub-norms + per-tensor weight scales; arctic parallel-MoE norm
     "attn_sub_norm", "ffn_sub_norm", "ffn_norm_exps",
     "wq_scale", "wk_scale", "wv_scale", "wo_scale",
@@ -332,8 +338,11 @@ def load_model(
         # fused projections (phi3/gpt2/falcon/mpt): attn_qkv → q/k/v
         if "wq" not in lp and prefix + "attn_qkv.weight" in reader.tensors:
             qkv = load_q(prefix + "attn_qkv.weight")
-            d_q = cfg.n_heads * cfg.head_dim
-            d_kv = cfg.n_kv_heads * cfg.head_dim
+            h_l = cfg.heads_per_layer[i] if cfg.heads_per_layer else cfg.n_heads
+            kv_l = (cfg.kv_heads_per_layer[i] if cfg.kv_heads_per_layer
+                    else cfg.n_kv_heads)
+            d_q = h_l * cfg.head_dim
+            d_kv = kv_l * cfg.head_dim
             lp["wq"], lp["wk"], lp["wv"] = _split_rows(qkv, [d_q, d_kv, d_kv])
             bqkv = load_dense(prefix + "attn_qkv.bias")
             if bqkv is not None:
@@ -398,13 +407,20 @@ def load_model(
             enc_dicts.append(lp)
         params["enc_layers"] = stack_group(enc_dicts)
 
-    # consecutive layers with identical key sets stack into one lax.scan
-    # group; heterogeneous models (deepseek2: leading dense layers before the
-    # MoE stack) produce multiple groups that forward() runs in sequence
+    # consecutive layers with identical key sets AND tensor shapes stack
+    # into one lax.scan group; heterogeneous models (deepseek2: leading
+    # dense layers before the MoE stack; openelm: per-layer head counts)
+    # produce multiple groups that forward() runs in sequence
+    def _sig(lp: dict[str, Any]):
+        def shape_of(v):
+            return v.shape if not isinstance(v, QTensor) else (v.kind, v.shape)
+
+        return tuple(sorted((k, shape_of(v)) for k, v in lp.items()))
+
     runs: list[tuple[int, int]] = []
     start = 0
     for i in range(1, len(layer_dicts)):
-        if set(layer_dicts[i]) != set(layer_dicts[start]):
+        if _sig(layer_dicts[i]) != _sig(layer_dicts[start]):
             runs.append((start, i))
             start = i
     runs.append((start, len(layer_dicts)))

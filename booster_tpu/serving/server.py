@@ -379,7 +379,7 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
     async def embeddings(request: web.Request) -> web.Response:
         """OpenAI-style /v1/embeddings (encoder models — bert family)."""
         engine = scheduler.engine
-        if engine.cfg.arch not in ("bert",):
+        if engine.cfg.arch not in ("bert", "nomic-bert", "jina-bert-v2"):
             return web.json_response(
                 {"error": f"model arch '{engine.cfg.arch}' is not an "
                           "embedding model"}, status=400)

@@ -413,6 +413,93 @@ SPECS = {
 }
 
 
+def test_openelm(tmp_path):
+    """build_openelm (llama.cpp:12443): per-layer head/kv/ff counts, fused
+    per-head qkv, per-head q/k rms norms, neox rope, silu gate FFN, tied
+    head.  Layers with different shapes load as separate scan groups with
+    per-group config overrides; the KV cache pads to the max kv heads."""
+    from booster_tpu.gguf import GGMLType
+
+    rng = np.random.default_rng(11)
+    HID, HD, V = 64, 16, 256
+    HEADS, KVH, FFS = [2, 4], [1, 2], [96, 128]
+
+    def W(*shape):
+        return (rng.normal(size=shape) * 0.25 / np.sqrt(shape[-1])).astype(np.float32)
+
+    w = GGUFWriter()
+    a = "openelm"
+    w.add("general.architecture", a)
+    w.add(f"{a}.block_count", 2)
+    w.add(f"{a}.context_length", 128)
+    w.add(f"{a}.embedding_length", HID)
+    w.add(f"{a}.feed_forward_length", FFS)
+    w.add(f"{a}.attention.head_count", HEADS)
+    w.add(f"{a}.attention.head_count_kv", KVH)
+    w.add(f"{a}.attention.key_length", HD)
+    w.add(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{a}.rope.freq_base", 10000.0)
+    w.add(f"{a}.rope.dimension_count", HD)
+    w.add(f"{a}.vocab_size", V)
+
+    t = {"token_embd.weight": W(V, HID), "output_norm.weight": 1.0 + W(HID)}
+    for i in range(2):
+        p, h, kv, ff = f"blk.{i}.", HEADS[i], KVH[i], FFS[i]
+        t[p + "attn_norm.weight"] = 1.0 + W(HID)
+        t[p + "attn_qkv.weight"] = W((h + 2 * kv) * HD, HID)
+        t[p + "attn_q_norm.weight"] = 1.0 + W(HD)
+        t[p + "attn_k_norm.weight"] = 1.0 + W(HD)
+        t[p + "attn_output.weight"] = W(HID, h * HD)
+        t[p + "ffn_norm.weight"] = 1.0 + W(HID)
+        t[p + "ffn_gate.weight"] = W(ff, HID)
+        t[p + "ffn_up.weight"] = W(ff, HID)
+        t[p + "ffn_down.weight"] = W(HID, ff)
+    for name, arr in t.items():
+        w.add_tensor(name, arr.astype(np.float32), arr.shape, GGMLType.F32)
+    path = str(tmp_path / "openelm.gguf")
+    w.write(path)
+
+    # numpy reference
+    ids = IDS[0]
+    T = len(ids)
+    pos = np.arange(T)
+    x = t["token_embd.weight"][ids].astype(np.float64)
+    for i in range(2):
+        p, h, kv, ff = f"blk.{i}.", HEADS[i], KVH[i], FFS[i]
+        hcur = np_rms(x, t[p + "attn_norm.weight"])
+        qkv = hcur @ t[p + "attn_qkv.weight"].T
+        q = qkv[:, : h * HD].reshape(T, h, HD)
+        k = qkv[:, h * HD : (h + kv) * HD].reshape(T, kv, HD)
+        v = qkv[:, (h + kv) * HD :].reshape(T, kv, HD)
+        q = np_rms(q, t[p + "attn_q_norm.weight"])
+        k = np_rms(k, t[p + "attn_k_norm.weight"])
+        q = np_rope(q, pos, HD, "neox")
+        k = np_rope(k, pos, HD, "neox")
+        attn = np_attention(q, k, v, 1.0 / np.sqrt(HD)).reshape(T, -1)
+        x = x + attn @ t[p + "attn_output.weight"].T
+        fh = np_rms(x, t[p + "ffn_norm.weight"])
+        g = np_silu(fh @ t[p + "ffn_gate.weight"].T)
+        x = x + (g * (fh @ t[p + "ffn_up.weight"].T)) @ t[p + "ffn_down.weight"].T
+    x = np_rms(x, t["output_norm.weight"])
+    want = x @ t["token_embd.weight"].T
+
+    loaded = load_model(path)
+    assert loaded.cfg.arch == "openelm"
+    assert loaded.cfg.heads_per_layer == (2, 4)
+    assert "layer_groups" in loaded.params  # heterogeneous shapes split
+    cache = KVCache.create(2, 1, 32, loaded.cfg.n_kv_heads,
+                           loaded.cfg.head_dim, dtype=jnp.float32)
+    got, _ = forward(loaded.params, loaded.cfg, jnp.asarray(IDS), cache)
+    got = np.asarray(got)[0]
+    top2 = np.sort(want, axis=-1)[..., -2:]
+    decisive = (top2[..., 1] - top2[..., 0]) > 0.02
+    np.testing.assert_array_equal(
+        got.argmax(-1)[decisive], want.argmax(-1)[decisive]
+    )
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=0.4,
+                               rtol=0.05)
+
+
 @pytest.mark.parametrize("arch", list(SPECS))
 def test_numpy_reference_parity(arch, tmp_path):
     spec = SPECS[arch]
