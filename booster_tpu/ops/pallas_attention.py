@@ -45,6 +45,7 @@ _NEG = -1e30
 
 
 def _decode_attn_kernel(
+    nv_ref,  # [B // BT] i32 (scalar prefetch: valid S tiles per batch tile)
     q_ref,  # [BT, 1, G, D] bf16
     k_ref,  # [BT, 1, ST, D] i8|bf16
     v_ref,
@@ -75,41 +76,48 @@ def _decode_attn_kernel(
     col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, st), 1)  # [1, ST]
     win = win_ref[0, 0]
 
-    for b in range(bt):  # static unroll: all ref indices constant
-        qb = q_ref[b, 0]  # [G, D] bf16
-        kq = k_ref[b, 0].astype(jnp.bfloat16)  # pure cast; scale folded below
-        s = jax.lax.dot_general(
-            qb, kq, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [G, ST]
-        if quantized:
-            s = s * ks_ref[b, 0]  # [1, ST] broadcast over G rows
-        if softcap > 0.0:
-            s = softcap * jnp.tanh(s / softcap)
-        len_b = lens_ref[b, 0]
-        valid = (col < len_b) & (col >= len_b - win)  # [1, ST]
-        s = jnp.where(valid, s, _NEG)
+    # S tiles past every row's valid length are steered to the last valid
+    # tile by the index maps (the repeated block index elides the DMA) and
+    # their compute is skipped here — a step over an empty tail is ~free,
+    # so decode cost tracks the live context, not the allocated cache.
+    @pl.when(s_idx < nv_ref[pl.program_id(0)])
+    def _():
+        for b in range(bt):  # static unroll: all ref indices constant
+            qb = q_ref[b, 0]  # [G, D] bf16
+            kq = k_ref[b, 0].astype(jnp.bfloat16)  # cast; scale folded below
+            s = jax.lax.dot_general(
+                qb, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, ST]
+            if quantized:
+                s = s * ks_ref[b, 0]  # [1, ST] broadcast over G rows
+            if softcap > 0.0:
+                s = softcap * jnp.tanh(s / softcap)
+            len_b = lens_ref[b, 0]
+            valid = (col < len_b) & (col >= len_b - win)  # [1, ST]
+            s = jnp.where(valid, s, _NEG)
 
-        m_prev = m_ref[b]  # [G, 1]
-        l_prev = l_ref[b]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [G, ST]
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        if quantized:
-            p = p * vs_ref[b, 0]
-        vq = v_ref[b, 0].astype(jnp.bfloat16)  # [ST, D]
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vq, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [G, D]
-        acc_new = acc_ref[b] * alpha + pv
-        m_ref[b] = m_new
-        l_ref[b] = l_new
-        acc_ref[b] = acc_new
+            m_prev = m_ref[b]  # [G, 1]
+            l_prev = l_ref[b]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)  # [G, ST]
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if quantized:
+                p = p * vs_ref[b, 0]
+            vq = v_ref[b, 0].astype(jnp.bfloat16)  # [ST, D]
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, D]
+            acc_new = acc_ref[b] * alpha + pv
+            m_ref[b] = m_new
+            l_ref[b] = l_new
+            acc_ref[b] = acc_new
 
-        @pl.when(s_idx == ns - 1)
-        def _():
+    @pl.when(s_idx == ns - 1)
+    def _():
+        for b in range(bt):
             out_ref[b, 0] = acc_ref[b] / jnp.maximum(l_ref[b], 1e-30)
 
 
@@ -157,14 +165,21 @@ def decode_attention(
     lens = kv_valid_len.astype(jnp.int32).reshape(B, 1)
     win = (jnp.asarray(window, jnp.int32) if window is not None
            else jnp.int32(S + 1)).reshape(1, 1)
+    # valid S tiles per batch tile (≥1 so the steered index stays in range)
+    nv = jnp.maximum(
+        1, (jnp.max(lens.reshape(B // bt, bt), axis=1) + (st - 1)) // st)
+
+    def kv_idx(i, j, k, nv_ref):
+        return (i, j, jnp.minimum(k, nv_ref[i] - 1), 0)
+
+    def sc_idx(i, j, k, nv_ref):
+        return (i, j, 0, jnp.minimum(k, nv_ref[i] - 1))
 
     in_specs = [
-        pl.BlockSpec((bt, 1, G, D), lambda i, j, k: (i, j, 0, 0),
+        pl.BlockSpec((bt, 1, G, D), lambda i, j, k, nv_ref: (i, j, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, 1, st, D), lambda i, j, k: (i, j, k, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, 1, st, D), lambda i, j, k: (i, j, k, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, 1, st, D), kv_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, 1, st, D), kv_idx, memory_space=pltpu.VMEM),
     ]
     args = [qb, k_cache, v_cache]
     kernel = _decode_attn_kernel
@@ -172,35 +187,38 @@ def decode_attention(
         ks = k_scale.reshape(B, Hkv, 1, S)
         vs = v_scale.reshape(B, Hkv, 1, S)
         in_specs += [
-            pl.BlockSpec((bt, 1, 1, st), lambda i, j, k: (i, j, 0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1, 1, st), lambda i, j, k: (i, j, 0, k),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, 1, st), sc_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, 1, st), sc_idx, memory_space=pltpu.VMEM),
         ]
         args += [ks, vs]
     else:
         kernel = functools.partial(_drop_scale_refs, kernel)
     in_specs += [
-        pl.BlockSpec((bt, 1), lambda i, j, k: (i, 0),
+        pl.BlockSpec((bt, 1), lambda i, j, k, nv_ref: (i, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+        pl.BlockSpec((1, 1), lambda i, j, k, nv_ref: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
     args += [lens, win]
 
-    out = pl.pallas_call(
-        functools.partial(kernel, bt=bt, st=st, softcap=logit_softcap,
-                          quantized=quantized),
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bt, 1, G, D), lambda i, j, k: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((bt, 1, G, D),
+                               lambda i, j, k, nv_ref: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((bt, G, 1), jnp.float32),
             pltpu.VMEM((bt, G, 1), jnp.float32),
             pltpu.VMEM((bt, G, D), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        functools.partial(kernel, bt=bt, st=st, softcap=logit_softcap,
+                          quantized=quantized),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -211,13 +229,13 @@ def decode_attention(
             transcendentals=B * H * S,
         ),
         interpret=INTERPRET,
-    )(*args)
+    )(nv, *args)
 
     out = out.reshape(B, Hkv, G, 1, D).transpose(0, 3, 1, 2, 4).reshape(B, 1, H, D)
     return out.astype(q.dtype)
 
 
-def _drop_scale_refs(kernel, q_ref, k_ref, v_ref, lens_ref, win_ref, out_ref,
-                     m_ref, l_ref, acc_ref, **kw):
-    kernel(q_ref, k_ref, v_ref, None, None, lens_ref, win_ref, out_ref,
-           m_ref, l_ref, acc_ref, **kw)
+def _drop_scale_refs(kernel, nv_ref, q_ref, k_ref, v_ref, lens_ref, win_ref,
+                     out_ref, m_ref, l_ref, acc_ref, **kw):
+    kernel(nv_ref, q_ref, k_ref, v_ref, None, None, lens_ref, win_ref,
+           out_ref, m_ref, l_ref, acc_ref, **kw)

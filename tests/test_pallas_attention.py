@@ -80,6 +80,23 @@ def test_decode_attention_multi_s_tiles(monkeypatch):
     )
 
 
+def test_decode_attention_skips_invalid_tail_tiles(monkeypatch):
+    """Rows far shorter than the allocated cache: tiles past each batch
+    tile's max valid length are steered to the last valid tile (DMA elided)
+    and skipped — results must still match the full masked softmax."""
+    monkeypatch.setattr(pa, "_ST", 128)
+    monkeypatch.setattr(pa, "_BT", 2)  # lens [5, 500] share one batch tile
+    q, k, v, lens = make_case(B=4, S=1024, seed=9, lens=[5, 500, 128, 1])
+    ref = ref_attention(q, k, v, lens, 0.15)
+    out = pa.decode_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), None, None, lens, 0.15)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
 def test_decode_attention_sliding_window_and_softcap():
     q, k, v, lens = make_case(B=2, S=128, seed=5, lens=[100, 128])
     window = 32

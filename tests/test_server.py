@@ -73,8 +73,9 @@ def test_jobs_lifecycle(tmp_path_factory):
         r3 = await client.post("/jobs", json={"id": "nope", "prompt": "x"})
         assert r3.status == 400
 
-        # poll until finished; partial output allowed meanwhile
-        for _ in range(200):
+        # poll until finished; partial output allowed meanwhile (generous
+        # bound: first-compile under full-suite CPU load can exceed 10 s)
+        for _ in range(2400):
             r = await client.get(f"/jobs/{jid}")
             body = await r.json()
             if body["status"] == "finished":
