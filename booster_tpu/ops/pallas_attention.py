@@ -45,7 +45,7 @@ _NEG = -1e30
 
 
 def _decode_attn_kernel(
-    nv_ref,  # [B // BT] i32 (scalar prefetch: valid S tiles per batch tile)
+    nv_ref,  # [B // BT, 2] i32 (scalar prefetch: [first, end) valid S tiles)
     q_ref,  # [BT, 1, G, D] bf16
     k_ref,  # [BT, 1, ST, D] i8|bf16
     v_ref,
@@ -76,11 +76,13 @@ def _decode_attn_kernel(
     col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, st), 1)  # [1, ST]
     win = win_ref[0, 0]
 
-    # S tiles past every row's valid length are steered to the last valid
-    # tile by the index maps (the repeated block index elides the DMA) and
-    # their compute is skipped here — a step over an empty tail is ~free,
-    # so decode cost tracks the live context, not the allocated cache.
-    @pl.when(s_idx < nv_ref[pl.program_id(0)])
+    # S tiles past every row's valid length — and, under a sliding window,
+    # tiles before every row's window start — are steered to the nearest
+    # live tile by the index maps (the repeated block index elides the DMA)
+    # and their compute is skipped here: a step over a dead tile is ~free,
+    # so decode cost tracks the live window, not the allocated cache.
+    bi = pl.program_id(0)
+    @pl.when((s_idx >= nv_ref[bi, 0]) & (s_idx < nv_ref[bi, 1]))
     def _():
         for b in range(bt):  # static unroll: all ref indices constant
             qb = q_ref[b, 0]  # [G, D] bf16
@@ -165,15 +167,20 @@ def decode_attention(
     lens = kv_valid_len.astype(jnp.int32).reshape(B, 1)
     win = (jnp.asarray(window, jnp.int32) if window is not None
            else jnp.int32(S + 1)).reshape(1, 1)
-    # valid S tiles per batch tile (≥1 so the steered index stays in range)
-    nv = jnp.maximum(
-        1, (jnp.max(lens.reshape(B // bt, bt), axis=1) + (st - 1)) // st)
+    # live S-tile range [first, end) per batch tile: end covers the longest
+    # row (≥1 so the steered index stays in range); first is the earliest
+    # sliding-window start across rows (0 when no window is active).
+    lens_t = lens.reshape(B // bt, bt)
+    nv_end = jnp.maximum(1, (jnp.max(lens_t, axis=1) + (st - 1)) // st)
+    nv_first = jnp.minimum(
+        jnp.min(jnp.maximum(lens_t - win[0, 0], 0), axis=1) // st, nv_end - 1)
+    nv = jnp.stack([nv_first, nv_end], axis=1)
 
     def kv_idx(i, j, k, nv_ref):
-        return (i, j, jnp.minimum(k, nv_ref[i] - 1), 0)
+        return (i, j, jnp.clip(k, nv_ref[i, 0], nv_ref[i, 1] - 1), 0)
 
     def sc_idx(i, j, k, nv_ref):
-        return (i, j, 0, jnp.minimum(k, nv_ref[i] - 1))
+        return (i, j, 0, jnp.clip(k, nv_ref[i, 0], nv_ref[i, 1] - 1))
 
     in_specs = [
         pl.BlockSpec((bt, 1, G, D), lambda i, j, k, nv_ref: (i, j, 0, 0),

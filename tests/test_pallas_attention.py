@@ -112,6 +112,25 @@ def test_decode_attention_sliding_window_and_softcap():
     )
 
 
+def test_decode_attention_skips_leading_window_tiles(monkeypatch):
+    """Sliding window deep into a long cache: S tiles wholly before every
+    row's window start are steered to the first live tile (DMA elided) and
+    skipped — results must still match the full masked softmax."""
+    monkeypatch.setattr(pa, "_ST", 128)
+    monkeypatch.setattr(pa, "_BT", 2)
+    q, k, v, lens = make_case(B=4, S=1024, seed=13, lens=[900, 1000, 640, 130])
+    window = 128
+    ref = ref_attention(q, k, v, lens, 0.15, window=jnp.int32(window))
+    out = pa.decode_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), None, None, lens, 0.15,
+        window=jnp.int32(window))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
 def test_decode_attention_mha_group1():
     q, k, v, lens = make_case(B=2, Hkv=4, G=1, S=128, seed=7)
     ref = ref_attention(q, k, v, lens, 0.125)
