@@ -27,6 +27,30 @@ from booster_tpu.ops.rope import apply_rope_tables, rope_tables
 from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor
 
 
+def _use_stacked_decode(cfg: ModelConfig, T: int, S: int, Dc: int,
+                        page_size: int = 0) -> bool:
+    """Stacked-cache decode: the whole [L,B,H,S,Dc] cache rides the layer
+    scan as carry and the fused append/attention kernels select the layer
+    via scalar-prefetched index maps, so XLA never materializes per-layer
+    cache slices.  `Dc` is the storage head dim (lane-padded to 128 by
+    ops/kv_cache.pad_head_dim)."""
+    import os
+
+    from booster_tpu.ops.kv_cache import _use_fused_append
+
+    if os.environ.get("BT_STACKED", "1") == "0":
+        return False
+    if page_size:
+        return False
+    if not _use_fused_append():
+        return False
+    if S % 128 != 0 or Dc % 128 != 0:
+        return False
+    if cfg.head_dim_v and cfg.head_dim_v != cfg.head_dim:  # MLA
+        return False
+    return True
+
+
 def _use_fused_decode(cfg: ModelConfig, T: int, S: int,
                       page_size: int = 0) -> bool:
     """Fused decode attention applies to single-token steps on the Pallas
@@ -41,7 +65,11 @@ def _use_fused_decode(cfg: ModelConfig, T: int, S: int,
         return False
     if T != 1 or not (use_pallas() or INTERPRET):
         return False
-    if cfg.head_dim % 64 != 0 or cfg.n_heads % cfg.n_kv_heads != 0:
+    if cfg.n_heads % cfg.n_kv_heads != 0:
+        return False
+    if page_size and cfg.head_dim % 64 != 0:
+        # the paged pool stores the raw head dim; the dense cache is
+        # lane-padded (kv_cache.pad_head_dim) so any head dim works there
         return False
     if cfg.heads_per_layer:  # openelm: per-layer GQA ratios
         return False
@@ -201,6 +229,7 @@ def _layer(
     kv_valid: jnp.ndarray,  # [B]
     cfg: ModelConfig,
     table: Optional[jnp.ndarray] = None,  # [B, MAXP]: paged-cache page table
+    stacked_layer=None,  # traced i32: k/v slices are the FULL stacked cache
 ):
     B, T, C = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -254,14 +283,21 @@ def _layer(
         q = apply_rope_tables(q, rope_cos, rope_sin, cfg.rope_style)
         k = apply_rope_tables(k, rope_cos, rope_sin, cfg.rope_style)
 
-    Hc = k_slice.shape[1]  # kv-head capacity (dense cache or paged pool)
+    Hc = k_slice.shape[2 if stacked_layer is not None else 1]
     if Hkv < Hc:
         # openelm: per-layer kv-head counts — the cache is padded to the
         # model-wide max; unused head rows hold zeros and are never read
         pad = ((0, 0), (0, 0), (0, Hc - Hkv), (0, 0))
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    if table is None:
+    if stacked_layer is not None:
+        from booster_tpu.ops.pallas_kv import kv_append_decode_stacked
+
+        k_slice, v_slice, ks_slice, vs_slice = kv_append_decode_stacked(
+            k_slice, v_slice, k, v, offsets, stacked_layer,
+            ks_slice, vs_slice,
+        )
+    elif table is None:
         k_slice, v_slice, ks_slice, vs_slice = update_layer(
             k_slice, v_slice, k, v, offsets, ks_slice, vs_slice
         )
@@ -277,8 +313,12 @@ def _layer(
         # fused decode attention (T=1): one Pallas kernel does cast-only
         # dequant + QK^T + mask + online softmax + PV (ops/pallas_attention,
         # table-steered pool DMA in the paged variant)
-        S = (k_slice.shape[2] if table is None
-             else table.shape[1] * k_slice.shape[2])
+        if stacked_layer is not None:
+            S = k_slice.shape[3]
+        elif table is None:
+            S = k_slice.shape[2]
+        else:
+            S = table.shape[1] * k_slice.shape[2]
         if cfg.sliding_window > 0 and cfg.sliding_window_pattern > 1:
             use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
             window = jnp.where(use_swa, jnp.int32(cfg.sliding_window),
@@ -290,7 +330,18 @@ def _layer(
         def _heads(a):  # read only the layer's real kv heads (openelm pad)
             return None if a is None else (a if Hkv == Hc else a[:, :Hkv])
 
-        if table is None:
+        if stacked_layer is not None:
+            from booster_tpu.ops.pallas_attention import (
+                decode_attention_stacked,
+            )
+
+            attn_out = decode_attention_stacked(
+                q, k_slice, v_slice, ks_slice, vs_slice, stacked_layer,
+                kv_valid,
+                scale=scale, logit_softcap=cfg.attn_logit_softcap,
+                window=window,
+            )
+        elif table is None:
             from booster_tpu.ops.pallas_attention import decode_attention
 
             attn_out = decode_attention(
@@ -332,6 +383,11 @@ def _layer(
             v_view = v_view[:, :Hkv]
             ks_view = None if ks_view is None else ks_view[:, :Hkv]
             vs_view = None if vs_view is None else vs_view[:, :Hkv]
+        Dv = cfg.head_dim_v or D
+        if k_view.shape[-1] > D:  # lane-padded storage: read the real dims
+            k_view = k_view[..., :D]
+        if v_view.shape[-1] > Dv:
+            v_view = v_view[..., :Dv]
         # sliding window: gemma2 applies SWA on even layers only
         if mask_swa is not None and cfg.sliding_window_pattern > 1:
             use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
@@ -481,6 +537,37 @@ def forward(
     # group is its own lax.scan, with per-group head/ff overrides
     groups = (params["layer_groups"] if "layer_groups" in params
               else [params["layers"]])
+
+    if (mask_base is None and not paged and not cfg.heads_per_layer
+            and _use_stacked_decode(cfg, T, S, cache.k.shape[-1])):
+        # fused decode with the WHOLE cache as scan carry: the append and
+        # attention kernels index the layer via scalar prefetch, so no
+        # per-layer cache slice is ever materialized by XLA
+        kf, vf, ksf, vsf = cache.k, cache.v, cache.k_scale, cache.v_scale
+        off = 0
+        for g in groups:
+            Lg = jax.tree.leaves(g)[0].shape[0]
+
+            def body_st(carry, scanned):
+                x, kf, vf, ksf, vsf = carry
+                lp, layer_idx = scanned
+                x, (kf, vf, ksf, vsf) = _layer(
+                    x, lp, layer_idx, kf, vf, ksf, vsf,
+                    positions, rope_cos, rope_sin, None, None,
+                    offsets, kv_valid, cfg, table=None,
+                    stacked_layer=layer_idx,
+                )
+                return (x, kf, vf, ksf, vsf), None
+
+            (x, kf, vf, ksf, vsf), _ = jax.lax.scan(
+                body_st, (x, kf, vf, ksf, vsf),
+                (g, jnp.arange(off, off + Lg, dtype=jnp.int32)),
+            )
+            off += Lg
+        return _finish(params, cfg, x, emb, cache, paged,
+                       kf, vf, ksf, vsf, gather_idx, last_only,
+                       n_valid, T, B)
+
     off = 0
     parts = []
     for g in groups:
@@ -526,6 +613,17 @@ def forward(
             return jnp.concatenate([p[i] for p in parts], axis=0)
 
         new_k, new_v, new_ks, new_vs = cat(0), cat(1), cat(2), cat(3)
+
+    return _finish(params, cfg, x, emb, cache, paged,
+                   new_k, new_v, new_ks, new_vs, gather_idx, last_only,
+                   n_valid, T, B)
+
+
+def _finish(params, cfg, x, emb, cache, paged,
+            new_k, new_v, new_ks, new_vs, gather_idx, last_only,
+            n_valid, T, B):
+    """Shared forward epilogue: final norm, lm head, cache re-pack."""
+    from booster_tpu.ops.paged_kv import PagedKVCache
 
     if cfg.norm_type == "layer":
         x = layer_norm(x, params.get("output_norm"),

@@ -21,7 +21,7 @@ from booster_tpu.gguf import GGMLType, GGUFReader
 from booster_tpu.models.config import ModelConfig
 from booster_tpu.ops.rope import rope_inv_freq, yarn_params
 from booster_tpu.quant import dequantize, repack_gguf_tensor
-from booster_tpu.quant.qtensor import QTensor
+from booster_tpu.quant.qtensor import QTensor, prepare_kernel_scales
 from booster_tpu.tokenizer import Tokenizer
 
 log = logging.getLogger(__name__)
@@ -286,7 +286,7 @@ def load_model(
         params["pos_embd"] = put(pos_embd.astype(jnp.bfloat16), "embedding")
     out_q = load_q("output.weight")
     params["output"] = None if out_q is None else jax.tree.map(
-        lambda a: put(a, "lm_head"), out_q
+        lambda a: put(a, "lm_head"), prepare_kernel_scales(out_q)
     )
     out_b = load_dense("output.bias")
     if out_b is not None:  # phi2 lm head bias
@@ -389,7 +389,7 @@ def load_model(
         for key in sorted(dicts[0]):
             vals = [lp[key] for lp in dicts]
             if isinstance(vals[0], QTensor):
-                qt = _stack_qtensors(vals)
+                qt = prepare_kernel_scales(_stack_qtensors(vals))
                 stacked[key] = jax.tree.map(lambda a: put(a, key), qt)
             else:
                 stacked[key] = put(np.stack(vals), key)

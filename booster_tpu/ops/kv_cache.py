@@ -18,13 +18,30 @@ import jax
 import jax.numpy as jnp
 
 
+def pad_head_dim(d: int) -> int:
+    """Storage head dim: the next multiple of 128 lanes.
+
+    TPU tiled layouts already pad the minor dim of every HBM array to 128
+    lanes, so storing D=64 (or 80/96/192…) caches at the padded width costs
+    ZERO extra HBM — but it makes the logical shape match the physical one,
+    which removes the per-layer layout-transposing copies XLA otherwise
+    inserts around the Pallas kernels (measured 4×8.4 MB/layer on the 1.1B
+    decode step — tools/ablate_decode.py) and lets the aligned RMW window
+    DMAs in ops/pallas_kv.py work without the D=64 lane-pairing dance.
+    Padding lanes hold exact zeros: appends write zero-padded rows, so
+    q_pad·K_pad adds 0·0 terms and P·V_pad yields zeros that are sliced off.
+    """
+    return ((d + 127) // 128) * 128
+
+
 @dataclass
 class KVCache:
-    """Pytree: k/v [L, B, H_kv, S, D] (+ scales when quantized), lengths [B].
+    """Pytree: k/v [L, B, H_kv, S, Dc] (+ scales when quantized), lengths [B].
 
-    Heads-major layout: attention consumes [B, H, S, D] directly — no
+    Heads-major layout: attention consumes [B, H, S, Dc] directly — no
     per-step transposes of the whole cache (each saved kernel matters, see
-    ROUND1_NOTES on per-kernel overhead)."""
+    ROUND1_NOTES on per-kernel overhead).  Dc = pad_head_dim(D): the head
+    dim is stored lane-padded with zeros (see pad_head_dim)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -53,8 +70,8 @@ class KVCache:
         head_dim_v: int = 0,  # 0 → head_dim (MLA: v dim ≠ qk dim)
     ) -> "KVCache":
         dv = head_dim_v or head_dim
-        k_shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
-        v_shape = (n_layers, batch, n_kv_heads, max_len, dv)
+        k_shape = (n_layers, batch, n_kv_heads, max_len, pad_head_dim(head_dim))
+        v_shape = (n_layers, batch, n_kv_heads, max_len, pad_head_dim(dv))
         if quantized:
             return cls(
                 k=jnp.zeros(k_shape, jnp.int8),
@@ -98,10 +115,21 @@ def update_layer(
     layer_k_scale: Optional[jnp.ndarray] = None,  # [B, H, S, 1]
     layer_v_scale: Optional[jnp.ndarray] = None,
 ):
-    """Write new tokens at per-slot offsets; returns updated slices."""
+    """Write new tokens at per-slot offsets; returns updated slices.
+
+    The cache head dim may be lane-padded (pad_head_dim); narrower new rows
+    are zero-padded to the storage width before the write."""
+    def _padd(new, width):
+        d = new.shape[-1]
+        if d == width:
+            return new
+        return jnp.pad(new, ((0, 0),) * (new.ndim - 1) + ((0, width - d),))
+
+    new_k = _padd(new_k, layer_k.shape[-1])
+    new_v = _padd(new_v, layer_v.shape[-1])
     if (new_k.shape[1] == 1 and layer_k.shape[2] % 128 == 0
             and layer_k.shape[3] == layer_v.shape[3]  # MLA: D_k ≠ D_v
-            and (layer_k.shape[3] % 128 == 0 or layer_k.shape[3] == 64)
+            and layer_k.shape[3] % 128 == 0
             and _use_fused_append()):
         from booster_tpu.ops.pallas_kv import kv_append_decode
 

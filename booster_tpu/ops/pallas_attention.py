@@ -45,11 +45,12 @@ _NEG = -1e30
 
 
 def _decode_attn_kernel(
+    lay_ref,  # [1] i32 (scalar prefetch: layer index into the stacked cache)
     nv_ref,  # [B // BT, 2] i32 (scalar prefetch: [first, end) valid S tiles)
     q_ref,  # [BT, 1, G, D] bf16
-    k_ref,  # [BT, 1, ST, D] i8|bf16
+    k_ref,  # [1, BT, 1, ST, D] i8|bf16 (leading 1 = layer block)
     v_ref,
-    ks_ref,  # [BT, 1, 1, ST] f32 (or None — absent when not quantized)
+    ks_ref,  # [1, BT, 1, 1, ST] f32 (or None — absent when not quantized)
     vs_ref,
     lens_ref,  # [BT, 1] i32 (SMEM)
     win_ref,  # [1, 1] i32 (SMEM)
@@ -86,13 +87,13 @@ def _decode_attn_kernel(
     def _():
         for b in range(bt):  # static unroll: all ref indices constant
             qb = q_ref[b, 0]  # [G, D] bf16
-            kq = k_ref[b, 0].astype(jnp.bfloat16)  # cast; scale folded below
+            kq = k_ref[0, b, 0].astype(jnp.bfloat16)  # cast; scale folded below
             s = jax.lax.dot_general(
                 qb, kq, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, ST]
             if quantized:
-                s = s * ks_ref[b, 0]  # [1, ST] broadcast over G rows
+                s = s * ks_ref[0, b, 0]  # [1, ST] broadcast over G rows
             if softcap > 0.0:
                 s = softcap * jnp.tanh(s / softcap)
             len_b = lens_ref[b, 0]
@@ -106,8 +107,8 @@ def _decode_attn_kernel(
             p = jnp.exp(s - m_new)  # [G, ST]
             l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
             if quantized:
-                p = p * vs_ref[b, 0]
-            vq = v_ref[b, 0].astype(jnp.bfloat16)  # [ST, D]
+                p = p * vs_ref[0, b, 0]
+            vq = v_ref[0, b, 0].astype(jnp.bfloat16)  # [ST, D]
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), vq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -137,33 +138,45 @@ def _pick_bt(B: int, S: int, D: int, itemsize: int) -> tuple[int, int]:
     return max(bt, 1), st
 
 
-def decode_attention(
+def decode_attention_stacked(
     q: jnp.ndarray,  # [B, 1, H, D] (already roped), any float dtype
-    k_cache: jnp.ndarray,  # [B, Hkv, S, D] int8 or bf16
+    k_cache: jnp.ndarray,  # [L, B, Hkv, S, D] int8 or bf16 (full stacked)
     v_cache: jnp.ndarray,
-    k_scale,  # [B, Hkv, S, 1] f32 or None
+    k_scale,  # [L, B, Hkv, S, 1] f32 or None
     v_scale,
+    layer,  # traced i32 scalar: layer slice to attend over
     kv_valid_len: jnp.ndarray,  # [B] i32
     scale: float,
     logit_softcap: float = 0.0,
     window=None,  # traced i32 scalar or None (no sliding window)
 ) -> jnp.ndarray:
-    """Fused decode attention; returns [B, 1, H, D] in q.dtype.
+    """Fused decode attention over one layer of the stacked cache; returns
+    [B, 1, H, D] in q.dtype.  The layer is selected by the kernel's index
+    maps (scalar prefetch), so the cache never passes through an XLA slice —
+    per-layer slicing inside a scan materializes whole-slice layout copies
+    every step (see tools/ablate_decode.py).
 
     Numerics match ops/attention.py's masked-softmax path to f32 rounding
     (verified in tests/test_pallas_attention.py, interpret mode)."""
-    B, T, H, D = q.shape
+    B, T, H, Dq = q.shape
     assert T == 1
-    Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    Hkv, S = k_cache.shape[2], k_cache.shape[3]
+    D = k_cache.shape[4]  # storage dim (lane-padded: kv_cache.pad_head_dim)
     G = H // Hkv
     quantized = k_scale is not None
+    L = k_cache.shape[0]
 
     qb = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    if Dq < D:
+        # padded cache lanes hold exact zeros; zero-padded q keeps the
+        # scores identical and PV writes zeros that are sliced off below
+        qb = jnp.pad(qb, ((0, 0), (0, 0), (0, 0), (0, D - Dq)))
     qb = qb.reshape(B, 1, Hkv, G, D).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, G, D)
 
     bt, st = _pick_bt(B, S, D, k_cache.dtype.itemsize)
     grid = (B // bt, Hkv, S // st)
 
+    lay = jnp.asarray(layer, jnp.int32).reshape(1)
     lens = kv_valid_len.astype(jnp.int32).reshape(B, 1)
     win = (jnp.asarray(window, jnp.int32) if window is not None
            else jnp.int32(S + 1)).reshape(1, 1)
@@ -176,44 +189,45 @@ def decode_attention(
         jnp.min(jnp.maximum(lens_t - win[0, 0], 0), axis=1) // st, nv_end - 1)
     nv = jnp.stack([nv_first, nv_end], axis=1)
 
-    def kv_idx(i, j, k, nv_ref):
-        return (i, j, jnp.clip(k, nv_ref[i, 0], nv_ref[i, 1] - 1), 0)
+    def kv_idx(i, j, k, lay_ref, nv_ref):
+        return (lay_ref[0], i, j, jnp.clip(k, nv_ref[i, 0], nv_ref[i, 1] - 1), 0)
 
-    def sc_idx(i, j, k, nv_ref):
-        return (i, j, 0, jnp.clip(k, nv_ref[i, 0], nv_ref[i, 1] - 1))
+    def sc_idx(i, j, k, lay_ref, nv_ref):
+        return (lay_ref[0], i, j, 0,
+                jnp.clip(k, nv_ref[i, 0], nv_ref[i, 1] - 1))
 
     in_specs = [
-        pl.BlockSpec((bt, 1, G, D), lambda i, j, k, nv_ref: (i, j, 0, 0),
+        pl.BlockSpec((bt, 1, G, D), lambda i, j, k, lay_ref, nv_ref: (i, j, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, 1, st, D), kv_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, 1, st, D), kv_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt, 1, st, D), kv_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt, 1, st, D), kv_idx, memory_space=pltpu.VMEM),
     ]
     args = [qb, k_cache, v_cache]
     kernel = _decode_attn_kernel
     if quantized:
-        ks = k_scale.reshape(B, Hkv, 1, S)
-        vs = v_scale.reshape(B, Hkv, 1, S)
+        ks = k_scale.reshape(L, B, Hkv, 1, S)
+        vs = v_scale.reshape(L, B, Hkv, 1, S)
         in_specs += [
-            pl.BlockSpec((bt, 1, 1, st), sc_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1, 1, st), sc_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1, 1, st), sc_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1, 1, st), sc_idx, memory_space=pltpu.VMEM),
         ]
         args += [ks, vs]
     else:
         kernel = functools.partial(_drop_scale_refs, kernel)
     in_specs += [
-        pl.BlockSpec((bt, 1), lambda i, j, k, nv_ref: (i, 0),
+        pl.BlockSpec((bt, 1), lambda i, j, k, lay_ref, nv_ref: (i, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i, j, k, nv_ref: (0, 0),
+        pl.BlockSpec((1, 1), lambda i, j, k, lay_ref, nv_ref: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
     args += [lens, win]
 
     gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bt, 1, G, D),
-                               lambda i, j, k, nv_ref: (i, j, 0, 0),
+                               lambda i, j, k, lay_ref, nv_ref: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((bt, G, 1), jnp.float32),
@@ -236,13 +250,36 @@ def decode_attention(
             transcendentals=B * H * S,
         ),
         interpret=INTERPRET,
-    )(nv, *args)
+    )(lay, nv, *args)
 
     out = out.reshape(B, Hkv, G, 1, D).transpose(0, 3, 1, 2, 4).reshape(B, 1, H, D)
+    if Dq < D:
+        out = out[..., :Dq]
     return out.astype(q.dtype)
 
 
-def _drop_scale_refs(kernel, nv_ref, q_ref, k_ref, v_ref, lens_ref, win_ref,
-                     out_ref, m_ref, l_ref, acc_ref, **kw):
-    kernel(nv_ref, q_ref, k_ref, v_ref, None, None, lens_ref, win_ref,
-           out_ref, m_ref, l_ref, acc_ref, **kw)
+def decode_attention(
+    q: jnp.ndarray,  # [B, 1, H, D] (already roped), any float dtype
+    k_cache: jnp.ndarray,  # [B, Hkv, S, D] int8 or bf16
+    v_cache: jnp.ndarray,
+    k_scale,  # [B, Hkv, S, 1] f32 or None
+    v_scale,
+    kv_valid_len: jnp.ndarray,  # [B] i32
+    scale: float,
+    logit_softcap: float = 0.0,
+    window=None,  # traced i32 scalar or None (no sliding window)
+) -> jnp.ndarray:
+    """Single-layer-slice variant: an L=1 view over the stacked kernel."""
+    return decode_attention_stacked(
+        q, k_cache[None], v_cache[None],
+        None if k_scale is None else k_scale[None],
+        None if v_scale is None else v_scale[None],
+        jnp.int32(0), kv_valid_len,
+        scale=scale, logit_softcap=logit_softcap, window=window,
+    )
+
+
+def _drop_scale_refs(kernel, lay_ref, nv_ref, q_ref, k_ref, v_ref, lens_ref,
+                     win_ref, out_ref, m_ref, l_ref, acc_ref, **kw):
+    kernel(lay_ref, nv_ref, q_ref, k_ref, v_ref, None, None, lens_ref,
+           win_ref, out_ref, m_ref, l_ref, acc_ref, **kw)

@@ -8,6 +8,11 @@ in HBM (memory_space ANY) and only a small aligned window around each slot's
 write offset moves — read-modify-write, because Mosaic requires DMA slice
 offsets provably aligned to the (8, 128) tiling.
 
+The cache head dim is lane-padded to a multiple of 128 by the storage layer
+(ops/kv_cache.pad_head_dim) — narrower new rows arrive zero-padded, so the
+window DMAs are always tile-aligned and no D=64 lane-pairing reshape (a
+layout-transposing copy of the whole slice) is ever needed.
+
 Rows after the write offset inside the window are future positions (never
 read: attention masks cols >= kv_valid) and are clobbered with broadcast
 copies; rows before it are preserved by the read-modify-write.
@@ -30,11 +35,11 @@ _WIN = 8  # payload window (sublane tiling)
 _SWIN = 128  # scale window (lane tiling)
 
 
-def _rmw_payload(cref, b, off, new_h1d, win_s, sem):
+def _rmw_payload(cref, l, b, off, new_h1d, win_s, sem):
     """RMW an aligned [H, _WIN, D] window: rows >= off get `new` [H, 1, D]
     (future rows clobbered with copies — never read past kv_valid)."""
     off_al = pl.multiple_of((off // _WIN) * _WIN, _WIN)
-    rd = pltpu.make_async_copy(cref.at[b, :, pl.ds(off_al, _WIN), :], win_s, sem)
+    rd = pltpu.make_async_copy(cref.at[l, b, :, pl.ds(off_al, _WIN), :], win_s, sem)
     rd.start()
     rd.wait()
     row = jax.lax.broadcasted_iota(jnp.int32, (1, _WIN, 1), 1)
@@ -42,61 +47,39 @@ def _rmw_payload(cref, b, off, new_h1d, win_s, sem):
     H, _, D = new_h1d.shape
     new_w = jnp.broadcast_to(new_h1d, (H, _WIN, D))
     win_s[:] = jnp.where(keep_new, new_w.astype(win_s.dtype), win_s[:])
-    wr = pltpu.make_async_copy(win_s, cref.at[b, :, pl.ds(off_al, _WIN), :], sem)
+    wr = pltpu.make_async_copy(win_s, cref.at[l, b, :, pl.ds(off_al, _WIN), :], sem)
     wr.start()
     wr.wait()
 
 
-def _rmw_payload_paired(cref2, b, off, new_h1d, win_s, sem):
-    """D=64 variant: the cache is viewed as [B, H, S/2, 128] (two adjacent
-    positions share a 128-lane row).  Row off//2's OTHER half is past data —
-    preserved by the RMW; strictly later rows are clobbered."""
-    half = off % 2
-    prow = off // 2
-    prow_al = pl.multiple_of((prow // _WIN) * _WIN, _WIN)
-    rd = pltpu.make_async_copy(cref2.at[b, :, pl.ds(prow_al, _WIN), :], win_s, sem)
-    rd.start()
-    rd.wait()
-    row = prow_al + jax.lax.broadcasted_iota(jnp.int32, (1, _WIN, 128), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _WIN, 128), 2) // 64
-    new_mask = (row > prow) | ((row == prow) & (lane == half))
-    new128 = jnp.concatenate([new_h1d, new_h1d], axis=-1)  # [H, 1, 128]
-    H = new_h1d.shape[0]
-    win_s[:] = jnp.where(new_mask,
-                         jnp.broadcast_to(new128, (H, _WIN, 128)).astype(win_s.dtype),
-                         win_s[:])
-    wr = pltpu.make_async_copy(win_s, cref2.at[b, :, pl.ds(prow_al, _WIN), :], sem)
-    wr.start()
-    wr.wait()
-
-
-def _rmw_scale(sref, b, off, new_h1, win_s, sem):
-    """RMW an aligned [H, _SWIN] lane window of the [B, H, S] scale plane."""
+def _rmw_scale(sref, l, b, off, new_h1, win_s, sem):
+    """RMW an aligned [H, _SWIN] lane window of the [L, B, H, S] scale plane."""
     off_al = pl.multiple_of((off // _SWIN) * _SWIN, _SWIN)
-    rd = pltpu.make_async_copy(sref.at[b, :, pl.ds(off_al, _SWIN)], win_s, sem)
+    rd = pltpu.make_async_copy(sref.at[l, b, :, pl.ds(off_al, _SWIN)], win_s, sem)
     rd.start()
     rd.wait()
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _SWIN), 1)
     keep_new = lane >= (off - off_al)
     win_s[:] = jnp.where(keep_new, new_h1, win_s[:])
-    wr = pltpu.make_async_copy(win_s, sref.at[b, :, pl.ds(off_al, _SWIN)], sem)
+    wr = pltpu.make_async_copy(win_s, sref.at[l, b, :, pl.ds(off_al, _SWIN)], sem)
     wr.start()
     wr.wait()
 
 
 def _append_kernel_quant(
+    lay_ref,  # [1, 1] i32 (SMEM): layer index into the stacked cache
     off_ref,  # [B, 1] i32 (SMEM)
     knew_ref,  # [1, H, 1, D] f32/bf16 (VMEM block, grid b)
     vnew_ref,
     kc_in, vc_in, ks_in, vs_in,  # aliased inputs (ANY) — same buffers as out
-    kc_ref, vc_ref,  # [B, H, S, D] i8 (ANY); [B, H, S/2, 128] when paired
-    ks_ref, vs_ref,  # [B, H, S] f32 (ANY)
+    kc_ref, vc_ref,  # [L, B, H, S, D] i8 (ANY)
+    ks_ref, vs_ref,  # [L, B, H, S] f32 (ANY)
     kwin, vwin, swin, sem,
     *,
-    paired: bool = False,
     S: int = 0,
 ):
     b = pl.program_id(0)
+    l = lay_ref[0, 0]
     off = jnp.minimum(off_ref[b, 0], S - 1)  # dynamic_update_slice clamping
 
     def quantize(new_ref):
@@ -111,107 +94,139 @@ def _append_kernel_quant(
 
     kq, ksc = quantize(knew_ref)
     vq, vsc = quantize(vnew_ref)
-    if paired:
-        _rmw_payload_paired(kc_ref, b, off, kq, kwin, sem)
-        _rmw_payload_paired(vc_ref, b, off, vq, vwin, sem)
-    else:
-        _rmw_payload(kc_ref, b, off, kq, kwin, sem)
-        _rmw_payload(vc_ref, b, off, vq, vwin, sem)
-    _rmw_scale(ks_ref, b, off, ksc, swin, sem)
-    _rmw_scale(vs_ref, b, off, vsc, swin, sem)
+    _rmw_payload(kc_ref, l, b, off, kq, kwin, sem)
+    _rmw_payload(vc_ref, l, b, off, vq, vwin, sem)
+    _rmw_scale(ks_ref, l, b, off, ksc, swin, sem)
+    _rmw_scale(vs_ref, l, b, off, vsc, swin, sem)
 
 
 def _append_kernel_plain(
-    off_ref, knew_ref, vnew_ref,
+    lay_ref, off_ref, knew_ref, vnew_ref,
     kc_in, vc_in,
     kc_ref, vc_ref,
     win, sem,
     *,
-    paired: bool = False,
     S: int = 0,
 ):
     b = pl.program_id(0)
+    l = lay_ref[0, 0]
     off = jnp.minimum(off_ref[b, 0], S - 1)
-    if paired:
-        _rmw_payload_paired(kc_ref, b, off, knew_ref[0], win, sem)
-        _rmw_payload_paired(vc_ref, b, off, vnew_ref[0], win, sem)
-    else:
-        _rmw_payload(kc_ref, b, off, knew_ref[0], win, sem)
-        _rmw_payload(vc_ref, b, off, vnew_ref[0], win, sem)
+    _rmw_payload(kc_ref, l, b, off, knew_ref[0], win, sem)
+    _rmw_payload(vc_ref, l, b, off, vnew_ref[0], win, sem)
 
 
-def kv_append_decode(
-    layer_k,  # [B, H, S, D] cache slice (i8 or bf16)
-    layer_v,
-    new_k,  # [B, 1, H, D]
+def _pad_new(new, width):
+    d = new.shape[-1]
+    if d == width:
+        return new
+    return jnp.pad(new, ((0, 0),) * (new.ndim - 1) + ((0, width - d),))
+
+
+def kv_append_decode_stacked(
+    k_all,  # [L, B, H, S, D] full stacked cache (i8 or bf16), D % 128 == 0
+    v_all,
+    new_k,  # [B, 1, H, d], d <= D (zero-padded to D here)
     new_v,
     offsets,  # [B] i32
-    layer_k_scale=None,  # [B, H, S, 1] f32 when quantized
-    layer_v_scale=None,
+    layer,  # traced i32 scalar: which layer slice to write
+    k_scale_all=None,  # [L, B, H, S, 1] f32 when quantized
+    v_scale_all=None,
 ):
-    """Returns updated (k, v, k_scale, v_scale) — one kernel launch."""
+    """Write one token per slot into layer `layer` of the stacked cache —
+    one kernel launch, cache buffers aliased in place (memory_space ANY).
+
+    Taking the FULL stacked cache (instead of a per-layer slice) keeps the
+    cache out of XLA's scan slicing (no per-layer slice materialization);
+    the layer index rides SMEM."""
     import functools
 
-    B, H, S, D = layer_k.shape
-    quantized = layer_k_scale is not None
-    paired = D == 64  # pair adjacent positions into 128-lane rows
-    kc = layer_k.reshape(B, H, S // 2, 128) if paired else layer_k
-    vc = layer_v.reshape(B, H, S // 2, 128) if paired else layer_v
-    kn = new_k.transpose(0, 2, 1, 3)  # [B, H, 1, D]
-    vn = new_v.transpose(0, 2, 1, 3)
+    L, B, H, S, D = k_all.shape
+    assert D % 128 == 0, (
+        "cache head dim must be lane-padded (ops/kv_cache.pad_head_dim)")
+    assert v_all.shape[-1] == D, "MLA (D_k != D_v) uses the XLA append path"
+    quantized = k_scale_all is not None
+    kn = _pad_new(new_k, D).transpose(0, 2, 1, 3)  # [B, H, 1, D]
+    vn = _pad_new(new_v, D).transpose(0, 2, 1, 3)
     off2 = offsets.astype(jnp.int32).reshape(B, 1)
-    win_d = 128 if paired else D
+    lay2 = jnp.asarray(layer, jnp.int32).reshape(1, 1)
 
-    new_block = pl.BlockSpec((1, H, 1, D), lambda b: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
+    def new_block(d):
+        return pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec((B, 1), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
+    lay_spec = pl.BlockSpec((1, 1), lambda b: (0, 0),
+                            memory_space=pltpu.SMEM)
 
     if quantized:
-        ks3 = layer_k_scale.reshape(B, H, S)
-        vs3 = layer_v_scale.reshape(B, H, S)
+        ks3 = k_scale_all.reshape(L, B, H, S)
+        vs3 = v_scale_all.reshape(L, B, H, S)
         out = pl.pallas_call(
-            functools.partial(_append_kernel_quant, paired=paired, S=S),
+            functools.partial(_append_kernel_quant, S=S),
             grid=(B,),
-            in_specs=[smem_spec, new_block, new_block,
+            in_specs=[lay_spec, smem_spec, new_block(D), new_block(D),
                       any_spec, any_spec, any_spec, any_spec],
             out_specs=(any_spec, any_spec, any_spec, any_spec),
             out_shape=(
-                jax.ShapeDtypeStruct(kc.shape, kc.dtype),
-                jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+                jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+                jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
                 jax.ShapeDtypeStruct(ks3.shape, jnp.float32),
                 jax.ShapeDtypeStruct(vs3.shape, jnp.float32),
             ),
-            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
             scratch_shapes=[
-                pltpu.VMEM((H, _WIN, win_d), jnp.int8),
-                pltpu.VMEM((H, _WIN, win_d), jnp.int8),
+                pltpu.VMEM((H, _WIN, D), jnp.int8),
+                pltpu.VMEM((H, _WIN, D), jnp.int8),
                 pltpu.VMEM((H, _SWIN), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=INTERPRET,
-        )(off2, kn, vn, kc, vc, ks3, vs3)
+        )(lay2, off2, kn, vn, k_all, v_all, ks3, vs3)
         k, v, ks, vs = out
-        return (k.reshape(B, H, S, D), v.reshape(B, H, S, D),
-                ks.reshape(B, H, S, 1), vs.reshape(B, H, S, 1))
+        return (k, v,
+                ks.reshape(L, B, H, S, 1), vs.reshape(L, B, H, S, 1))
 
     k, v = pl.pallas_call(
-        functools.partial(_append_kernel_plain, paired=paired, S=S),
+        functools.partial(_append_kernel_plain, S=S),
         grid=(B,),
-        in_specs=[smem_spec, new_block, new_block, any_spec, any_spec],
+        in_specs=[lay_spec, smem_spec, new_block(D), new_block(D),
+                  any_spec, any_spec],
         out_specs=(any_spec, any_spec),
         out_shape=(
-            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
-            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
         ),
-        input_output_aliases={3: 0, 4: 1},
+        input_output_aliases={4: 0, 5: 1},
         scratch_shapes=[
-            pltpu.VMEM((H, _WIN, win_d), layer_k.dtype),
+            pltpu.VMEM((H, _WIN, D), k_all.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=INTERPRET,
-    )(off2, kn, vn, kc, vc)
-    return k.reshape(B, H, S, D), v.reshape(B, H, S, D), None, None
+    )(lay2, off2, kn, vn, k_all, v_all)
+    return k, v, None, None
+
+
+def kv_append_decode(
+    layer_k,  # [B, H, S, D] cache slice (i8 or bf16), D % 128 == 0
+    layer_v,
+    new_k,  # [B, 1, H, d], d <= D
+    new_v,
+    offsets,  # [B] i32
+    layer_k_scale=None,  # [B, H, S, 1] f32 when quantized
+    layer_v_scale=None,
+):
+    """Single-layer-slice variant: an L=1 view over the stacked kernel."""
+    out = kv_append_decode_stacked(
+        layer_k[None], layer_v[None], new_k, new_v, offsets,
+        jnp.int32(0),
+        None if layer_k_scale is None else layer_k_scale[None],
+        None if layer_v_scale is None else layer_v_scale[None],
+    )
+    k, v, ks, vs = out
+    return (k[0], v[0],
+            None if ks is None else ks[0],
+            None if vs is None else vs[0])

@@ -27,7 +27,7 @@ from booster_tpu.ops.pallas_qmm import (
     _qmm_i4_kernel,
     _qmm_i8_kernel,
 )
-from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor
+from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor, kernel_scales
 
 INTERPRET = False  # flipped by tests for CPU interpret mode
 
@@ -83,15 +83,12 @@ def grouped_qmm(
 
     if w.kind == "i4p":
         half = K // 2
-        srow = (4 if w.mins is not None else 2) * (half // G) * 4
+        sg = half // G
+        s3, has_mins = kernel_scales(w)  # [E*Ne, 2(+2), sg]
+        srow = s3.shape[1] * sg * 4
         _, BN, BB = _pick_tiles(Ne, half, bm, srow)
         grid = (Mp // bm, Ne // BN, half // BB)
-        has_mins = w.mins is not None
         x3 = xp.reshape(Mp, 2, half).astype(jnp.bfloat16)
-        sg = half // G
-        s3 = w.scales.reshape(E * Ne, 2, sg)
-        if has_mins:
-            s3 = jnp.concatenate([s3, w.mins.reshape(E * Ne, 2, sg)], axis=1)
         npe = Ne // BN  # weight tiles per expert
 
         def kern(te_ref, x_ref, qw_ref, s_ref, out_ref):
@@ -107,7 +104,7 @@ def grouped_qmm(
                 pl.BlockSpec((BN, BB),
                              lambda m, n, k, te: (te[m] * npe + n, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BN, 4 if has_mins else 2, sg),
+                pl.BlockSpec((BN, s3.shape[1], sg),
                              lambda m, n, k, te: (te[m] * npe + n, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -125,14 +122,11 @@ def grouped_qmm(
         )(tile_expert, x3, w.qw, s3)
 
     if w.kind == "i8":
-        srow = (2 if w.mins is not None else 1) * (K // G) * 4
+        sg = K // G
+        s3, has_mins = kernel_scales(w)  # [E*Ne, 1(+1), sg]
+        srow = s3.shape[1] * sg * 4
         _, BN, BK = _pick_tiles(Ne, K, bm, srow)
         grid = (Mp // bm, Ne // BN, K // BK)
-        has_mins = w.mins is not None
-        sg = K // G
-        s3 = w.scales.reshape(E * Ne, 1, sg)
-        if has_mins:
-            s3 = jnp.concatenate([s3, w.mins.reshape(E * Ne, 1, sg)], axis=1)
         npe = Ne // BN
 
         def kern8(te_ref, x_ref, qw_ref, s_ref, out_ref):
@@ -148,7 +142,7 @@ def grouped_qmm(
                 pl.BlockSpec((BN, BK),
                              lambda m, n, k, te: (te[m] * npe + n, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BN, 2 if has_mins else 1, sg),
+                pl.BlockSpec((BN, s3.shape[1], sg),
                              lambda m, n, k, te: (te[m] * npe + n, 0, 0),
                              memory_space=pltpu.VMEM),
             ],

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor
+from booster_tpu.quant.qtensor import QTensor, dequantize_qtensor, kernel_scales
 
 # flipped to True by tests to run kernels in interpreter mode on CPU
 INTERPRET = False
@@ -177,17 +177,13 @@ def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     N = w.shape[0]
     G = w.group
     half = K // 2
-    sg_full = half // G
-    srow = (4 if w.mins is not None else 2) * sg_full * 4
+    sg = half // G
+    s3, has_mins = kernel_scales(w)  # [N, 2(+2), sg]
+    srow = s3.shape[1] * sg * 4
     BM, BN, BB = _pick_tiles(N, half, M, srow)
     grid = (M // BM, N // BN, half // BB)
-    has_mins = w.mins is not None
 
     x3 = x.reshape(M, 2, half).astype(jnp.bfloat16)
-    sg = half // G
-    s3 = w.scales.reshape(N, 2, sg)
-    if has_mins:
-        s3 = jnp.concatenate([s3, w.mins.reshape(N, 2, sg)], axis=1)  # [N,4,sg]
 
     return pl.pallas_call(
         functools.partial(_qmm_i4_kernel, group=G, bb=BB, has_mins=has_mins,
@@ -198,7 +194,7 @@ def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, BB), lambda m, n, k: (n, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (BN, 4 if has_mins else 2, sg), lambda m, n, k: (n, 0, 0),
+                (BN, s3.shape[1], sg), lambda m, n, k: (n, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -221,15 +217,11 @@ def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     M, K = x.shape
     N = w.shape[0]
     G = w.group
-    srow = (2 if w.mins is not None else 1) * (K // G) * 4
+    sg = K // G
+    s3, has_mins = kernel_scales(w)  # [N, 1(+1), sg]
+    srow = s3.shape[1] * sg * 4
     BM, BN, BK = _pick_tiles(N, K, M, srow)
     grid = (M // BM, N // BN, K // BK)
-    has_mins = w.mins is not None
-    sg = K // G
-
-    s3 = w.scales.reshape(N, 1, sg)
-    if has_mins:
-        s3 = jnp.concatenate([s3, w.mins.reshape(N, 1, sg)], axis=1)
 
     return pl.pallas_call(
         functools.partial(_qmm_i8_kernel, group=G, bk=BK, has_mins=has_mins),
@@ -238,7 +230,7 @@ def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
             pl.BlockSpec((BM, BK), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, BK), lambda m, n, k: (n, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (BN, 2 if has_mins else 1, sg), lambda m, n, k: (n, 0, 0),
+                (BN, s3.shape[1], sg), lambda m, n, k: (n, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

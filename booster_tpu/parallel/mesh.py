@@ -82,9 +82,12 @@ def _spec_for(role: str, ndim: int, stacked: bool) -> P:
     parts = list(base)
     if stacked:
         parts = [None] + parts
-    # pad/truncate to ndim
+    # pad to ndim by inserting None *before the last* spec entry: extra dims
+    # come from kernel-block scale planes [.., N, R, sg] (prepare_kernel_scales)
+    # whose trailing sg axis tracks the logical K axis — the K shard must land
+    # on sg, not on the scale/min row axis R
     while len(parts) < ndim:
-        parts.append(None)
+        parts.insert(max(len(parts) - 1, 0), None)
     return P(*parts[:ndim])
 
 

@@ -165,6 +165,8 @@ def collect_imatrix(model, token_ids, n_ctx: int = 512,
             k_sl, v_sl, _, _ = update_layer(
                 cache.k[i], cache.v[i], k, v, cache.lengths
             )
+            k_sl = k_sl[..., :D]  # storage is lane-padded (pad_head_dim)
+            v_sl = v_sl[..., :(cfg.head_dim_v or D)]
             scale = cfg.attn_scale if cfg.attn_scale > 0 else 1.0 / (D ** 0.5)
             attn = attention(q, k_sl.astype(x.dtype), v_sl.astype(x.dtype),
                              positions, kv_valid, scale, mask=mask)

@@ -75,6 +75,13 @@ class QTensor:
     def in_features(self) -> int:
         return self.shape[1]
 
+    @property
+    def prepared(self) -> bool:
+        """True when `scales` holds the kernel-block form (see
+        prepare_kernel_scales): one extra trailing axis vs the payload."""
+        return (self.scales is not None
+                and self.scales.ndim == self.qw.ndim + 1)
+
     def astype_device(self):
         """Move payload arrays to jax (device) arrays."""
         to = jnp.asarray
@@ -93,6 +100,59 @@ class QTensor:
         if self.mins is not None:
             n += self.mins.size * self.mins.dtype.itemsize
         return int(n)
+
+
+def prepare_kernel_scales(qt: QTensor) -> QTensor:
+    """Pre-shape `scales` (and fold `mins`) into the Pallas kernels' operand
+    layout: i4p → [..., N, 2(+2), K/(2G)], i8 → [..., N, 1(+1), K/G] (the
+    +rows hold mins when affine).
+
+    The fused-matmul kernels would otherwise reshape+concatenate per call —
+    inside a layer scan that materializes multi-MB layout copies of the
+    scale planes every decode step (measured; see tools/ablate_decode.py).
+    Pre-shaping at load makes each layer's slice a zero-copy view of the
+    stacked array.  Done once, host-side, by the model loader."""
+    if qt.kind not in ("i4p", "i8") or qt.scales is None or qt.prepared:
+        return qt
+    s = np.asarray(qt.scales)
+    rows = 2 if qt.kind == "i4p" else 1
+    sg = s.shape[-1] // rows
+    s3 = s.reshape(*s.shape[:-1], rows, sg)
+    if qt.mins is not None:
+        m3 = np.asarray(qt.mins).reshape(*s.shape[:-1], rows, sg)
+        s3 = np.concatenate([s3, m3], axis=-2)
+    return replace(qt, scales=np.ascontiguousarray(s3), mins=None)
+
+
+def flat_scales(qt: QTensor):
+    """(scales [..., N, K/G], mins [..., N, K/G] | None) for either storage
+    form — the inverse view of prepare_kernel_scales (works on numpy and jax
+    arrays alike; reshapes/slices only)."""
+    s = qt.scales
+    if s is None or not qt.prepared:
+        return s, qt.mins
+    rows = 2 if qt.kind == "i4p" else 1
+    if s.shape[-2] == rows:  # no mins folded
+        return s.reshape(*s.shape[:-2], -1), None
+    sc = s[..., :rows, :].reshape(*s.shape[:-2], -1)
+    mn = s[..., rows:, :].reshape(*s.shape[:-2], -1)
+    return sc, mn
+
+
+def kernel_scales(qt: QTensor):
+    """(s3 [N, R, sg], has_mins) in the kernels' operand layout, building it
+    in-graph when the tensor was not prepared at load."""
+    rows = 2 if qt.kind == "i4p" else 1
+    if qt.prepared:
+        s3 = qt.scales
+        return s3, s3.shape[-2] == 2 * rows
+    sg = qt.scales.shape[-1] // rows
+    s3 = qt.scales.reshape(*qt.scales.shape[:-1], rows, sg)
+    if qt.mins is not None:
+        m3 = qt.mins.reshape(*qt.mins.shape[:-1], rows, sg)
+        s3 = jnp.concatenate([jnp.asarray(s3), jnp.asarray(m3)], axis=-2)
+        return s3, True
+    return s3, False
 
 
 def _tree_flatten(qt: QTensor):
@@ -385,10 +445,11 @@ def dequantize_qtensor_np(qt: QTensor) -> np.ndarray:
     out_f, in_f = qt.shape
     if qt.zero:
         q = q - float(qt.zero)
-    s = np.repeat(np.asarray(qt.scales, dtype=np.float32), qt.group, axis=1)
+    sc, mn = flat_scales(qt)
+    s = np.repeat(np.asarray(sc, dtype=np.float32), qt.group, axis=1)
     v = q.reshape(out_f, in_f) * s
-    if qt.mins is not None:
-        v = v - np.repeat(np.asarray(qt.mins, dtype=np.float32), qt.group, axis=1)
+    if mn is not None:
+        v = v - np.repeat(np.asarray(mn, dtype=np.float32), qt.group, axis=1)
     return v
 
 
@@ -408,8 +469,8 @@ def dequantize_qtensor(qt: QTensor, dtype=None):
     g = qt.group
     if qt.zero:
         q = q - float(qt.zero)
-    s = jnp.asarray(qt.scales)
-    v = (q.reshape(out_f, in_f // g, g) * s[:, :, None])
-    if qt.mins is not None:
-        v = v - jnp.asarray(qt.mins)[:, :, None]
+    sc, mn = flat_scales(qt)
+    v = (q.reshape(out_f, in_f // g, g) * jnp.asarray(sc)[:, :, None])
+    if mn is not None:
+        v = v - jnp.asarray(mn)[:, :, None]
     return v.reshape(out_f, in_f).astype(dtype)

@@ -62,10 +62,12 @@ def test_append_matches_dense(quantized):
             pk, pv, new_k, new_v, offsets, table, pks, pvs)
         dk, dv, dks, dvs = update_layer(dk, dv, new_k, new_v, offsets, dks, dvs)
 
+    # dense storage is lane-padded (kv_cache.pad_head_dim); the paged pool
+    # stores raw D — compare the logical lanes
     np.testing.assert_array_equal(np.asarray(gather_layer(pk, table)),
-                                  np.asarray(dk))
+                                  np.asarray(dk[..., :D]))
     np.testing.assert_array_equal(np.asarray(gather_layer(pv, table)),
-                                  np.asarray(dv))
+                                  np.asarray(dv[..., :D]))
     if quantized:
         np.testing.assert_array_equal(
             np.asarray(gather_layer(pks, table)), np.asarray(dks))

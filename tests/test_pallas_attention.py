@@ -143,6 +143,86 @@ def test_decode_attention_mha_group1():
     )
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_attention_stacked_layer_select(quantized):
+    """L>1 stacked cache: the kernel attends over exactly the scalar-
+    prefetched layer's slice (every layer holds different data)."""
+    L, lay = 3, 2
+    rng = np.random.default_rng(21)
+    B, Hkv, G, S, D = 2, 2, 2, 256, 64
+    H = Hkv * G
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)).astype(np.float32))
+    lens = jnp.asarray(np.array([100, 256], np.int32))
+    scale = 0.125
+    if quantized:
+        kq, ks = _quantize_kv(k.reshape(L * B, Hkv, S, D))
+        vq, vs = _quantize_kv(v.reshape(L * B, Hkv, S, D))
+        kq = kq.reshape(L, B, Hkv, S, D); vq = vq.reshape(L, B, Hkv, S, D)
+        ks = ks.reshape(L, B, Hkv, S, 1); vs = vs.reshape(L, B, Hkv, S, 1)
+        kd = (kq[lay].astype(jnp.float32) * ks[lay]).astype(jnp.bfloat16)
+        vd = (vq[lay].astype(jnp.float32) * vs[lay]).astype(jnp.bfloat16)
+        ref = ref_attention(q, kd, vd, lens, scale)
+        out = pa.decode_attention_stacked(
+            q, kq, vq, ks, vs, jnp.int32(lay), lens, scale)
+    else:
+        ref = ref_attention(q, k[lay], v[lay], lens, scale)
+        out = pa.decode_attention_stacked(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), None, None, jnp.int32(lay), lens, scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+@pytest.mark.parametrize("kv_quantized", [False, True])
+def test_forward_stacked_decode_matches_xla(tmp_path, kv_quantized):
+    """Whole-model stacked-cache decode (full cache as scan carry, layer
+    selected by scalar prefetch) vs the XLA attention path.  D=64 and
+    S%128==0 so _use_stacked_decode engages once both kernel gates are on."""
+    import booster_tpu.ops.pallas_kv as pk
+    from booster_tpu.models import load_model
+    from booster_tpu.models.llama import forward, _use_stacked_decode
+    from booster_tpu.ops.kv_cache import KVCache, pad_head_dim
+    from booster_tpu.ops import linear
+    from tools.make_test_model import make_model
+
+    path = str(tmp_path / "tiny64.gguf")
+    make_model(path, vocab_size=256, hidden=128, layers=3, heads=2, kv_heads=2)
+    m = load_model(path)
+    assert m.cfg.head_dim == 64
+
+    def run():
+        cache = KVCache.create(
+            m.cfg.n_layers, 2, 128, m.cfg.n_kv_heads, m.cfg.head_dim,
+            quantized=kv_quantized,
+        )
+        prompt = jnp.asarray(np.arange(16, dtype=np.int32)[None, :].repeat(2, 0))
+        logits, cache = forward(m.params, m.cfg, prompt, cache, last_only=True)
+        tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        logits2, cache = forward(m.params, m.cfg, tok, cache, last_only=True)
+        return np.asarray(logits2[:, -1, :], np.float32)
+
+    old = linear._USE_PALLAS
+    try:
+        linear.set_use_pallas(False)
+        pa.INTERPRET = False
+        jax.clear_caches()  # INTERPRET isn't in the jit key: force retrace
+        ref = run()  # XLA path (both kernel gates off)
+        pa.INTERPRET = True
+        pk.INTERPRET = True
+        assert _use_stacked_decode(m.cfg, 1, 128, pad_head_dim(m.cfg.head_dim))
+        jax.clear_caches()
+        stacked = run()
+    finally:
+        linear.set_use_pallas(old)
+        pk.INTERPRET = False
+        jax.clear_caches()
+    np.testing.assert_allclose(stacked, ref, atol=0.05, rtol=0.05)
+
+
 @pytest.mark.parametrize("kv_quantized", [False, True])
 def test_forward_fused_decode_matches_xla(tmp_path, kv_quantized):
     """Whole-model decode step: fused kernel path vs XLA attention path."""
@@ -170,14 +250,18 @@ def test_forward_fused_decode_matches_xla(tmp_path, kv_quantized):
     old = linear._USE_PALLAS
     try:
         linear.set_use_pallas(False)
-        ref = run()  # XLA path (fused gate off: use_pallas False, INTERPRET
-        # is toggled by the autouse fixture, so flip it off for the ref)
+        # fused gate off: use_pallas False + INTERPRET off (the autouse
+        # fixture turns it on, flip back).  INTERPRET isn't part of the jit
+        # cache key, so clear_caches() forces a genuine retrace per mode.
         pa.INTERPRET = False
+        jax.clear_caches()
         ref = run()
         pa.INTERPRET = True
+        jax.clear_caches()
         fused = run()  # INTERPRET on → _use_fused_decode engages on CPU
     finally:
         linear.set_use_pallas(old)
+        jax.clear_caches()
     np.testing.assert_allclose(fused, ref, atol=0.05, rtol=0.05)
 
 
