@@ -33,6 +33,13 @@ def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     log = setup_logging(args.log, args.debug)
 
+    # persistent jit cache: remote-TPU compiles take minutes; restarts and
+    # repeat invocations should hit the cache (must be set before first
+    # backend use)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/booster_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     config = None
     for candidate in ([args.config] if args.config else ["config.yaml", "config.json"]):
         if candidate and os.path.exists(candidate):
@@ -185,6 +192,12 @@ def main(argv=None) -> int:
         from aiohttp import web
 
         from booster_tpu.serving.server import make_app
+
+        log.info("warming up (compiling prefill + decode)...")
+        engine.warmup()
+        if draft_engine is not None:
+            draft_engine.warmup()
+        log.info("warmup done")
 
         async def monitor():
             """--debug job monitor (booster.go:374-435): periodic job table."""

@@ -75,9 +75,14 @@ def load_lora(path: str) -> dict:
         return {"targets": out, "scale": alpha / rank, "rank": rank}
 
 
-def apply_lora(params: dict, lora: dict, scale: Optional[float] = None) -> dict:
+def apply_lora(params: dict, lora: dict, scale: Optional[float] = None,
+               cfg=None) -> dict:
     """Attach LoRA low-rank params to the model pytree (runtime application:
-    qlinear output += scale * (x @ A^T) @ B^T, exact)."""
+    qlinear output += scale * (x @ A^T) @ B^T, exact).
+
+    Pass the model's cfg when it has rope_deinterleaved=True: the adapter's
+    wq/wk B rows (out features in q/k space) are permuted to match the
+    loader's de-interleaved base weights."""
     import jax.numpy as jnp
 
     s = float(scale if scale is not None else lora["scale"])
@@ -88,8 +93,16 @@ def apply_lora(params: dict, lora: dict, scale: Optional[float] = None) -> dict:
             "load_model(..., fuse=False)"
         )
     for target, ab in lora["targets"].items():
+        b = ab["b"]
+        if (cfg is not None and getattr(cfg, "rope_deinterleaved", False)
+                and target in ("wq", "wk")):
+            from booster_tpu.models.loader import deinterleave_perm
+
+            heads = cfg.n_heads if target == "wq" else cfg.n_kv_heads
+            perm = deinterleave_perm(heads, cfg.head_dim, cfg.rope_dims)
+            b = b[:, perm]  # [L, out, r]: permute out rows per layer
         layers[f"lora_a_{target}"] = jnp.asarray(ab["a"], jnp.bfloat16)
-        layers[f"lora_b_{target}"] = jnp.asarray(ab["b"] * s, jnp.bfloat16)
+        layers[f"lora_b_{target}"] = jnp.asarray(b * s, jnp.bfloat16)
     out = dict(params)
     out["layers"] = layers
     return out

@@ -79,6 +79,11 @@ class ModelConfig:
     rope_base: float = 10000.0
     rope_dim: int = 0  # 0 → head_dim
     rope_style: str = ROPE_NORM
+    # loader converted interleaved ("norm") q/k weights to the split-half
+    # (neox) row order (rope de-interleave — see loader._deinterleave_rope);
+    # runtime rope_style is then neox.  LoRA deltas on wq/wk must be
+    # permuted the same way (models/adapters.py).
+    rope_deinterleaved: bool = False
     # rope scaling ("none" | "linear" | "yarn")
     rope_scaling: str = "none"
     rope_scale: float = 1.0

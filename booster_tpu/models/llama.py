@@ -230,6 +230,7 @@ def _layer(
     cfg: ModelConfig,
     table: Optional[jnp.ndarray] = None,  # [B, MAXP]: paged-cache page table
     stacked_layer=None,  # traced i32: k/v slices are the FULL stacked cache
+    attn_prep=None,  # hoisted decode_prep output (layer-invariant windows)
 ):
     B, T, C = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -339,7 +340,7 @@ def _layer(
                 q, k_slice, v_slice, ks_slice, vs_slice, stacked_layer,
                 kv_valid,
                 scale=scale, logit_softcap=cfg.attn_logit_softcap,
-                window=window,
+                window=window, prep=attn_prep,
             )
         elif table is None:
             from booster_tpu.ops.pallas_attention import decode_attention
@@ -544,6 +545,18 @@ def forward(
         # attention kernels index the layer via scalar prefetch, so no
         # per-layer cache slice is ever materialized by XLA
         kf, vf, ksf, vsf = cache.k, cache.v, cache.k_scale, cache.v_scale
+        attn_prep = None
+        if not (cfg.sliding_window > 0 and cfg.sliding_window_pattern > 1):
+            # layer-invariant window: hoist the kernel's scalar operands
+            # (lens/win/nv) out of the scan — one computation per step
+            from booster_tpu.ops.pallas_attention import decode_prep
+
+            attn_prep = decode_prep(
+                kv_valid,
+                jnp.int32(cfg.sliding_window) if cfg.sliding_window > 0
+                else None,
+                B=B, S=S, D=kf.shape[-1], itemsize=kf.dtype.itemsize,
+            )
         off = 0
         for g in groups:
             Lg = jax.tree.leaves(g)[0].shape[0]
@@ -555,7 +568,7 @@ def forward(
                     x, lp, layer_idx, kf, vf, ksf, vsf,
                     positions, rope_cos, rope_sin, None, None,
                     offsets, kv_valid, cfg, table=None,
-                    stacked_layer=layer_idx,
+                    stacked_layer=layer_idx, attn_prep=attn_prep,
                 )
                 return (x, kf, vf, ksf, vsf), None
 

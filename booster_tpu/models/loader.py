@@ -19,7 +19,12 @@ import numpy as np
 
 from booster_tpu.gguf import GGMLType, GGUFReader
 from booster_tpu.models.config import ModelConfig
-from booster_tpu.ops.rope import rope_inv_freq, yarn_params
+from booster_tpu.ops.rope import (
+    ROPE_NEOX,
+    ROPE_NORM,
+    rope_inv_freq,
+    yarn_params,
+)
 from booster_tpu.quant import dequantize, repack_gguf_tensor
 from booster_tpu.quant.qtensor import QTensor, prepare_kernel_scales
 from booster_tpu.tokenizer import Tokenizer
@@ -187,6 +192,40 @@ def _concat_rows(qts: list[QTensor]) -> Optional[QTensor]:
     )
 
 
+def deinterleave_perm(n_heads: int, head_dim: int, d_rot: int) -> np.ndarray:
+    """Row permutation turning interleaved-rope ("norm" style) q/k weights
+    into the split-half (neox) order: within each head, new[i] = old[2i] and
+    new[half+i] = old[2i+1] for the rotated prefix, identity past d_rot.
+
+    Applying it identically to wq and wk leaves every q·k score unchanged
+    (the contraction is permutation-invariant), so the model is exact — but
+    rope becomes the neox form, which XLA compiles to two half-slices
+    instead of the strided even/odd gathers + stack/reshape relayouts the
+    interleaved form costs (~10 extra launches/layer, tools/ablate_decode).
+    This mirrors (inverts) the HF→GGUF permute convert_hf_to_gguf.py applies
+    to llama-family checkpoints."""
+    half = d_rot // 2
+    within = np.arange(head_dim)
+    within[:half] = 2 * np.arange(half)
+    within[half:d_rot] = 2 * np.arange(half) + 1
+    return (np.arange(n_heads)[:, None] * head_dim + within[None, :]).reshape(-1)
+
+
+def _permute_rows(t, perm: np.ndarray):
+    """Permute out-feature rows of a dense array / QTensor (all payload and
+    scale planes are row-major in out features)."""
+    if t is None:
+        return None
+    if isinstance(t, QTensor):
+        return dataclasses.replace(
+            t,
+            qw=np.asarray(t.qw)[perm],
+            scales=None if t.scales is None else np.asarray(t.scales)[perm],
+            mins=None if t.mins is None else np.asarray(t.mins)[perm],
+        )
+    return np.asarray(t)[perm]
+
+
 def _split_rows(qt: QTensor, sizes: list[int]) -> list[QTensor]:
     """Split a QTensor along the out-features axis (e.g. fused qkv → q,k,v)."""
     out = []
@@ -322,6 +361,12 @@ def load_model(
     layer_dicts: list[dict[str, Any]] = []
     layer_map = (_T5_DEC_MAP if t5_full
                  else _T5_ENC_MAP if t5_enc else _LAYER_MAP)
+    # interleaved-rope models: de-interleave q/k rows at load so runtime
+    # rope is the cheap neox form (see deinterleave_perm); exact.
+    # MLA (deepseek2) ropes packed sub-slices of q/kv projections — skip.
+    deint = (cfg.rope_style == ROPE_NORM and cfg.kv_lora_rank == 0
+             and cfg.rope_dims > 1 and not (t5_enc or t5_full))
+    did_deint = False
     for i in range(cfg.n_layers):
         prefix = (f"dec.blk.{i}." if t5_full
                   else f"enc.blk.{i}." if t5_enc else f"blk.{i}.")
@@ -351,6 +396,26 @@ def load_model(
                 lp["bv"] = bqkv[d_q + d_kv:]
         if "w_gate" not in lp and "w_up" in lp and lp["w_up"].shape[0] == 2 * cfg.n_ff:
             lp["w_gate"], lp["w_up"] = _split_rows(lp["w_up"], [cfg.n_ff, cfg.n_ff])
+
+        if deint and "wq" in lp and "wk" in lp:
+            h_l = cfg.heads_per_layer[i] if cfg.heads_per_layer else cfg.n_heads
+            kv_l = (cfg.kv_heads_per_layer[i] if cfg.kv_heads_per_layer
+                    else cfg.n_kv_heads)
+            pq = deinterleave_perm(h_l, cfg.head_dim, cfg.rope_dims)
+            pk = deinterleave_perm(kv_l, cfg.head_dim, cfg.rope_dims)
+            ph = deinterleave_perm(1, cfg.head_dim, cfg.rope_dims)
+            for key, perm in (("wq", pq), ("bq", pq), ("wq_scale", None),
+                              ("wk", pk), ("bk", pk), ("wk_scale", None)):
+                if key in lp and perm is not None and lp[key] is not None:
+                    lp[key] = _permute_rows(lp[key], perm)
+            for key in ("q_norm", "k_norm", "q_norm_b", "k_norm_b"):
+                v = lp.get(key)
+                if v is None:
+                    continue  # per-tensor scales (wq_scale) need no permute
+                v = np.asarray(v)
+                lp[key] = (v[ph] if v.shape[0] == cfg.head_dim
+                           else _permute_rows(v, pq if "q" in key else pk))
+            did_deint = True
 
         # fuse q/k/v and gate/up into single matmuls (decode launch overhead)
         if t5_enc:
@@ -383,6 +448,9 @@ def load_model(
 
     if not layer_dicts:
         raise ValueError("no layers found")
+    if did_deint:
+        cfg = dataclasses.replace(cfg, rope_style=ROPE_NEOX,
+                                  rope_deinterleaved=True)
 
     def stack_group(dicts: list[dict[str, Any]]) -> dict[str, Any]:
         stacked: dict[str, Any] = {}

@@ -138,6 +138,34 @@ def _pick_bt(B: int, S: int, D: int, itemsize: int) -> tuple[int, int]:
     return max(bt, 1), st
 
 
+def decode_prep(
+    kv_valid_len: jnp.ndarray,  # [B] i32
+    window,  # traced i32 scalar or None
+    *,
+    B: int,
+    S: int,
+    D: int,
+    itemsize: int,
+):
+    """Layer-invariant operands of the decode-attention kernel: (lens, win,
+    nv, bt, st).  Compute ONCE per forward and pass as `prep` — inside the
+    layer scan these small fusions otherwise re-run every layer (3 extra
+    launches/layer, tools/ablate_decode)."""
+    bt, st = _pick_bt(B, S, D, itemsize)
+    lens = kv_valid_len.astype(jnp.int32).reshape(B, 1)
+    win = (jnp.asarray(window, jnp.int32) if window is not None
+           else jnp.int32(S + 1)).reshape(1, 1)
+    # live S-tile range [first, end) per batch tile: end covers the longest
+    # row (≥1 so the steered index stays in range); first is the earliest
+    # sliding-window start across rows (0 when no window is active).
+    lens_t = lens.reshape(B // bt, bt)
+    nv_end = jnp.maximum(1, (jnp.max(lens_t, axis=1) + (st - 1)) // st)
+    nv_first = jnp.minimum(
+        jnp.min(jnp.maximum(lens_t - win[0, 0], 0), axis=1) // st, nv_end - 1)
+    nv = jnp.stack([nv_first, nv_end], axis=1)
+    return lens, win, nv, bt, st
+
+
 def decode_attention_stacked(
     q: jnp.ndarray,  # [B, 1, H, D] (already roped), any float dtype
     k_cache: jnp.ndarray,  # [L, B, Hkv, S, D] int8 or bf16 (full stacked)
@@ -149,6 +177,7 @@ def decode_attention_stacked(
     scale: float,
     logit_softcap: float = 0.0,
     window=None,  # traced i32 scalar or None (no sliding window)
+    prep=None,  # precomputed decode_prep(...) output (hoisted out of scan)
 ) -> jnp.ndarray:
     """Fused decode attention over one layer of the stacked cache; returns
     [B, 1, H, D] in q.dtype.  The layer is selected by the kernel's index
@@ -171,23 +200,17 @@ def decode_attention_stacked(
         # padded cache lanes hold exact zeros; zero-padded q keeps the
         # scores identical and PV writes zeros that are sliced off below
         qb = jnp.pad(qb, ((0, 0), (0, 0), (0, 0), (0, D - Dq)))
-    qb = qb.reshape(B, 1, Hkv, G, D).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, G, D)
+    # [B, 1, H, D] → [B, Hkv, G, D]: same row-major linearization (squeeze
+    # the singleton, split H) — no transpose, no layout copy
+    qb = qb.reshape(B, Hkv, G, D)
 
-    bt, st = _pick_bt(B, S, D, k_cache.dtype.itemsize)
+    if prep is None:
+        prep = decode_prep(kv_valid_len, window, B=B, S=S, D=D,
+                           itemsize=k_cache.dtype.itemsize)
+    lens, win, nv, bt, st = prep
     grid = (B // bt, Hkv, S // st)
 
     lay = jnp.asarray(layer, jnp.int32).reshape(1)
-    lens = kv_valid_len.astype(jnp.int32).reshape(B, 1)
-    win = (jnp.asarray(window, jnp.int32) if window is not None
-           else jnp.int32(S + 1)).reshape(1, 1)
-    # live S-tile range [first, end) per batch tile: end covers the longest
-    # row (≥1 so the steered index stays in range); first is the earliest
-    # sliding-window start across rows (0 when no window is active).
-    lens_t = lens.reshape(B // bt, bt)
-    nv_end = jnp.maximum(1, (jnp.max(lens_t, axis=1) + (st - 1)) // st)
-    nv_first = jnp.minimum(
-        jnp.min(jnp.maximum(lens_t - win[0, 0], 0), axis=1) // st, nv_end - 1)
-    nv = jnp.stack([nv_first, nv_end], axis=1)
 
     def kv_idx(i, j, k, lay_ref, nv_ref):
         return (lay_ref[0], i, j, jnp.clip(k, nv_ref[i, 0], nv_ref[i, 1] - 1), 0)
@@ -252,7 +275,8 @@ def decode_attention_stacked(
         interpret=INTERPRET,
     )(lay, nv, *args)
 
-    out = out.reshape(B, Hkv, G, 1, D).transpose(0, 3, 1, 2, 4).reshape(B, 1, H, D)
+    # [B, Hkv, G, D] → [B, 1, H, D]: same linearization, no transpose
+    out = out.reshape(B, 1, H, D)
     if Dq < D:
         out = out[..., :Dq]
     return out.astype(q.dtype)

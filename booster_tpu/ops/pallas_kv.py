@@ -35,18 +35,23 @@ _WIN = 8  # payload window (sublane tiling)
 _SWIN = 128  # scale window (lane tiling)
 
 
-def _rmw_payload(cref, l, b, off, new_h1d, win_s, sem):
-    """RMW an aligned [H, _WIN, D] window: rows >= off get `new` [H, 1, D]
-    (future rows clobbered with copies — never read past kv_valid)."""
+def _rmw_payload(cref, l, b, off, new_hd, win_s, sem):
+    """RMW an aligned [H, _WIN, D] window: rows >= off get `new` [H, D]
+    (future rows clobbered with copies — never read past kv_valid).
+
+    The new row arrives [H, D] (no middle singleton: Mosaic rejects the
+    middle-dim-inserting reshape/broadcast) and is written with _WIN
+    predicated static-row stores."""
     off_al = pl.multiple_of((off // _WIN) * _WIN, _WIN)
     rd = pltpu.make_async_copy(cref.at[l, b, :, pl.ds(off_al, _WIN), :], win_s, sem)
     rd.start()
     rd.wait()
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, _WIN, 1), 1)
-    keep_new = row >= (off - off_al)
-    H, _, D = new_h1d.shape
-    new_w = jnp.broadcast_to(new_h1d, (H, _WIN, D))
-    win_s[:] = jnp.where(keep_new, new_w.astype(win_s.dtype), win_s[:])
+    new_c = new_hd.astype(win_s.dtype)
+    rel = off - off_al
+    for w in range(_WIN):  # static unroll: all store indices constant
+        @pl.when(w >= rel)
+        def _():
+            win_s[:, w, :] = new_c
     wr = pltpu.make_async_copy(win_s, cref.at[l, b, :, pl.ds(off_al, _WIN), :], sem)
     wr.start()
     wr.wait()
@@ -69,7 +74,7 @@ def _rmw_scale(sref, l, b, off, new_h1, win_s, sem):
 def _append_kernel_quant(
     lay_ref,  # [1, 1] i32 (SMEM): layer index into the stacked cache
     off_ref,  # [B, 1] i32 (SMEM)
-    knew_ref,  # [1, H, 1, D] f32/bf16 (VMEM block, grid b)
+    knew_ref,  # [1, H, D] f32/bf16 (VMEM block, grid b)
     vnew_ref,
     kc_in, vc_in, ks_in, vs_in,  # aliased inputs (ANY) — same buffers as out
     kc_ref, vc_ref,  # [L, B, H, S, D] i8 (ANY)
@@ -83,14 +88,10 @@ def _append_kernel_quant(
     off = jnp.minimum(off_ref[b, 0], S - 1)  # dynamic_update_slice clamping
 
     def quantize(new_ref):
-        # two load shapes (3-D for the window write, 2-D for the scale row)
-        # sidestep Mosaic's unsupported value reshapes
-        x3 = new_ref[0].astype(jnp.float32)  # [H, 1, D]
-        x2 = new_ref[0, :, 0, :].astype(jnp.float32)  # [H, D]
-        scale3 = jnp.max(jnp.abs(x3), axis=-1, keepdims=True) / 127.0
-        q3 = jnp.round(x3 / jnp.maximum(scale3, 1e-12)).astype(jnp.int8)
+        x2 = new_ref[0].astype(jnp.float32)  # [H, D]
         scale2 = jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / 127.0
-        return q3, scale2
+        q2 = jnp.round(x2 / jnp.maximum(scale2, 1e-12)).astype(jnp.int8)
+        return q2, scale2
 
     kq, ksc = quantize(knew_ref)
     vq, vsc = quantize(vnew_ref)
@@ -111,7 +112,7 @@ def _append_kernel_plain(
     b = pl.program_id(0)
     l = lay_ref[0, 0]
     off = jnp.minimum(off_ref[b, 0], S - 1)
-    _rmw_payload(kc_ref, l, b, off, knew_ref[0], win, sem)
+    _rmw_payload(kc_ref, l, b, off, knew_ref[0], win, sem)  # [H, D]
     _rmw_payload(vc_ref, l, b, off, vnew_ref[0], win, sem)
 
 
@@ -145,13 +146,17 @@ def kv_append_decode_stacked(
         "cache head dim must be lane-padded (ops/kv_cache.pad_head_dim)")
     assert v_all.shape[-1] == D, "MLA (D_k != D_v) uses the XLA append path"
     quantized = k_scale_all is not None
-    kn = _pad_new(new_k, D).transpose(0, 2, 1, 3)  # [B, H, 1, D]
-    vn = _pad_new(new_v, D).transpose(0, 2, 1, 3)
+    # [B, 1, H, D] → [B, H, D]: squeezing the leading singleton is layout-
+    # preserving (minor (H, D) tiles unchanged) — unlike the [B, H, 1, D]
+    # transpose, which re-tiles to (1, D) minors and cost a real copy per
+    # layer per step
+    kn = _pad_new(new_k, D).reshape(B, H, D)
+    vn = _pad_new(new_v, D).reshape(B, H, D)
     off2 = offsets.astype(jnp.int32).reshape(B, 1)
     lay2 = jnp.asarray(layer, jnp.int32).reshape(1, 1)
 
     def new_block(d):
-        return pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
+        return pl.BlockSpec((1, H, d), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)

@@ -506,6 +506,27 @@ class Engine:
         if self._eog_mask is None:
             self._eog_mask = jnp.zeros(self.cfg.n_vocab, bool)
 
+    def warmup(self) -> None:
+        """Compile the serving hot path (prefill + one decode chunk) before
+        accepting jobs.  First compiles on a remote TPU take minutes (axon
+        tunnel) and the scheduler's job deadline (reference server.go:646)
+        counts from submission — without this, a fresh server's first request
+        can be deadline-evicted while jit compiles."""
+        from booster_tpu.sampling import SamplingParams
+
+        self.init_batch_state()
+        self.reset_slot(0, SamplingParams(temp=0.0), seed=0)
+        ids = [self.cfg.n_vocab - 1, self.cfg.n_vocab - 1]
+        if self.tokenizer is not None:
+            try:
+                ids = self.tokenizer.encode("warmup") or ids
+            except Exception:
+                pass
+        first = self.prefill_slots({0: ids})
+        self.decode_slots(first, n_steps=None)  # default (scheduler) chunk
+        self.init_batch_state()  # drop warmup sampler/cache bookkeeping
+        self.cache = self._new_cache()
+
     @property
     def nl_token(self) -> int:
         """Vocab linefeed id (llama_token_nl parity), found by tokenizing."""

@@ -59,7 +59,10 @@ def test_lora_matches_merged_weights(tmp_path):
     m = load_model(base_path, fuse=False)
     lora = load_lora(lora_path)
     assert lora["rank"] == 4
-    m.params = apply_lora(m.params, lora)
+    # llama is an interleaved-rope arch: the loader de-interleaves wq/wk,
+    # so apply_lora must permute the adapter's B rows to match (cfg arg)
+    assert m.cfg.rope_deinterleaved
+    m.params = apply_lora(m.params, lora, cfg=m.cfg)
     got = logits_of(m, ids)
 
     # merged-weights model: W_q' = W_q + scale * B @ A baked into the file

@@ -44,7 +44,9 @@ def test_chatglm(tmp_path):
     hf = transformers.GlmForCausalLM(cfg).eval()
     loaded = check_model(hf, str(tmp_path / "chatglm.gguf"), IDS)
     assert loaded.cfg.arch == "chatglm"
-    assert loaded.cfg.rope_style == "norm"
+    # chatglm is an interleaved-rope ("norm") arch; the loader de-interleaves
+    # q/k rows at load so the runtime style is neox (exact — parity above)
+    assert loaded.cfg.rope_style == "neox" and loaded.cfg.rope_deinterleaved
     assert loaded.cfg.rope_dims == 8  # partial_rotary_factor 0.5 × head 16
 
 
