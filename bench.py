@@ -77,7 +77,7 @@ def bench_config2() -> dict:
 
     path = build_config_model(2)
     t0 = time.time()
-    model = load_model(path)
+    model = load_model(path, weights=os.environ.get("BENCH_WEIGHTS", "auto"))
     sys.stderr.write(f"[bench:c2] loaded in {time.time()-t0:.0f}s\n")
     engine = Engine(model, max_batch=1, max_seq=8192,
                     decode_chunk=int(os.environ.get("BENCH_CHUNK", "64")))
@@ -103,7 +103,7 @@ def bench_config3() -> dict:
 
     path = build_config_model(3)
     t0 = time.time()
-    model = load_model(path)
+    model = load_model(path, weights=os.environ.get("BENCH_WEIGHTS", "auto"))
     sys.stderr.write(f"[bench:c3] loaded in {time.time()-t0:.0f}s\n")
     n = int(os.environ.get("BENCH_TOKENS", "128"))
     b = bench_batch(model, 64, n, kv_quant=True)
@@ -182,7 +182,7 @@ def main() -> None:
     from booster_tpu.serving import Engine
 
     t0 = time.time()
-    model = load_model(path)
+    model = load_model(path, weights=os.environ.get("BENCH_WEIGHTS", "auto"))
     sys.stderr.write(f"[bench] loaded+repacked in {time.time()-t0:.0f}s\n")
 
     engine = Engine(

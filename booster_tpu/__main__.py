@@ -79,7 +79,8 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp, dp=1)
         device_put = make_device_put(mesh)
         log.info(f"tensor-parallel over {args.tp} devices")
-    model = load_model(os.path.expanduser(model_spec.path), device_put=device_put)
+    model = load_model(os.path.expanduser(model_spec.path),
+                       device_put=device_put, weights=args.weights)
     log.info(
         f"arch={model.cfg.arch} layers={model.cfg.n_layers} "
         f"embd={model.cfg.n_embd} vocab={model.cfg.n_vocab}"
@@ -144,7 +145,7 @@ def main(argv=None) -> int:
         if args.model_draft:
             from booster_tpu.serving.speculative import generate_speculative
 
-            draft_model = load_model(os.path.expanduser(args.model_draft))
+            draft_model = load_model(os.path.expanduser(args.model_draft), weights=args.weights)
             draft = Engine(draft_model, max_batch=1, max_seq=model_spec.context)
             result = generate_speculative(
                 engine, draft, ids, max_new_tokens=model_spec.predict,
@@ -172,7 +173,7 @@ def main(argv=None) -> int:
 
     draft_engine = None
     if args.model_draft:
-        draft_model = load_model(os.path.expanduser(args.model_draft))
+        draft_model = load_model(os.path.expanduser(args.model_draft), weights=args.weights)
         # batched multi-slot speculation: the draft mirrors the target's
         # slot layout (serving/spec_batch.py)
         draft_engine = Engine(draft_model, max_batch=engine.max_batch,

@@ -231,6 +231,10 @@ def _layer(
     table: Optional[jnp.ndarray] = None,  # [B, MAXP]: paged-cache page table
     stacked_layer=None,  # traced i32: k/v slices are the FULL stacked cache
     attn_prep=None,  # hoisted decode_prep output (layer-invariant windows)
+    defer_append=False,  # stacked decode: skip the in-scan cache write; the
+    # new k/v ride out as layer outputs (kv_append_all_layers after the
+    # scan) and attention folds them in as an in-kernel self term
+    self_ok=None,  # [B] bool: the new token is live (n_valid > 0)
 ):
     B, T, C = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -291,7 +295,9 @@ def _layer(
         pad = ((0, 0), (0, 0), (0, Hc - Hkv), (0, 0))
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    if stacked_layer is not None:
+    if stacked_layer is not None and defer_append:
+        pass  # the new rows leave as layer outputs; attention self-term below
+    elif stacked_layer is not None:
         from booster_tpu.ops.pallas_kv import kv_append_decode_stacked
 
         k_slice, v_slice, ks_slice, vs_slice = kv_append_decode_stacked(
@@ -336,11 +342,15 @@ def _layer(
                 decode_attention_stacked,
             )
 
+            self_kv = None
+            if defer_append:
+                self_kv = (k.reshape(B, Hkv, -1), v.reshape(B, Hkv, -1),
+                           self_ok)
             attn_out = decode_attention_stacked(
                 q, k_slice, v_slice, ks_slice, vs_slice, stacked_layer,
                 kv_valid,
                 scale=scale, logit_softcap=cfg.attn_logit_softcap,
-                window=window, prep=attn_prep,
+                window=window, prep=attn_prep, self_kv=self_kv,
             )
         elif table is None:
             from booster_tpu.ops.pallas_attention import decode_attention
@@ -473,6 +483,10 @@ def _layer(
         x = residual + ffn_out
     if "cvec" in lp:  # control vector (llama_control_vector_apply parity)
         x = x + lp["cvec"].astype(x.dtype)
+    if defer_append and stacked_layer is not None:
+        # deferred cache write: the roped new rows ride out as layer outputs
+        return x, (k_slice, v_slice, ks_slice, vs_slice,
+                   k.reshape(B, -1, k.shape[-1]), v.reshape(B, -1, v.shape[-1]))
     return x, (k_slice, v_slice, ks_slice, vs_slice)
 
 
@@ -543,8 +557,20 @@ def forward(
             and _use_stacked_decode(cfg, T, S, cache.k.shape[-1])):
         # fused decode with the WHOLE cache as scan carry: the append and
         # attention kernels index the layer via scalar prefetch, so no
-        # per-layer cache slice is ever materialized by XLA
+        # per-layer cache slice is ever materialized by XLA.  The cache
+        # WRITE is deferred: attention folds the new token in as an
+        # in-kernel self term, each layer's roped rows ride out as scan
+        # outputs, and ONE kernel lands all L layers' rows after the scan
+        # (per-layer window DMAs were ~100 µs/layer, latency-bound)
+        import os as _os
+
         kf, vf, ksf, vsf = cache.k, cache.v, cache.k_scale, cache.v_scale
+        defer = _os.environ.get("BT_DEFER_KV", "1") != "0"
+        adv_vec = (jnp.minimum(n_valid, T).astype(jnp.int32)
+                   if n_valid is not None
+                   else jnp.full((B,), T, jnp.int32))
+        self_ok = adv_vec > 0
+        attn_lens = cache.lengths if defer else kv_valid
         attn_prep = None
         if not (cfg.sliding_window > 0 and cfg.sliding_window_pattern > 1):
             # layer-invariant window: hoist the kernel's scalar operands
@@ -552,31 +578,46 @@ def forward(
             from booster_tpu.ops.pallas_attention import decode_prep
 
             attn_prep = decode_prep(
-                kv_valid,
+                attn_lens,
                 jnp.int32(cfg.sliding_window) if cfg.sliding_window > 0
                 else None,
                 B=B, S=S, D=kf.shape[-1], itemsize=kf.dtype.itemsize,
             )
         off = 0
+        news = []
         for g in groups:
             Lg = jax.tree.leaves(g)[0].shape[0]
 
             def body_st(carry, scanned):
                 x, kf, vf, ksf, vsf = carry
                 lp, layer_idx = scanned
-                x, (kf, vf, ksf, vsf) = _layer(
+                x, upd = _layer(
                     x, lp, layer_idx, kf, vf, ksf, vsf,
                     positions, rope_cos, rope_sin, None, None,
-                    offsets, kv_valid, cfg, table=None,
+                    offsets, attn_lens, cfg, table=None,
                     stacked_layer=layer_idx, attn_prep=attn_prep,
+                    defer_append=defer, self_ok=self_ok,
                 )
+                if defer:
+                    kf, vf, ksf, vsf, kn, vn = upd
+                    return (x, kf, vf, ksf, vsf), (kn, vn)
+                kf, vf, ksf, vsf = upd
                 return (x, kf, vf, ksf, vsf), None
 
-            (x, kf, vf, ksf, vsf), _ = jax.lax.scan(
+            (x, kf, vf, ksf, vsf), ys = jax.lax.scan(
                 body_st, (x, kf, vf, ksf, vsf),
                 (g, jnp.arange(off, off + Lg, dtype=jnp.int32)),
             )
+            if defer:
+                news.append(ys)
             off += Lg
+        if defer:
+            from booster_tpu.ops.pallas_kv import kv_append_all_layers
+
+            k_new = jnp.concatenate([n[0] for n in news], axis=0)
+            v_new = jnp.concatenate([n[1] for n in news], axis=0)
+            kf, vf, ksf, vsf = kv_append_all_layers(
+                kf, vf, k_new, v_new, offsets, ksf, vsf)
         return _finish(params, cfg, x, emb, cache, paged,
                        kf, vf, ksf, vsf, gather_idx, last_only,
                        n_valid, T, B)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -26,7 +27,11 @@ from booster_tpu.ops.rope import (
     yarn_params,
 )
 from booster_tpu.quant import dequantize, repack_gguf_tensor
-from booster_tpu.quant.qtensor import QTensor, prepare_kernel_scales
+from booster_tpu.quant.qtensor import (
+    QTensor,
+    prepare_kernel_scales,
+    repack_weights,
+)
 from booster_tpu.tokenizer import Tokenizer
 
 log = logging.getLogger(__name__)
@@ -263,12 +268,28 @@ def load_model(
     device_put: Optional[Callable[[Any, str], Any]] = None,
     keep_reader: bool = False,
     fuse: bool = True,
+    weights: str = "native",
 ) -> LoadedModel:
     """Read a GGUF file and build the params pytree (host numpy arrays unless
     `device_put(array, role)` is given — the parallel layer supplies one that
-    shards per role onto the mesh)."""
+    shards per role onto the mesh).
+
+    `weights`: runtime weight-format repack (quant.qtensor.repack_weights):
+    "native" keeps the file's quantization, "bf16"/"i8" hold the weights
+    wider in HBM for decode speed (exact), "auto" picks bf16 when the model
+    comfortably fits (decode matvecs are VPU-dequant bound, not bandwidth
+    bound — see tools/kernel_micro.py).  MoE expert stacks stay native (the
+    grouped-dispatch kernel streams them quantized)."""
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
+    if weights == "auto":
+        n_elems = sum(
+            int(np.prod(info.shape)) for info in reader.tensors.values()
+        )
+        max_gb = float(os.environ.get("BT_WEIGHTS_BF16_MAX_GB", "6"))
+        weights = "bf16" if 2 * n_elems <= max_gb * 2**30 else "native"
+        log.info(f"weights=auto -> {weights} "
+                 f"({2 * n_elems / 2**30:.1f} GB as bf16)")
     tokenizer = None
     if "tokenizer.ggml.tokens" in reader.metadata:
         tokenizer = Tokenizer.from_gguf_metadata(reader.metadata)
@@ -294,7 +315,10 @@ def load_model(
         if info is None:
             return None
         file_types[name] = info.ggml_type
-        return repack_gguf_tensor(reader.tensor_bytes(info), info.ggml_type, info.shape)
+        qt = repack_gguf_tensor(reader.tensor_bytes(info), info.ggml_type, info.shape)
+        if weights != "native" and "_exps" not in name:
+            qt = repack_weights(qt, weights)
+        return qt
 
     # -- global tensors ------------------------------------------------------
     params: dict[str, Any] = {}

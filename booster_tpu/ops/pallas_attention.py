@@ -52,8 +52,11 @@ def _decode_attn_kernel(
     v_ref,
     ks_ref,  # [1, BT, 1, 1, ST] f32 (or None — absent when not quantized)
     vs_ref,
-    lens_ref,  # [BT, 1] i32 (SMEM)
+    sk_ref,  # [BT, 1, 1, D] bf16 self-token k (or None — deferred-append)
+    sv_ref,
+    lens_ref,  # [BT, 1] i32 (SMEM): valid CACHE length (excl. self token)
     win_ref,  # [1, 1] i32 (SMEM)
+    selfok_ref,  # [BT, 1] i32 (SMEM; or None): 1 = self token is live
     out_ref,  # [BT, 1, G, D] f32
     m_ref,  # scratch [BT, G, 1] f32
     l_ref,  # scratch [BT, G, 1] f32
@@ -66,6 +69,7 @@ def _decode_attn_kernel(
 ):
     s_idx = pl.program_id(2)
     ns = pl.num_programs(2)
+    has_self = sk_ref is not None
 
     @pl.when(s_idx == 0)
     def _():
@@ -97,7 +101,10 @@ def _decode_attn_kernel(
             if softcap > 0.0:
                 s = softcap * jnp.tanh(s / softcap)
             len_b = lens_ref[b, 0]
-            valid = (col < len_b) & (col >= len_b - win)  # [1, ST]
+            # window: token at position p attends [p - win + 1, p]; with a
+            # live self token the current position is len_b (not len_b - 1)
+            lo = len_b - win + (selfok_ref[b, 0] if has_self else 0)
+            valid = (col < len_b) & (col >= lo)  # [1, ST]
             s = jnp.where(valid, s, _NEG)
 
             m_prev = m_ref[b]  # [G, 1]
@@ -121,7 +128,35 @@ def _decode_attn_kernel(
     @pl.when(s_idx == ns - 1)
     def _():
         for b in range(bt):
-            out_ref[b, 0] = acc_ref[b] / jnp.maximum(l_ref[b], 1e-30)
+            m_b, l_b, acc_b = m_ref[b], l_ref[b], acc_ref[b]
+            if has_self:
+                # deferred-append decode: the new token's k/v are not in the
+                # cache yet — fold its (always-causal) self term in here,
+                # mirroring the storage quantization so numerics match the
+                # append-then-attend path
+                def mirror(x):  # [1, D] f32 → storage round-trip
+                    if not quantized:
+                        return x.astype(jnp.bfloat16).astype(jnp.float32)
+                    sc = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+                    qv = jnp.round(x / jnp.maximum(sc, 1e-12))
+                    return qv * sc
+
+                skb = mirror(sk_ref[b, 0].astype(jnp.float32))  # [1, D]
+                svb = mirror(sv_ref[b, 0].astype(jnp.float32))
+                qb = q_ref[b, 0]  # [G, D] bf16 (pre-scaled)
+                s_self = jax.lax.dot_general(
+                    qb.astype(jnp.float32), skb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G, 1]
+                if softcap > 0.0:
+                    s_self = softcap * jnp.tanh(s_self / softcap)
+                s_self = jnp.where(selfok_ref[b, 0] > 0, s_self, _NEG)
+                m2 = jnp.maximum(m_b, s_self)
+                alpha = jnp.exp(m_b - m2)
+                p_self = jnp.exp(s_self - m2)  # [G, 1]
+                l_b = l_b * alpha + p_self
+                acc_b = acc_b * alpha + p_self * svb  # [G, D]
+            out_ref[b, 0] = acc_b / jnp.maximum(l_b, 1e-30)
 
 
 def _pick_bt(B: int, S: int, D: int, itemsize: int) -> tuple[int, int]:
@@ -178,6 +213,10 @@ def decode_attention_stacked(
     logit_softcap: float = 0.0,
     window=None,  # traced i32 scalar or None (no sliding window)
     prep=None,  # precomputed decode_prep(...) output (hoisted out of scan)
+    self_kv=None,  # (k [B,Hkv,d], v [B,Hkv,d], ok [B]) — deferred append:
+    # the new token's k/v are folded in as an in-kernel self term instead of
+    # being read back from the cache (the write happens once per step for
+    # ALL layers — ops/pallas_kv.kv_append_all_layers)
 ) -> jnp.ndarray:
     """Fused decode attention over one layer of the stacked cache; returns
     [B, 1, H, D] in q.dtype.  The layer is selected by the kernel's index
@@ -226,7 +265,7 @@ def decode_attention_stacked(
         pl.BlockSpec((1, bt, 1, st, D), kv_idx, memory_space=pltpu.VMEM),
     ]
     args = [qb, k_cache, v_cache]
-    kernel = _decode_attn_kernel
+    has_self = self_kv is not None
     if quantized:
         ks = k_scale.reshape(L, B, Hkv, 1, S)
         vs = v_scale.reshape(L, B, Hkv, 1, S)
@@ -235,8 +274,22 @@ def decode_attention_stacked(
             pl.BlockSpec((1, bt, 1, 1, st), sc_idx, memory_space=pltpu.VMEM),
         ]
         args += [ks, vs]
-    else:
-        kernel = functools.partial(_drop_scale_refs, kernel)
+    if has_self:
+        sk, sv, self_ok = self_kv
+
+        def _padd(a):  # [B, Hkv, d] → [B, Hkv, 1, D] (block minors (1, D))
+            if a.shape[-1] < D:
+                a = jnp.pad(a, ((0, 0),) * (a.ndim - 1)
+                            + ((0, D - a.shape[-1]),))
+            return a.astype(jnp.bfloat16).reshape(B, Hkv, 1, D)
+
+        self_spec = pl.BlockSpec(
+            (bt, 1, 1, D), lambda i, j, k, lay_ref, nv_ref: (i, j, 0, 0),
+            memory_space=pltpu.VMEM)
+        in_specs += [self_spec, self_spec]
+        args += [_padd(sk), _padd(sv)]
+    kernel = functools.partial(_adapt_refs, _decode_attn_kernel,
+                               quantized, has_self)
     in_specs += [
         pl.BlockSpec((bt, 1), lambda i, j, k, lay_ref, nv_ref: (i, 0),
                      memory_space=pltpu.SMEM),
@@ -244,6 +297,11 @@ def decode_attention_stacked(
                      memory_space=pltpu.SMEM),
     ]
     args += [lens, win]
+    if has_self:
+        in_specs += [pl.BlockSpec((bt, 1),
+                                  lambda i, j, k, lay_ref, nv_ref: (i, 0),
+                                  memory_space=pltpu.SMEM)]
+        args += [self_ok.astype(jnp.int32).reshape(B, 1)]
 
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -303,7 +361,25 @@ def decode_attention(
     )
 
 
-def _drop_scale_refs(kernel, lay_ref, nv_ref, q_ref, k_ref, v_ref, lens_ref,
-                     win_ref, out_ref, m_ref, l_ref, acc_ref, **kw):
-    kernel(lay_ref, nv_ref, q_ref, k_ref, v_ref, None, None, lens_ref,
-           win_ref, out_ref, m_ref, l_ref, acc_ref, **kw)
+def _adapt_refs(kernel, _quant, _self, lay_ref, nv_ref, *rest, **kw):
+    """Map the variable positional ref list (scales/self operands optional)
+    onto the full kernel signature, filling absent refs with None."""
+    it = list(rest)
+    q_ref, k_ref, v_ref = it[0], it[1], it[2]
+    i = 3
+    ks_ref = vs_ref = sk_ref = sv_ref = selfok_ref = None
+    if _quant:
+        ks_ref, vs_ref = it[i], it[i + 1]
+        i += 2
+    if _self:
+        sk_ref, sv_ref = it[i], it[i + 1]
+        i += 2
+    lens_ref, win_ref = it[i], it[i + 1]
+    i += 2
+    if _self:
+        selfok_ref = it[i]
+        i += 1
+    out_ref, m_ref, l_ref, acc_ref = it[i], it[i + 1], it[i + 2], it[i + 3]
+    kernel(lay_ref, nv_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, sk_ref,
+           sv_ref, lens_ref, win_ref, selfok_ref, out_ref, m_ref, l_ref,
+           acc_ref, **kw)

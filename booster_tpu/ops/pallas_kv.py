@@ -215,6 +215,167 @@ def kv_append_decode_stacked(
     return k, v, None, None
 
 
+def _append_all_kernel_quant(
+    off_ref,  # [B, 1] i32 (SMEM)
+    knew_ref,  # [L, 1, H, D] f32/bf16 (VMEM block, grid b)
+    vnew_ref,
+    kc_in, vc_in, ks_in, vs_in,  # aliased inputs (ANY)
+    kc_ref, vc_ref,  # [L, B, H, S, D] i8 (ANY)
+    ks_ref, vs_ref,  # [L, B, H, S] f32 (ANY)
+    kwin, vwin, kswin, vswin, sem,
+    *,
+    S: int = 0,
+):
+    b = pl.program_id(0)
+    off = jnp.minimum(off_ref[b, 0], S - 1)
+
+    def quantize(new_ref):
+        x = new_ref[:, 0].astype(jnp.float32)  # [L, H, D]
+        scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0  # [L,H,1]
+        q = jnp.round(x / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
+        return q, scale
+
+    kq, ksc = quantize(knew_ref)
+    vq, vsc = quantize(vnew_ref)
+    _rmw_payload_all(kc_ref, b, off, kq, kwin, sem)
+    _rmw_payload_all(vc_ref, b, off, vq, vwin, sem)
+    _rmw_scale_all(ks_ref, b, off, ksc, kswin, sem)
+    _rmw_scale_all(vs_ref, b, off, vsc, vswin, sem)
+
+
+def _append_all_kernel_plain(
+    off_ref, knew_ref, vnew_ref,
+    kc_in, vc_in,
+    kc_ref, vc_ref,
+    kwin, vwin, sem,
+    *,
+    S: int = 0,
+):
+    b = pl.program_id(0)
+    off = jnp.minimum(off_ref[b, 0], S - 1)
+    _rmw_payload_all(kc_ref, b, off, knew_ref[:, 0], kwin, sem)
+    _rmw_payload_all(vc_ref, b, off, vnew_ref[:, 0], vwin, sem)
+
+
+def _rmw_payload_all(cref, b, off, new_lhd, win_s, sem):
+    """RMW one slot's aligned [L, H, _WIN, D] window across ALL layers in a
+    single DMA box (the per-slot write offset is the same for every layer)."""
+    off_al = pl.multiple_of((off // _WIN) * _WIN, _WIN)
+    rd = pltpu.make_async_copy(
+        cref.at[:, b, :, pl.ds(off_al, _WIN), :], win_s, sem)
+    rd.start()
+    rd.wait()
+    new_c = new_lhd.astype(win_s.dtype)  # [L, H, D]
+    rel = off - off_al
+    for w in range(_WIN):
+        @pl.when(w >= rel)
+        def _():
+            win_s[:, :, w, :] = new_c
+    wr = pltpu.make_async_copy(
+        win_s, cref.at[:, b, :, pl.ds(off_al, _WIN), :], sem)
+    wr.start()
+    wr.wait()
+
+
+def _rmw_scale_all(sref, b, off, new_lh1, win_s, sem):
+    """RMW one slot's aligned [L, H, _SWIN] scale window across all layers."""
+    off_al = pl.multiple_of((off // _SWIN) * _SWIN, _SWIN)
+    rd = pltpu.make_async_copy(sref.at[:, b, :, pl.ds(off_al, _SWIN)], win_s, sem)
+    rd.start()
+    rd.wait()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _SWIN), 2)
+    keep_new = lane >= (off - off_al)
+    win_s[:] = jnp.where(keep_new, new_lh1, win_s[:])
+    wr = pltpu.make_async_copy(win_s, sref.at[:, b, :, pl.ds(off_al, _SWIN)], sem)
+    wr.start()
+    wr.wait()
+
+
+def kv_append_all_layers(
+    k_all,  # [L, B, H, S, D] full stacked cache (i8 or bf16), D % 128 == 0
+    v_all,
+    new_k,  # [L, B, H, d], d <= D (zero-padded to D here)
+    new_v,
+    offsets,  # [B] i32 (same write position for every layer)
+    k_scale_all=None,  # [L, B, H, S, 1] f32 when quantized
+    v_scale_all=None,
+):
+    """Deferred decode append: write one token per slot into EVERY layer of
+    the stacked cache in one kernel launch (one [L, H, _WIN, D] DMA box per
+    slot instead of one window per slot PER LAYER — the per-layer append was
+    DMA-latency bound at ~100 µs/layer, tools/kernel_micro.py).
+
+    Pairs with decode_attention_stacked(self_kv=...): attention folds the
+    new token in as an in-kernel self term, the scan collects the per-layer
+    rows, and this kernel lands them all after the scan."""
+    import functools
+
+    L, B, H, S, D = k_all.shape
+    assert D % 128 == 0, (
+        "cache head dim must be lane-padded (ops/kv_cache.pad_head_dim)")
+    assert v_all.shape[-1] == D
+    quantized = k_scale_all is not None
+    kn = _pad_new(new_k, D).reshape(L, B, H, D)
+    vn = _pad_new(new_v, D).reshape(L, B, H, D)
+    off2 = offsets.astype(jnp.int32).reshape(B, 1)
+
+    new_block = pl.BlockSpec((L, 1, H, D), lambda b: (0, b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec((B, 1), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM)
+
+    if quantized:
+        ks3 = k_scale_all.reshape(L, B, H, S)
+        vs3 = v_scale_all.reshape(L, B, H, S)
+        out = pl.pallas_call(
+            functools.partial(_append_all_kernel_quant, S=S),
+            grid=(B,),
+            in_specs=[smem_spec, new_block, new_block,
+                      any_spec, any_spec, any_spec, any_spec],
+            out_specs=(any_spec, any_spec, any_spec, any_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+                jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+                jax.ShapeDtypeStruct(ks3.shape, jnp.float32),
+                jax.ShapeDtypeStruct(vs3.shape, jnp.float32),
+            ),
+            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+            scratch_shapes=[
+                pltpu.VMEM((L, H, _WIN, D), jnp.int8),
+                pltpu.VMEM((L, H, _WIN, D), jnp.int8),
+                pltpu.VMEM((L, H, _SWIN), jnp.float32),
+                pltpu.VMEM((L, H, _SWIN), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=INTERPRET,
+        )(off2, kn, vn, k_all, v_all, ks3, vs3)
+        k, v, ks, vs = out
+        return (k, v,
+                ks.reshape(L, B, H, S, 1), vs.reshape(L, B, H, S, 1))
+
+    k, v = pl.pallas_call(
+        functools.partial(_append_all_kernel_plain, S=S),
+        grid=(B,),
+        in_specs=[smem_spec, new_block, new_block, any_spec, any_spec],
+        out_specs=(any_spec, any_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ),
+        input_output_aliases={3: 0, 4: 1},
+        scratch_shapes=[
+            pltpu.VMEM((L, H, _WIN, D), k_all.dtype),
+            pltpu.VMEM((L, H, _WIN, D), v_all.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=INTERPRET,
+    )(off2, kn, vn, k_all, v_all)
+    return k, v, None, None
+
+
 def kv_append_decode(
     layer_k,  # [B, H, S, D] cache slice (i8 or bf16), D % 128 == 0
     layer_v,

@@ -102,6 +102,45 @@ class QTensor:
         return int(n)
 
 
+def repack_weights(qt: QTensor, mode: str) -> QTensor:
+    """Runtime weight-format repack (serving speed/capacity dial).
+
+    Decode matvecs are VPU-dequant bound for 4-bit payloads (~146 GB/s
+    effective vs 810 GB/s raw HBM reads and 604 GB/s dense bf16 streaming —
+    tools/kernel_micro.py on v5e), so when HBM has headroom it is strictly
+    faster to hold the weights wider in memory:
+
+      "bf16": exact dequantization to a dense bf16 matrix (MXU consumes it
+              directly; 2 bytes/weight).
+      "i8":   i4p nibbles widened to int8 with the SAME group scales/mins —
+              bit-exact math, half the VPU unpack work, 1 byte/weight.
+      "native": unchanged.
+
+    The quality is identical in every mode (the dequantized values are the
+    same numbers); only HBM footprint and decode speed differ.  Reference
+    analog: llama.cpp's runtime aarch64 repack (ggml-aarch64.c) — a
+    load-time layout change for the hardware's preferred consumption form.
+    """
+    if mode in ("native", None) or qt.kind == "dense":
+        return qt
+    if mode == "bf16":
+        w = dequantize_qtensor_np(qt)
+        if jnp is not None:
+            w = w.astype(jnp.bfloat16)
+        return QTensor("dense", w, None, None, 1, qt.shape, qt.source_type)
+    if mode == "i8":
+        if qt.kind != "i4p":
+            return qt
+        qw = np.asarray(qt.qw)
+        half = qw.shape[-1]
+        out = np.empty(qw.shape[:-1] + (2 * half,), np.int8)
+        z = int(qt.zero)
+        out[..., :half] = (qw & 0x0F).astype(np.int16) - z
+        out[..., half:] = (qw >> 4).astype(np.int16) - z
+        return replace(qt, kind="i8", qw=out, zero=0)
+    raise ValueError(f"unknown weights mode {mode!r}")
+
+
 def prepare_kernel_scales(qt: QTensor) -> QTensor:
     """Pre-shape `scales` (and fold `mins`) into the Pallas kernels' operand
     layout: i4p → [..., N, 2(+2), K/(2G)], i8 → [..., N, 1(+1), K/G] (the

@@ -277,3 +277,51 @@ def test_int8_kv_accuracy_bounded():
     err = np.abs(np.asarray(out, np.float32) - np.asarray(exact, np.float32))
     rel = err.max() / (np.abs(np.asarray(exact)).max() + 1e-9)
     assert rel < 0.05, f"int8 KV relative error {rel:.4f} too large"
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_attention_self_term(quantized):
+    """Deferred-append self term == appending the row first and attending,
+    including the inactive-row gate (self_ok=0 rows ignore their new token)."""
+    import booster_tpu.ops.pallas_kv as pk_mod
+    from booster_tpu.ops.pallas_kv import kv_append_decode_stacked
+
+    pk_mod.INTERPRET = True
+    try:
+        rng = np.random.default_rng(31)
+        L, lay, B, Hkv, G, S, D = 2, 1, 2, 2, 2, 256, 128
+        H = Hkv * G
+        q = jnp.asarray(rng.normal(size=(B, 1, H, D)).astype(np.float32))
+        lens = jnp.asarray(np.array([100, 255], np.int32))
+        self_ok = jnp.asarray(np.array([True, False]))
+        new_k = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)).astype(np.float32))
+        new_v = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)).astype(np.float32))
+        scale = 0.125
+        kf = rng.normal(size=(L, B, Hkv, S, D)).astype(np.float32)
+        vf = rng.normal(size=(L, B, Hkv, S, D)).astype(np.float32)
+        if quantized:
+            kq, ks = _quantize_kv(jnp.asarray(kf.reshape(L * B, Hkv, S, D)))
+            vq, vs = _quantize_kv(jnp.asarray(vf.reshape(L * B, Hkv, S, D)))
+            kc = kq.reshape(L, B, Hkv, S, D); vc = vq.reshape(L, B, Hkv, S, D)
+            ksc = ks.reshape(L, B, Hkv, S, 1); vsc = vs.reshape(L, B, Hkv, S, 1)
+        else:
+            kc = jnp.asarray(kf, jnp.bfloat16); vc = jnp.asarray(vf, jnp.bfloat16)
+            ksc = vsc = None
+
+        # reference: append the new row at lens, then attend with lens+ok
+        ak, av, aks, avs = kv_append_decode_stacked(
+            kc, vc, new_k, new_v, lens, jnp.int32(lay), ksc, vsc)
+        lens_after = lens + self_ok.astype(jnp.int32)
+        ref = pa.decode_attention_stacked(
+            q, ak, av, aks, avs, jnp.int32(lay), lens_after, scale)
+
+        got = pa.decode_attention_stacked(
+            q, kc, vc, ksc, vsc, jnp.int32(lay), lens, scale,
+            self_kv=(new_k.reshape(B, Hkv, D), new_v.reshape(B, Hkv, D),
+                     self_ok))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+    finally:
+        pk_mod.INTERPRET = False

@@ -150,3 +150,42 @@ def test_kv_append_narrow_rows_lane_padded(quantized):
         for b in range(B):
             pos = int(offs_np[b])
             assert (g[b, :, pos, Dl:] == 0).all(), f"{name} pad lanes b={b}"
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_kv_append_all_layers_matches_per_layer(quantized):
+    """Deferred all-layer append == per-layer stacked appends."""
+    rng = np.random.default_rng(17)
+    L, B, H, S, D = 3, 2, 2, 128, 128
+    if quantized:
+        k = jnp.asarray(rng.integers(-127, 127, (L, B, H, S, D)).astype(np.int8))
+        v = jnp.asarray(rng.integers(-127, 127, (L, B, H, S, D)).astype(np.int8))
+        ks = jnp.asarray(rng.random((L, B, H, S, 1)).astype(np.float32))
+        vs = jnp.asarray(rng.random((L, B, H, S, 1)).astype(np.float32))
+    else:
+        k = jnp.asarray(rng.normal(size=(L, B, H, S, D)).astype(np.float32)).astype(jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(L, B, H, S, D)).astype(np.float32)).astype(jnp.bfloat16)
+        ks = vs = None
+    new_k = jnp.asarray(rng.normal(size=(L, B, H, D)).astype(np.float32))
+    new_v = jnp.asarray(rng.normal(size=(L, B, H, D)).astype(np.float32))
+    offs = jnp.asarray(np.array([7, 64], np.int32))
+
+    got = pk.kv_append_all_layers(k, v, new_k, new_v, offs, ks, vs)
+    wk, wv, wks, wvs = k, v, ks, vs
+    for lay in range(L):
+        wk, wv, wks, wvs = pk.kv_append_decode_stacked(
+            wk, wv, new_k[lay][:, None], new_v[lay][:, None], offs,
+            jnp.int32(lay), wks, wvs)
+    offs_np = np.asarray(offs)
+    for g, w, name in zip(got, (wk, wv, wks, wvs), ("k", "v", "ks", "vs")):
+        if g is None:
+            assert w is None
+            continue
+        g = np.asarray(g, np.float32)
+        w = np.asarray(w, np.float32)
+        for b in range(B):
+            lim = int(offs_np[b]) + 1
+            np.testing.assert_allclose(
+                g[:, b, :, :lim], w[:, b, :, :lim], atol=1e-5,
+                err_msg=f"{name} b={b}",
+            )

@@ -173,3 +173,63 @@ def test_bits_per_weight():
     qt = repack_gguf_tensor(quantize(x, GGMLType.Q4_K), GGMLType.Q4_K, (out_f, in_f))
     assert qt.kind == "i4p"
     assert qt.qw.shape == (out_f, in_f // 2)  # 4 bits/weight payload
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_0, GGMLType.Q4_K])
+def test_repack_weights_i8_exact(fmt):
+    """Runtime i4p→i8 widening is bit-exact: same dequantized values."""
+    from booster_tpu.quant.qtensor import repack_weights
+
+    out_f, in_f = 8, QK_K * 4
+    x = RNG.standard_normal((out_f, in_f)).astype(np.float32)
+    qt = repack_gguf_tensor(quantize(x, fmt), fmt, (out_f, in_f))
+    assert qt.kind == "i4p"
+    wide = repack_weights(qt, "i8")
+    assert wide.kind == "i8" and wide.zero == 0
+    np.testing.assert_array_equal(
+        dequantize_qtensor_np(wide), dequantize_qtensor_np(qt))
+
+
+def test_repack_weights_bf16():
+    """bf16 repack holds the exact dequantized values (bf16-rounded)."""
+    import jax.numpy as jnp
+
+    from booster_tpu.quant.qtensor import repack_weights
+
+    out_f, in_f = 8, 256
+    x = RNG.standard_normal((out_f, in_f)).astype(np.float32)
+    qt = repack_gguf_tensor(quantize(x, GGMLType.Q4_0), GGMLType.Q4_0,
+                            (out_f, in_f))
+    dense = repack_weights(qt, "bf16")
+    assert dense.kind == "dense" and dense.qw.dtype == jnp.bfloat16
+    ref = dequantize_qtensor_np(qt)
+    np.testing.assert_allclose(np.asarray(dense.qw, np.float32), ref,
+                               rtol=8e-3)
+
+
+def test_load_model_weights_bf16_parity(tmp_path):
+    """Whole-model: weights="bf16" logits match the native quantized path."""
+    import jax.numpy as jnp
+
+    from booster_tpu.models import load_model
+    from booster_tpu.models.llama import forward
+    from booster_tpu.ops.kv_cache import KVCache
+    from tools.make_test_model import make_model
+
+    path = str(tmp_path / "tiny.gguf")
+    make_model(path, vocab_size=256, hidden=128, layers=2)
+    ids = np.arange(12, dtype=np.int32)[None, :]
+
+    def logits(weights):
+        m = load_model(path, weights=weights)
+        cache = KVCache.create(m.cfg.n_layers, 1, 32, m.cfg.n_kv_heads,
+                               m.cfg.head_dim)
+        out, _ = forward(m.params, m.cfg, jnp.asarray(ids), cache,
+                         last_only=True)
+        return np.asarray(out, np.float32)
+
+    a = logits("native")
+    b = logits("bf16")
+    c = logits("i8")
+    np.testing.assert_allclose(b, a, atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(c, a, atol=0.05, rtol=0.05)

@@ -90,7 +90,7 @@ def main() -> None:
     from booster_tpu.serving import Engine
 
     t0 = time.time()
-    model = load_model(path)
+    model = load_model(path, weights=os.environ.get("BT_WEIGHTS", "native"))
     print(f"loaded in {time.time()-t0:.0f}s; backend={jax.default_backend()}")
 
     B = args.batch
