@@ -100,3 +100,56 @@ def test_kv_quantized_generation(tmp_path):
     assert r_quant.n_generated >= 1
     # int8 KV rounds attention inputs; early tokens should still agree
     assert r_base.token_ids[:3] == r_quant.token_ids[:3]
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_batched_decode_stacked_deferred_matches_xla(tmp_path, kv_quant):
+    """Scheduler-path equivalence for the stacked/deferred decode: a batched
+    decode chunk with a MIX of active and inactive slots produces the same
+    tokens via the fused stacked+deferred path (INTERPRET kernels on CPU) as
+    via the plain XLA path, and inactive slots stay untouched."""
+    import os
+
+    import jax
+
+    import booster_tpu.ops.pallas_attention as pa
+    import booster_tpu.ops.pallas_kv as pk
+    from booster_tpu.models.llama import _use_stacked_decode
+
+    path = str(tmp_path / "stk.gguf")
+    # heads=2/kv_heads=2 → head_dim 64 (lane-padded to 128 in storage)
+    make_model(path, vocab_size=512, hidden=128, layers=2, heads=2,
+               kv_heads=2, weight_scale=0.3)
+    model = load_model(path)
+
+    def run(fused: bool):
+        pa.INTERPRET = pk.INTERPRET = fused
+        if not fused:
+            os.environ["BT_STACKED"] = "0"
+        else:
+            assert _use_stacked_decode(model.cfg, 1, 128, 128)
+        jax.clear_caches()  # INTERPRET/env aren't in the jit key
+        try:
+            eng = Engine(model, max_batch=4, max_seq=128,
+                         kv_quantized=kv_quant, decode_chunk=8)
+            eng.init_batch_state()
+            prompts = {}
+            for s in (0, 2):  # slots 1 and 3 stay inactive
+                eng.reset_slot(s, SamplingParams(temp=0.0), seed=s)
+                prompts[s] = eng.tokenizer.encode(f"slot {s} prompt text")
+            first = eng.prefill_slots(prompts)
+            toks, _ = eng.decode_slots(first, n_steps=8)
+            lengths = np.asarray(eng.cache.lengths)
+            return toks, lengths
+        finally:
+            pa.INTERPRET = pk.INTERPRET = False
+            os.environ.pop("BT_STACKED", None)
+            jax.clear_caches()
+
+    fused_toks, fused_len = run(True)
+    xla_toks, xla_len = run(False)
+    assert fused_toks.keys() == xla_toks.keys()
+    for s in fused_toks:
+        assert fused_toks[s] == xla_toks[s], f"slot {s} diverged"
+    np.testing.assert_array_equal(fused_len, xla_len)
+    assert fused_len[1] == 0 and fused_len[3] == 0  # inactive slots untouched
