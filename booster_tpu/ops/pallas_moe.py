@@ -85,8 +85,7 @@ def grouped_qmm(
         half = K // 2
         sg = half // G
         s3, has_mins = kernel_scales(w)  # [E*Ne, 2(+2), sg]
-        srow = s3.shape[1] * sg * 4
-        _, BN, BB = _pick_tiles(Ne, half, bm, srow)
+        _, BN, BB = _pick_tiles(Ne, half, bm, s3.shape[1], G)
         grid = (Mp // bm, Ne // BN, half // BB)
         x3 = xp.reshape(Mp, 2, half).astype(jnp.bfloat16)
         npe = Ne // BN  # weight tiles per expert
@@ -124,8 +123,7 @@ def grouped_qmm(
     if w.kind == "i8":
         sg = K // G
         s3, has_mins = kernel_scales(w)  # [E*Ne, 1(+1), sg]
-        srow = s3.shape[1] * sg * 4
-        _, BN, BK = _pick_tiles(Ne, K, bm, srow)
+        _, BN, BK = _pick_tiles(Ne, K, bm, s3.shape[1], G)
         grid = (Mp // bm, Ne // BN, K // BK)
         npe = Ne // BN
 

@@ -126,50 +126,67 @@ def _qmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
     out_ref[:] += acc
 
 
-def _pick_tiles(n: int, kk: int, m: int = 1,
-                scale_bytes_per_row: int = 0) -> tuple[int, int, int]:
-    """(BM, BN, K-tile): few, large grid steps — grid-step overhead dominates
-    decode.  Whole K in one step when it fits; largest N tile whose payload
-    stays under ~3 MB (dequant temporaries are bounded by _SUB sub-tiling).
-    For prefill (large M) the M axis is tiled too and the K tile shrinks so
-    the x block (BM·2·BK bf16) fits alongside the weight tile."""
+_BK_CANDS = (8192, 5632, 4096, 2816, 2048, 1408, 1024, 512, 256, 128)
+_BN_CANDS = (3200, 2560, 2048, 1792, 1536, 1280, 1024, 768, 640, 512,
+             384, 256, 128)
+
+
+def _pick_tiles(n: int, kk: int, m: int = 1, srows: int = 2,
+                group: int = 32) -> tuple[int, int, int]:
+    """(BM, BN, K-tile): minimize grid steps subject to the whole-kernel
+    scoped-VMEM model below (grid-step overhead dominates decode, but the
+    16 MB scoped limit binds first for wide-K / many-scale-row tensors).
+
+    VMEM model (validated against Mosaic's scoped-vmem OOM reports on 8B
+    ffn shapes): double-buffered blocks + accumulator + the dequant/expander
+    temporaries, which Mosaic keeps live across the unrolled sub-tile loop —
+    per iteration and per scale row: the [SG, SUB] selector chain and the
+    [BN, SUB] expanded scales."""
     bm = m if m <= 256 else 256  # caller pads M to a multiple of 256
-    bkb = kk
-    x_bytes_per_k = 4 * bm  # [BM, 2, BK] bf16 (i4 path upper bound)
-    if kk > 8192 or x_bytes_per_k * kk > _BUDGET:
-        for cand in (8192, 5632, 4096, 2816, 2048, 1408, 1024, 512, 256, 128):
-            if kk % cand == 0 and cand * x_bytes_per_k <= _BUDGET:
-                bkb = cand
-                break
-        else:
-            for cand in (2048, 1024, 512, 256, 128):
-                if kk % cand == 0:
-                    bkb = cand
-                    break
+    sg = max(kk // group, 1)
     budget = _BUDGET
+    # calibrated on Mosaic's scoped-vmem OOM reports for 8B ffn shapes
+    # (model said 16.9 MB where Mosaic allocated 18.84): leave ~2.5 MB slack
+    limit = 13 * 2**20 + 2**19
 
-    def vmem_est(cand: int) -> int:
-        # double-buffered in/out blocks (incl. the whole-row scale tiles) +
-        # acc + dequant temporaries
-        sub = min(_SUB, bkb)
-        return (2 * (4 * bm * bkb + cand * bkb + 4 * bm * cand
-                     + cand * scale_bytes_per_row)
-                + 4 * bm * cand + 14 * cand * sub)
+    def vmem_est(bn: int, bk: int) -> int:
+        sub = min(_SUB, bk)
+        depth = min(-(-bk // sub), 2)  # temps live ~2 unrolled iterations
+        # x/qw/out/scale blocks double-buffered; scale block is the whole
+        # (BN, srows, SG) row set
+        blocks = 2 * (4 * bm * bk + bn * bk + 4 * bm * bn + srows * sg * 4 * bn)
+        acc = 4 * bm * bn
+        temps = depth * srows * (3 * sg * sub + bn * sub) * 4
+        deq = 10 * bn * sub  # i32 q + bf16 lo/hi tiles
+        return blocks + acc + temps + deq
 
-    bn = 128
-    for cand in (3200, 2560, 2048, 1792, 1536, 1280, 1024, 768, 640, 512, 384, 256, 128):
-        if n % cand != 0 or cand * bkb > budget:
+    best = None
+    for bk in _BK_CANDS:
+        if bk > kk or kk % bk:
             continue
-        # large-M (prefill) tiles: bound the whole-kernel VMEM footprint
-        # (estimate validated within ~6% of Mosaic's scoped-vmem reports)
-        if bm > 64 and (8 * bm * cand > budget or vmem_est(cand) > 13 * 2**20):
-            continue
-        bn = cand
-        break
-    else:
-        if n % 128 != 0:
-            bn = n
-    return bm, bn, bkb
+        for bn in _BN_CANDS:
+            if bn > n or n % bn:
+                continue
+            if bn * bk > budget or (bm > 64 and 8 * bm * bn > budget):
+                continue
+            if vmem_est(bn, bk) > limit:
+                continue
+            steps = (n // bn) * (kk // bk)
+            key = (steps, -bn * bk)
+            if best is None or key < best[0]:
+                best = (key, bn, bk)
+        if kk == bk and best is not None:
+            break
+    if best is None:
+        # last resort: smallest tiles (non-128-multiple N handled below)
+        bn = n if n % 128 else 128
+        bk = kk
+        for cand in (256, 128):
+            if kk % cand == 0:
+                bk = cand
+                break
+        return bm, bn, bk
+    return bm, best[1], best[2]
 
 
 def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
@@ -179,8 +196,7 @@ def _qmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     half = K // 2
     sg = half // G
     s3, has_mins = kernel_scales(w)  # [N, 2(+2), sg]
-    srow = s3.shape[1] * sg * 4
-    BM, BN, BB = _pick_tiles(N, half, M, srow)
+    BM, BN, BB = _pick_tiles(N, half, M, s3.shape[1], G)
     grid = (M // BM, N // BN, half // BB)
 
     x3 = x.reshape(M, 2, half).astype(jnp.bfloat16)
@@ -219,8 +235,7 @@ def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     G = w.group
     sg = K // G
     s3, has_mins = kernel_scales(w)  # [N, 1(+1), sg]
-    srow = s3.shape[1] * sg * 4
-    BM, BN, BK = _pick_tiles(N, K, M, srow)
+    BM, BN, BK = _pick_tiles(N, K, M, s3.shape[1], G)
     grid = (M // BM, N // BN, K // BK)
 
     return pl.pallas_call(
