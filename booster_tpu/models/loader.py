@@ -26,11 +26,13 @@ from booster_tpu.ops.rope import (
     rope_inv_freq,
     yarn_params,
 )
+from booster_tpu.ops.pallas_qmm import transposable as _transposable
 from booster_tpu.quant import dequantize, repack_gguf_tensor
 from booster_tpu.quant.qtensor import (
     QTensor,
     prepare_kernel_scales,
     repack_weights,
+    transpose_qtensor,
 )
 from booster_tpu.tokenizer import Tokenizer
 
@@ -348,6 +350,11 @@ def load_model(
     if pos_embd is not None:  # gpt2/starcoder learned positions
         params["pos_embd"] = put(pos_embd.astype(jnp.bfloat16), "embedding")
     out_q = load_q("output.weight")
+    if out_q is not None and out_q.kind in ("i4p", "i8") and (
+            device_put is None and os.environ.get("BT_TQMM", "1") != "0"):
+        out_q = prepare_kernel_scales(out_q)
+        if _transposable(out_q):
+            out_q = transpose_qtensor(out_q)
     params["output"] = None if out_q is None else jax.tree.map(
         lambda a: put(a, "lm_head"), prepare_kernel_scales(out_q)
     )
@@ -476,12 +483,28 @@ def load_model(
         cfg = dataclasses.replace(cfg, rope_style=ROPE_NEOX,
                                   rope_deinterleaved=True)
 
+    # K-major weight layout for the fused matmul kernels (BT_TQMM=0 reverts):
+    # the lane-major layout's scale expansion is a one-hot MXU dot that
+    # dominates every native-quant matvec (ops/pallas_qmm.py).  Sharded
+    # params and MoE expert stacks keep lane-major (their kernels/specs
+    # address [N, K]).
+    transpose = (device_put is None
+                 and os.environ.get("BT_TQMM", "1") != "0")
+
+    def maybe_transpose(qt: QTensor, key: str) -> QTensor:
+        if not transpose or "exps" in key or qt.kind not in ("i4p", "i8"):
+            return qt
+        if not _transposable(qt):  # keep the lane-major kernel, not fallback
+            return qt
+        return transpose_qtensor(qt)
+
     def stack_group(dicts: list[dict[str, Any]]) -> dict[str, Any]:
         stacked: dict[str, Any] = {}
         for key in sorted(dicts[0]):
             vals = [lp[key] for lp in dicts]
             if isinstance(vals[0], QTensor):
                 qt = prepare_kernel_scales(_stack_qtensors(vals))
+                qt = maybe_transpose(qt, key)
                 stacked[key] = jax.tree.map(lambda a: put(a, key), qt)
             else:
                 stacked[key] = put(np.stack(vals), key)

@@ -264,6 +264,224 @@ def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     )(x.astype(jnp.bfloat16), w.qw, s3)
 
 
+# --------------------------------------------------------------------------
+# K-major ("transposed") kernels — the preferred serving layout.
+#
+# With qw stored [K, N] the per-group scales vary along SUBLANES of the
+# weight tile, so expanding s [ng, BN] to [ng*g, BN] is a sublane broadcast
+# + leading-dim merge (cheap VPU relayout) instead of the one-hot MXU dot
+# the lane-major layout needs.  That dot costs N*(K/G)*K f32 MACs — measured
+# to dominate every native-quant matvec (e.g. q8_0 [28672x4096]: ~820 us vs
+# ~190 us of pure stream; tools/expander_probe.py, tools/tqmm_probe.py).
+# --------------------------------------------------------------------------
+
+
+def _expand_scales_sub(s_sub, g: int, bn: int):
+    """[ng, BN] → [ng*g, BN]: scale row r repeated g times along sublanes."""
+    ng = s_sub.shape[0]
+    return jnp.broadcast_to(s_sub[:, None, :], (ng, g, bn)).reshape(ng * g, bn)
+
+
+def _tqmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int,
+                    bn: int, has_mins: bool):
+    """x_ref [BM, BK] bf16, qw_ref [BK, BN] i8, s_ref [R, BK/G, BN] f32."""
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sub = min(_SUB, bk)
+    acc = jnp.zeros_like(out_ref)
+    for j in range(-(-bk // sub)):
+        w_sub = min(sub, bk - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
+        gsl = slice(j * sub // group, (j * sub + w_sub) // group)
+        w = qw_ref[sl, :].astype(jnp.bfloat16) * _expand_scales_sub(
+            s_ref[0, gsl, :], group, bn).astype(jnp.bfloat16)
+        if has_mins:
+            w -= _expand_scales_sub(s_ref[1, gsl, :], group, bn).astype(jnp.bfloat16)
+        acc += jax.lax.dot_general(
+            x_ref[:, sl], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] += acc
+
+
+def _tqmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bkh: int,
+                    bn: int, has_mins: bool, zero: int):
+    """x_ref [BM, 2, BKH] bf16, qw_ref [BKH, BN] u8 (byte row k = elem k lo
+    nibble, elem k + K/2 hi), s_ref [2(+2), BKH/G, BN] f32."""
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sub = min(_SUB, bkh)
+    acc = jnp.zeros_like(out_ref)
+    for j in range(-(-bkh // sub)):
+        w_sub = min(sub, bkh - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
+        gsl = slice(j * sub // group, (j * sub + w_sub) // group)
+        q = qw_ref[sl, :].astype(jnp.int32)  # u8→i32 (Mosaic lacks u8→bf16)
+        lo = ((q & 0x0F) - zero).astype(jnp.bfloat16)
+        hi = ((q >> 4) - zero).astype(jnp.bfloat16)
+        w_lo = lo * _expand_scales_sub(s_ref[0, gsl, :], group, bn).astype(jnp.bfloat16)
+        w_hi = hi * _expand_scales_sub(s_ref[1, gsl, :], group, bn).astype(jnp.bfloat16)
+        if has_mins:
+            w_lo -= _expand_scales_sub(s_ref[2, gsl, :], group, bn).astype(jnp.bfloat16)
+            w_hi -= _expand_scales_sub(s_ref[3, gsl, :], group, bn).astype(jnp.bfloat16)
+        acc += jax.lax.dot_general(
+            x_ref[:, 0, sl], w_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc += jax.lax.dot_general(
+            x_ref[:, 1, sl], w_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] += acc
+
+
+def _pick_tiles_t(n: int, pk: int, m: int, srows: int, group: int,
+                  x_mult: int, deq_bytes: int) -> tuple[int, int, int]:
+    """(BM, BN, payload-K tile) for the transposed kernels: minimize grid
+    steps under the scoped-VMEM model.  `pk` counts PAYLOAD rows (K for i8t,
+    K/2 for i4t); `x_mult` is x bytes per payload row per M (2 for i8t bf16,
+    4 for i4t's two halves); `deq_bytes` bounds the per-subtile dequant
+    temporaries per element."""
+    bm = m if m <= 256 else 256
+    limit = 13 * 2**20 + 2**19
+
+    def vmem_est(bn: int, bk: int) -> int:
+        sub = min(_SUB, bk)
+        depth = min(-(-bk // sub), 2)
+        blocks = 2 * (x_mult * bm * bk + bn * bk
+                      + 4 * bm * bn + srows * (bk // group) * 4 * bn)
+        acc = 4 * bm * bn
+        temps = depth * deq_bytes * sub * bn
+        return blocks + acc + temps
+
+    best = None
+    for bk in _BK_CANDS:
+        if bk > pk or pk % bk:
+            continue
+        # scale sub-block sublane dim must be a multiple of 8 (or the whole
+        # row set); payload tile sublanes must match the (32, 128) i8 tiling
+        if bk != pk and (bk % group or (bk // group) % 8 or bk % 32):
+            continue
+        for bn in _BN_CANDS:
+            if bn > n or n % bn:
+                continue
+            if bn * bk > _BUDGET or (bm > 64 and x_mult * bm * bn > _BUDGET):
+                continue
+            if vmem_est(bn, bk) > limit:
+                continue
+            steps = (n // bn) * (pk // bk)
+            key = (steps, -bn * bk)
+            if best is None or key < best[0]:
+                best = (key, bn, bk)
+        if pk == bk and best is not None:
+            break
+    if best is None:
+        return bm, (n if n % 128 else 128), pk
+    return bm, best[1], best[2]
+
+
+def _tqmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
+    M, K = x.shape
+    N = w.shape[0]
+    G = w.group
+    sg = K // G
+    s3, has_mins = kernel_scales(w)  # [R, sg, N]
+    BM, BN, BK = _pick_tiles_t(N, K, M, s3.shape[0], G, 2, 9)
+    grid = (M // BM, N // BN, K // BK)
+
+    return pl.pallas_call(
+        functools.partial(_tqmm_i8_kernel, group=G, bk=BK, bn=BN,
+                          has_mins=has_mins),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM, BK), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s3.shape[0], BK // G, BN), lambda m, n, k: (0, k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * K + N * sg * 4 + M * K * 2 + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(x.astype(jnp.bfloat16), w.qw, s3)
+
+
+def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
+    M, K = x.shape
+    N = w.shape[0]
+    G = w.group
+    half = K // 2
+    sgh = half // G
+    s3, has_mins = kernel_scales(w)  # [R, sgh, N]
+    BM, BN, BB = _pick_tiles_t(N, half, M, s3.shape[0], G, 4, 16)
+    grid = (M // BM, N // BN, half // BB)
+
+    x3 = x.reshape(M, 2, half).astype(jnp.bfloat16)
+
+    return pl.pallas_call(
+        functools.partial(_tqmm_i4_kernel, group=G, bkh=BB, bn=BN,
+                          has_mins=has_mins, zero=w.zero),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM, 2, BB), lambda m, n, k: (m, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s3.shape[0], BB // G, BN), lambda m, n, k: (0, k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * half + N * sgh * 2 * 4 + M * K * 2 + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(x3, w.qw, s3)
+
+
+def _supported_t(w: QTensor, K: int, M: int) -> bool:
+    if w.kind not in ("i4t", "i8t") or w.scales is None:
+        return False
+    N = w.shape[0]
+    G = w.group
+    if K != w.shape[1] or K % (2 * G) != 0:
+        return False
+    pk = K // 2 if w.kind == "i4t" else K
+    if pk % 32 != 0 or N % 128 != 0 or (pk // G) % 8 != 0:
+        return False
+    return True
+
+
+def transposable(w: QTensor) -> bool:
+    """True when the K-major kernel supports this tensor's shape — the
+    loader transposes only then, so unsupported shapes keep the lane-major
+    kernel instead of degrading to the dequantize fallback."""
+    if w.kind not in ("i4p", "i8") or w.scales is None:
+        return False
+    from dataclasses import replace as _replace
+    probe = _replace(w, kind=w.kind[:2] + "t")
+    return _supported_t(probe, w.shape[1], 1)
+
+
 def _supported(w: QTensor, K: int, M: int) -> bool:
     if w.kind not in ("i4p", "i8"):
         return False
@@ -287,7 +505,11 @@ def qmm(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     M = 1
     for d in lead:
         M *= d
-    if not _supported(w, K, M):
+    if w.transposed and _supported_t(w, K, M):
+        fn = _tqmm_i4 if w.kind == "i4t" else _tqmm_i8
+    elif not w.transposed and _supported(w, K, M):
+        fn = _qmm_i4 if w.kind == "i4p" else _qmm_i8
+    else:
         wd = dequantize_qtensor(w, dtype=jnp.bfloat16)
         return jax.lax.dot_general(
             x.astype(jnp.bfloat16), wd,
@@ -298,7 +520,7 @@ def qmm(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     Mp = M if M <= 256 else ((M + 255) // 256) * 256
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-    y = _qmm_i4(x2, w) if w.kind == "i4p" else _qmm_i8(x2, w)
+    y = fn(x2, w)
     if Mp != M:
         y = y[:M]
     return y.reshape(*lead, w.shape[0])

@@ -16,6 +16,15 @@ with payload ``qw`` either
                 b + in/2 (high nibble), see _pack_nibbles_planar — kernels
                 unpack with two mask ops and no lane shuffles
     kind="i8"   int8  [out, in]
+    kind="i4t"/"i8t"  the same payloads stored K-major ([in//2, out] /
+                [in, out], transpose_qtensor): scales then vary along
+                SUBLANES of the weight tile, so the kernels expand them
+                with a sublane broadcast+reshape instead of the one-hot
+                MXU dot the lane-major layout needs (which costs
+                N*(K/G)*K MACs — it measurably dominated every native-
+                quant matvec; tools/tqmm_probe.py).  The serving loader
+                transposes at load; lane-major stays for sharded params
+                and MoE expert stacks.
     kind="dense" bf16/f32 [out, in]   (no scales)
 
 ``scales``/``mins`` are float32 (exact: ggml scale products like f16(d) * 6-bit
@@ -58,7 +67,7 @@ class QTensor:
     it can flow through jit/pjit/shard_map directly.
     """
 
-    kind: str  # "i4p" | "i8" | "dense"
+    kind: str  # "i4p" | "i8" | "i4t" | "i8t" | "dense"
     qw: Any  # payload, see module docstring
     scales: Optional[Any]  # f32 [out, in//group] or None for dense
     mins: Optional[Any]  # f32 [out, in//group] or None
@@ -81,6 +90,16 @@ class QTensor:
         prepare_kernel_scales): one extra trailing axis vs the payload."""
         return (self.scales is not None
                 and self.scales.ndim == self.qw.ndim + 1)
+
+    @property
+    def transposed(self) -> bool:
+        return self.kind in ("i4t", "i8t")
+
+    @property
+    def scale_rows(self) -> int:
+        """Scale rows per group column (2 for split-half nibble payloads —
+        one row per half — else 1), excluding min rows."""
+        return 2 if self.kind in ("i4p", "i4t") else 1
 
     def astype_device(self):
         """Move payload arrays to jax (device) arrays."""
@@ -141,6 +160,41 @@ def repack_weights(qt: QTensor, mode: str) -> QTensor:
     raise ValueError(f"unknown weights mode {mode!r}")
 
 
+def transpose_qtensor(qt: QTensor) -> QTensor:
+    """Lane-major → K-major storage (i4p→i4t, i8→i8t), host-side, exact.
+
+    qw [..., N, Kp] → [..., Kp, N]; prepared scales [..., N, R, SG] →
+    [..., R, SG, N].  The t-kernels in ops/pallas_qmm.py consume this form;
+    see the module docstring for why (sublane scale expansion beats the
+    lane-major one-hot expander dot).  Requires prepared scales (or dense /
+    no scales)."""
+    if qt.kind in ("dense", "i4t", "i8t"):
+        return qt
+    if qt.kind not in ("i4p", "i8"):
+        raise ValueError(f"cannot transpose kind {qt.kind!r}")
+    if qt.scales is not None and not qt.prepared:
+        qt = prepare_kernel_scales(qt)
+    qw = np.ascontiguousarray(np.swapaxes(np.asarray(qt.qw), -1, -2))
+    s = qt.scales
+    if s is not None:
+        s = np.asarray(s)  # [..., N, R, SG] → [..., R, SG, N]
+        s = np.ascontiguousarray(np.moveaxis(s, -3, -1))
+    return replace(qt, kind=qt.kind[:2] + "t", qw=qw, scales=s)
+
+
+def untranspose_qtensor(qt: QTensor) -> QTensor:
+    """Inverse of transpose_qtensor (works on numpy or jax arrays — used by
+    the dequantize fallback paths)."""
+    if not qt.transposed:
+        return qt
+    xp = np if isinstance(qt.qw, np.ndarray) else jnp
+    qw = xp.swapaxes(qt.qw, -1, -2)
+    s = qt.scales
+    if s is not None:
+        s = xp.moveaxis(s, -1, -3)  # [..., R, SG, N] → [..., N, R, SG]
+    return replace(qt, kind="i4p" if qt.kind == "i4t" else "i8", qw=qw, scales=s)
+
+
 def prepare_kernel_scales(qt: QTensor) -> QTensor:
     """Pre-shape `scales` (and fold `mins`) into the Pallas kernels' operand
     layout: i4p → [..., N, 2(+2), K/(2G)], i8 → [..., N, 1(+1), K/G] (the
@@ -167,10 +221,12 @@ def flat_scales(qt: QTensor):
     """(scales [..., N, K/G], mins [..., N, K/G] | None) for either storage
     form — the inverse view of prepare_kernel_scales (works on numpy and jax
     arrays alike; reshapes/slices only)."""
+    if qt.transposed:
+        qt = untranspose_qtensor(qt)
     s = qt.scales
     if s is None or not qt.prepared:
         return s, qt.mins
-    rows = 2 if qt.kind == "i4p" else 1
+    rows = qt.scale_rows
     if s.shape[-2] == rows:  # no mins folded
         return s.reshape(*s.shape[:-2], -1), None
     sc = s[..., :rows, :].reshape(*s.shape[:-2], -1)
@@ -179,9 +235,13 @@ def flat_scales(qt: QTensor):
 
 
 def kernel_scales(qt: QTensor):
-    """(s3 [N, R, sg], has_mins) in the kernels' operand layout, building it
-    in-graph when the tensor was not prepared at load."""
-    rows = 2 if qt.kind == "i4p" else 1
+    """(s3 [N, R, sg] — or [R, sg, N] for transposed kinds — and has_mins)
+    in the kernels' operand layout, building it in-graph when the tensor was
+    not prepared at load."""
+    rows = qt.scale_rows
+    if qt.transposed:
+        s3 = qt.scales
+        return s3, s3.shape[-3] == 2 * rows
     if qt.prepared:
         s3 = qt.scales
         return s3, s3.shape[-2] == 2 * rows
@@ -477,6 +537,10 @@ def dequantize_qtensor_np(qt: QTensor) -> np.ndarray:
     """Host-side float32 dequantization (numpy), for tests and golden checks."""
     if qt.kind == "dense":
         return np.asarray(qt.qw, dtype=np.float32)
+    if qt.transposed:
+        qt = untranspose_qtensor(qt)
+        qt = replace(qt, qw=np.asarray(qt.qw),
+                     scales=None if qt.scales is None else np.asarray(qt.scales))
     if qt.kind == "i4p":
         q = unpack_nibbles_planar(np.asarray(qt.qw)).astype(np.float32)
     else:
@@ -497,6 +561,10 @@ def dequantize_qtensor(qt: QTensor, dtype=None):
     dtype = dtype or jnp.bfloat16
     if qt.kind == "dense":
         return jnp.asarray(qt.qw, dtype=dtype)
+    if qt.transposed:
+        qt = untranspose_qtensor(
+            replace(qt, qw=jnp.asarray(qt.qw),
+                    scales=None if qt.scales is None else jnp.asarray(qt.scales)))
     out_f, in_f = qt.shape
     if qt.kind == "i4p":
         p = jnp.asarray(qt.qw)

@@ -81,3 +81,82 @@ def test_qmm_unaligned_falls_back():
     got = np.asarray(pq.qmm(x, qt))
     want = np.asarray(reference(x, qt))
     np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+# ---------------- K-major (transposed) layout ----------------
+
+from booster_tpu.quant.qtensor import (dequantize_qtensor_np,  # noqa: E402
+                                       prepare_kernel_scales,
+                                       transpose_qtensor,
+                                       untranspose_qtensor)
+
+
+def make_qt_host(fmt, N, K):
+    w = RNG.standard_normal((N, K)).astype(np.float32) * 0.1
+    return repack_gguf_tensor(quantize(w, fmt), fmt, (N, K))
+
+
+@pytest.mark.parametrize("fmt,kind", [
+    (GGMLType.Q4_0, "i4t"),
+    (GGMLType.Q4_K, "i4t"),
+    (GGMLType.Q8_0, "i8t"),
+    (GGMLType.Q6_K, "i8t"),
+    (GGMLType.Q5_K, "i8t"),
+])
+@pytest.mark.parametrize("M", [1, 8])
+def test_tqmm_matches_reference(fmt, kind, M):
+    N, K = 256, 512
+    qt = transpose_qtensor(make_qt_host(fmt, N, K)).astype_device()
+    assert qt.kind == kind and qt.transposed
+    x = jnp.asarray(RNG.standard_normal((M, K)).astype(np.float32))
+    got = np.asarray(pq.qmm(x, qt))
+    want = np.asarray(reference(x, qt))
+    assert got.shape == (M, N)
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("M", [512, 300])
+def test_tqmm_large_m_tiled(M):
+    N, K = 256, 512
+    for fmt in (GGMLType.Q4_0, GGMLType.Q8_0):
+        qt = transpose_qtensor(make_qt_host(fmt, N, K)).astype_device()
+        x = jnp.asarray(RNG.standard_normal((M, K)).astype(np.float32) * 0.3)
+        got = np.asarray(pq.qmm(x, qt))
+        want = np.asarray(reference(x, qt))
+        assert got.shape == (M, N)
+        np.testing.assert_allclose(got, want, atol=0.08, rtol=0.08)
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q8_0,
+                                 GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K])
+def test_transpose_roundtrip_lossless(fmt):
+    """transpose_qtensor is a pure relayout: dequantization is bit-identical
+    through transpose and untranspose."""
+    qt = make_qt_host(fmt, 128, 512)
+    want = dequantize_qtensor_np(qt)
+    tq = transpose_qtensor(qt)
+    np.testing.assert_array_equal(dequantize_qtensor_np(tq), want)
+    back = untranspose_qtensor(tq)
+    np.testing.assert_array_equal(dequantize_qtensor_np(back), want)
+    # prepared-scales invariants the kernels rely on
+    assert tq.qw.shape[-1] == qt.shape[0]
+    assert tq.scales.shape[-1] == qt.shape[0]
+
+
+def test_tqmm_stacked_layers():
+    """Stacked [L, ...] transposed tensors slice per layer under lax.scan."""
+    from booster_tpu.models.loader import _stack_qtensors
+
+    N, K, L = 256, 512, 3
+    qts = [make_qt_host(GGMLType.Q4_0, N, K) for _ in range(L)]
+    stacked = transpose_qtensor(prepare_kernel_scales(_stack_qtensors(qts)))
+    assert stacked.qw.shape == (L, K // 2, N)
+    x = jnp.asarray(RNG.standard_normal((4, K)).astype(np.float32))
+
+    def body(c, lq):
+        return c, pq.qmm(x, lq)
+
+    _, ys = jax.lax.scan(body, 0, stacked.astype_device())
+    for i in range(L):
+        want = reference(x, transpose_qtensor(qts[i]).astype_device())
+        np.testing.assert_allclose(np.asarray(ys[i]), want, atol=0.05, rtol=0.05)
