@@ -182,7 +182,10 @@ def main() -> None:
     from booster_tpu.serving import Engine
 
     t0 = time.time()
-    model = load_model(path, weights=os.environ.get("BENCH_WEIGHTS", "auto"))
+    # batch_hint=1: auto keeps K-major native quant for the single-stream
+    # metric (beats the bf16 repack at batch 1 — see models/loader.py)
+    model = load_model(path, weights=os.environ.get("BENCH_WEIGHTS", "auto"),
+                       batch_hint=1)
     sys.stderr.write(f"[bench] loaded+repacked in {time.time()-t0:.0f}s\n")
 
     engine = Engine(
@@ -221,6 +224,11 @@ def main() -> None:
     if os.environ.get("BENCH_BATCH", "1") == "1":
         streams = int(os.environ.get("BENCH_STREAMS", "64"))
         try:
+            # reload with the batch hint: at B=64 the bf16 repack beats
+            # native K-major (8428 vs 7098 tok/s aggregate)
+            if os.environ.get("BENCH_WEIGHTS", "auto") == "auto" and streams >= 8:
+                del model, engine
+                model = load_model(path, weights="auto", batch_hint=streams)
             # int8 KV is the fast path since the fused append+attention
             # kernels landed (ROUND2_NOTES ablations)
             b = bench_batch(model, streams, min(n_tokens, 128),

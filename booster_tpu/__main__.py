@@ -79,8 +79,11 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp, dp=1)
         device_put = make_device_put(mesh)
         log.info(f"tensor-parallel over {args.tp} devices")
+    pod_hint = next(iter(config.pods.values()), None)
+    batch_hint = max(pod_hint.count, 1) if (args.server and pod_hint) else 1
     model = load_model(os.path.expanduser(model_spec.path),
-                       device_put=device_put, weights=args.weights)
+                       device_put=device_put, weights=args.weights,
+                       batch_hint=batch_hint)
     log.info(
         f"arch={model.cfg.arch} layers={model.cfg.n_layers} "
         f"embd={model.cfg.n_embd} vocab={model.cfg.n_vocab}"

@@ -271,6 +271,7 @@ def load_model(
     keep_reader: bool = False,
     fuse: bool = True,
     weights: str = "native",
+    batch_hint: int = 0,
 ) -> LoadedModel:
     """Read a GGUF file and build the params pytree (host numpy arrays unless
     `device_put(array, role)` is given — the parallel layer supplies one that
@@ -278,10 +279,13 @@ def load_model(
 
     `weights`: runtime weight-format repack (quant.qtensor.repack_weights):
     "native" keeps the file's quantization, "bf16"/"i8" hold the weights
-    wider in HBM for decode speed (exact), "auto" picks bf16 when the model
-    comfortably fits (decode matvecs are VPU-dequant bound, not bandwidth
-    bound — see tools/kernel_micro.py).  MoE expert stacks stay native (the
-    grouped-dispatch kernel streams them quantized)."""
+    wider in HBM for decode speed (exact), "auto" picks per the measured
+    crossover (tools/qmm_clean.py, v5e): K-major native quant matvecs beat
+    the bf16 stream at batch 1 (1.1B Q4_0: 313 vs 273 tok/s), bf16 wins for
+    large decode batches (B=64: 8428 vs 7098 tok/s aggregate) when it fits.
+    `batch_hint` = expected decode batch (0 = unknown → assume batched).
+    MoE expert stacks stay native (the grouped-dispatch kernel streams
+    them quantized)."""
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
     if weights == "auto":
@@ -289,9 +293,17 @@ def load_model(
             int(np.prod(info.shape)) for info in reader.tensors.values()
         )
         max_gb = float(os.environ.get("BT_WEIGHTS_BF16_MAX_GB", "6"))
-        weights = "bf16" if 2 * n_elems <= max_gb * 2**30 else "native"
+        fits = 2 * n_elems <= max_gb * 2**30
+        # small-batch serving: the K-major layout only applies on the
+        # unsharded path (sharded params stay lane-major)
+        kmaj = device_put is None and os.environ.get("BT_TQMM", "1") != "0"
+        if 0 < batch_hint < 8 and kmaj:
+            weights = "native"
+        else:
+            weights = "bf16" if fits else "native"
         log.info(f"weights=auto -> {weights} "
-                 f"({2 * n_elems / 2**30:.1f} GB as bf16)")
+                 f"({2 * n_elems / 2**30:.1f} GB as bf16, "
+                 f"batch_hint={batch_hint})")
     tokenizer = None
     if "tokenizer.ggml.tokens" in reader.metadata:
         tokenizer = Tokenizer.from_gguf_metadata(reader.metadata)

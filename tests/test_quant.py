@@ -233,3 +233,27 @@ def test_load_model_weights_bf16_parity(tmp_path):
     c = logits("i8")
     np.testing.assert_allclose(b, a, atol=0.05, rtol=0.05)
     np.testing.assert_allclose(c, a, atol=0.05, rtol=0.05)
+
+
+def test_load_model_auto_batch_hint(tmp_path):
+    """weights="auto" is batch-aware: small decode batches keep native
+    (K-major) quantized weights, large batches repack to bf16 when the
+    model fits (measured crossover, models/loader.py)."""
+    import jax
+
+    from booster_tpu.models import load_model
+    from booster_tpu.quant.qtensor import QTensor
+    from tools.make_test_model import make_model
+
+    path = str(tmp_path / "tiny.gguf")
+    make_model(path, vocab_size=256, hidden=128, layers=2)
+
+    single = load_model(path, weights="auto", batch_hint=1)
+    q = jax.tree.leaves(single.params["layers"],
+                        is_leaf=lambda x: isinstance(x, QTensor))
+    assert any(isinstance(t, QTensor) and t.kind != "dense" for t in q)
+
+    batched = load_model(path, weights="auto", batch_hint=64)
+    q = jax.tree.leaves(batched.params["layers"],
+                        is_leaf=lambda x: isinstance(x, QTensor))
+    assert all(t.kind == "dense" for t in q if isinstance(t, QTensor))
