@@ -30,6 +30,7 @@ from booster_tpu.ops.pallas_qmm import transposable as _transposable
 from booster_tpu.quant import dequantize, repack_gguf_tensor
 from booster_tpu.quant.qtensor import (
     QTensor,
+    compact_scales,
     prepare_kernel_scales,
     repack_weights,
     transpose_qtensor,
@@ -367,6 +368,8 @@ def load_model(
         out_q = prepare_kernel_scales(out_q)
         if _transposable(out_q):
             out_q = transpose_qtensor(out_q)
+            if os.environ.get("BT_SCALE_BF16", "1") != "0":
+                out_q = compact_scales(out_q)
     params["output"] = None if out_q is None else jax.tree.map(
         lambda a: put(a, "lm_head"), prepare_kernel_scales(out_q)
     )
@@ -503,12 +506,18 @@ def load_model(
     transpose = (device_put is None
                  and os.environ.get("BT_TQMM", "1") != "0")
 
+    # bf16 scale planes for the K-major kernels: bit-identical through the
+    # kernel (it rounds scales to bf16 in-kernel anyway), ~10% fewer streamed
+    # bytes for q4_0 decode.  BT_SCALE_BF16=0 reverts for ablation.
+    compact = os.environ.get("BT_SCALE_BF16", "1") != "0"
+
     def maybe_transpose(qt: QTensor, key: str) -> QTensor:
         if not transpose or "exps" in key or qt.kind not in ("i4p", "i8"):
             return qt
         if not _transposable(qt):  # keep the lane-major kernel, not fallback
             return qt
-        return transpose_qtensor(qt)
+        qt = transpose_qtensor(qt)
+        return compact_scales(qt) if compact else qt
 
     def stack_group(dicts: list[dict[str, Any]]) -> dict[str, Any]:
         stacked: dict[str, Any] = {}

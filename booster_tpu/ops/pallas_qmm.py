@@ -279,6 +279,11 @@ def _qmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
 def _expand_scales_sub(s_sub, g: int, bn: int):
     """[ng, BN] → [ng*g, BN]: scale row r repeated g times along sublanes."""
     ng = s_sub.shape[0]
+    if s_sub.dtype != jnp.float32:
+        # compact bf16 storage (quant.qtensor.compact_scales): widen before
+        # the broadcast+merge — on 16-row bf16 tiles the merged reshape is a
+        # relayout (measured −6% end-to-end), in f32 it is free
+        s_sub = s_sub.astype(jnp.float32)
     return jnp.broadcast_to(s_sub[:, None, :], (ng, g, bn)).reshape(ng * g, bn)
 
 
@@ -342,20 +347,23 @@ def _tqmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bkh: int,
 
 
 def _pick_tiles_t(n: int, pk: int, m: int, srows: int, group: int,
-                  x_mult: int, deq_bytes: int) -> tuple[int, int, int]:
+                  x_mult: int, deq_bytes: int,
+                  s_item: int = 4) -> tuple[int, int, int]:
     """(BM, BN, payload-K tile) for the transposed kernels: minimize grid
     steps under the scoped-VMEM model.  `pk` counts PAYLOAD rows (K for i8t,
     K/2 for i4t); `x_mult` is x bytes per payload row per M (2 for i8t bf16,
     4 for i4t's two halves); `deq_bytes` bounds the per-subtile dequant
-    temporaries per element."""
+    temporaries per element; `s_item` is the scale-plane itemsize (4 for
+    f32, 2 for the bf16 compact_scales storage)."""
     bm = m if m <= 256 else 256
     limit = 13 * 2**20 + 2**19
+    s_sub = 8 if s_item == 4 else 16  # native sublane tile for the scale dtype
 
     def vmem_est(bn: int, bk: int) -> int:
         sub = min(_SUB, bk)
         depth = min(-(-bk // sub), 2)
         blocks = 2 * (x_mult * bm * bk + bn * bk
-                      + 4 * bm * bn + srows * (bk // group) * 4 * bn)
+                      + 4 * bm * bn + srows * (bk // group) * s_item * bn)
         acc = 4 * bm * bn
         temps = depth * deq_bytes * sub * bn
         return blocks + acc + temps
@@ -364,9 +372,10 @@ def _pick_tiles_t(n: int, pk: int, m: int, srows: int, group: int,
     for bk in _BK_CANDS:
         if bk > pk or pk % bk:
             continue
-        # scale sub-block sublane dim must be a multiple of 8 (or the whole
-        # row set); payload tile sublanes must match the (32, 128) i8 tiling
-        if bk != pk and (bk % group or (bk // group) % 8 or bk % 32):
+        # scale sub-block sublane dim must be a multiple of the dtype's
+        # sublane tile (or the whole row set); payload tile sublanes must
+        # match the (32, 128) i8 tiling
+        if bk != pk and (bk % group or (bk // group) % s_sub or bk % 32):
             continue
         for bn in _BN_CANDS:
             if bn > n or n % bn:
@@ -392,7 +401,8 @@ def _tqmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     G = w.group
     sg = K // G
     s3, has_mins = kernel_scales(w)  # [R, sg, N]
-    BM, BN, BK = _pick_tiles_t(N, K, M, s3.shape[0], G, 2, 9)
+    BM, BN, BK = _pick_tiles_t(N, K, M, s3.shape[0], G, 2, 9,
+                               s3.dtype.itemsize)
     grid = (M // BM, N // BN, K // BK)
 
     return pl.pallas_call(
@@ -427,7 +437,8 @@ def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     half = K // 2
     sgh = half // G
     s3, has_mins = kernel_scales(w)  # [R, sgh, N]
-    BM, BN, BB = _pick_tiles_t(N, half, M, s3.shape[0], G, 4, 16)
+    BM, BN, BB = _pick_tiles_t(N, half, M, s3.shape[0], G, 4, 16,
+                               s3.dtype.itemsize)
     grid = (M // BM, N // BN, half // BB)
 
     x3 = x.reshape(M, 2, half).astype(jnp.bfloat16)

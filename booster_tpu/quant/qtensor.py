@@ -182,6 +182,24 @@ def transpose_qtensor(qt: QTensor) -> QTensor:
     return replace(qt, kind=qt.kind[:2] + "t", qw=qw, scales=s)
 
 
+def compact_scales(qt: QTensor) -> QTensor:
+    """K-major scale (+folded-min) rows → bfloat16 storage.
+
+    The t-kernels in ops/pallas_qmm.py round scales to bf16 in-kernel before
+    the dequant multiply, so storing them bf16 is bit-identical through the
+    kernel while halving the scale-plane HBM traffic (q4_0 G=32: scales are
+    20% of the streamed bytes; affine K-formats more).  Opt-in — the loader
+    applies it after transpose_qtensor so transpose itself stays a lossless
+    relayout (tests/test_pallas_qmm.py roundtrip contract)."""
+    if not qt.transposed or qt.scales is None:
+        return qt
+    import ml_dtypes
+    s = np.asarray(qt.scales)
+    if s.dtype == ml_dtypes.bfloat16:
+        return qt
+    return replace(qt, scales=s.astype(ml_dtypes.bfloat16))
+
+
 def untranspose_qtensor(qt: QTensor) -> QTensor:
     """Inverse of transpose_qtensor (works on numpy or jax arrays — used by
     the dequantize fallback paths)."""

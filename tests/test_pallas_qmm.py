@@ -160,3 +160,20 @@ def test_tqmm_stacked_layers():
     for i in range(L):
         want = reference(x, transpose_qtensor(qts[i]).astype_device())
         np.testing.assert_allclose(np.asarray(ys[i]), want, atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q8_0])
+def test_compact_scales_bit_identical_kernel(fmt):
+    """bf16 scale storage (quant.qtensor.compact_scales) is bit-identical
+    through the t-kernels: they round scales to bf16 in-kernel regardless,
+    so pre-rounding at load changes no kernel output bit."""
+    from booster_tpu.quant.qtensor import compact_scales
+
+    N, K = 256, 512
+    qt = transpose_qtensor(make_qt_host(fmt, N, K))
+    cq = compact_scales(qt)
+    assert cq.scales.dtype.itemsize == 2
+    x = jnp.asarray(RNG.standard_normal((8, K)).astype(np.float32))
+    got_f32 = np.asarray(pq.qmm(x, qt.astype_device()))
+    got_bf16 = np.asarray(pq.qmm(x, cq.astype_device()))
+    np.testing.assert_array_equal(got_f32, got_bf16)
