@@ -131,12 +131,20 @@ _PROBES = np.array(
 
 @dataclass(frozen=True)
 class JanusTables:
-    """Per-vocab precomputed tables (host numpy; moved to device once)."""
+    """Per-vocab precomputed tables (host numpy; moved to device once).
 
-    scales: np.ndarray  # [V] f32
+    `factors` is the scale-independent penalty-strength table: every entry of
+    `scales` has the form 1 − (1 − janus_scale)·factor (initJanus only ever
+    assigns that shape, janus.cpp:537-701), so a *per-request* janus_scale
+    (the reference passes scale per pod, bridge.cpp:734,759) needs no table
+    rebuild — the sampler recomputes scales on device as an affine function
+    of the row's scale."""
+
+    scales: np.ndarray  # [V] f32 (at the default build scale)
     types: np.ndarray  # [V] int32
     pedantic: np.ndarray  # [V] bool
     eos_id: int
+    factors: np.ndarray = None  # [V] f32 scale-independent strengths
 
     @classmethod
     def build(cls, tokenizer: Tokenizer, params: SamplingParams | None = None) -> "JanusTables":
@@ -151,24 +159,25 @@ class JanusTables:
         lowers = np.array([is_lower(p) for p in pieces], bool)
         lens = np.array([len(p) for p in pieces], np.int32)
 
-        scales = np.full(V, scale, np.float32)
+        # scale-independent strengths: scales = 1 - (1 - scale) * factors
+        factors = np.ones(V, np.float32)
         # pedantic tokens: light touch
-        scales[pedantic] = 1.0 - (1.0 - scale) * 0.20
+        factors[pedantic] = 0.20
         # lowercase RU: length-dependent partial penalty (len/2 UTF-8 chars)
         ru_lower = (types == LANG_RU) & lowers & ~pedantic
         idx = np.clip(lens[ru_lower] // 2, 0, len(_PROBES) - 1)
-        scales[ru_lower] = 1.0 - (1.0 - scale) * _PROBES[idx]
+        factors[ru_lower] = _PROBES[idx]
         # lowercase EN
         en_lower = (types == LANG_EN) & lowers & ~pedantic
         idx = np.clip(lens[en_lower], 0, len(_PROBES) - 1)
-        scales[en_lower] = 1.0 - (1.0 - scale) * _PROBES[idx]
+        factors[en_lower] = _PROBES[idx]
 
         # vocab-position heuristics (janus.cpp llama-3 branch, generalized to
         # relative vocab position so llama-2-sized vocabs behave equivalently)
         def set_piece(text: bytes, factor: float):
             for i, p in enumerate(pieces):
                 if p == text:
-                    scales[i] = 1.0 - (1.0 - scale) * factor
+                    factors[i] = factor
 
         set_piece(b"\n", 0.10)
         set_piece(b"\n\n", 0.10)
@@ -185,19 +194,21 @@ class JanusTables:
         rel = np.arange(V, dtype=np.float64) / max(V, 1)
         for lo, hi, factor in bands:
             in_band = (rel >= lo) & (rel < hi) & (types == SPACE_RU)
-            scales[in_band] = 1.0 - (1.0 - scale) * factor
+            factors[in_band] = factor
         en_bands = [(0, 500, 0.30), (500, 800, 0.40), (800, 1100, 0.50)]
         ids = np.arange(V)
         for lo, hi, factor in en_bands:
             in_band = (ids >= lo) & (ids < hi) & (types == SPACE_EN)
-            scales[in_band] = 1.0 - (1.0 - scale) * factor
+            factors[in_band] = factor
 
-        scales[0] = 1.0
+        factors[0] = 0.0
         eos = vocab.eos_id if vocab.eos_id >= 0 else 0
-        scales[eos] = scale
+        factors[eos] = 1.0
         if vocab.eot_id >= 0:
-            scales[vocab.eot_id] = scale
-        return cls(scales=scales, types=types, pedantic=pedantic, eos_id=eos)
+            factors[vocab.eot_id] = 1.0
+        scales = (1.0 - (1.0 - scale) * factors).astype(np.float32)
+        return cls(scales=scales, types=types, pedantic=pedantic, eos_id=eos,
+                   factors=factors)
 
 
 def janus_sample(
@@ -215,6 +226,8 @@ def janus_sample(
     depth=None,  # [B] i32 per-row override of params.janus_depth
     hi=None,  # [B] f32 per-row override of params.janus_hi
     lo=None,  # [B] f32 per-row override of params.janus_lo
+    scale=None,  # [B] f32 per-row janus_scale (needs tables_factors)
+    tables_factors=None,  # [V] scale-independent strengths (JanusTables.factors)
 ) -> jnp.ndarray:
     """Vectorized sample_janus_token (janus.cpp:191-331).
 
@@ -252,7 +265,13 @@ def janus_sample(
         jnp.arange(B)[:, None], tok
     ].add(in_window.astype(jnp.float32))
 
-    scales_v = tables_scales[None, :]  # [1, V]
+    if scale is not None and tables_factors is not None:
+        # per-row janus_scale: the table is affine in scale (see
+        # JanusTables.factors), so per-request scale (bridge.cpp:734,759)
+        # is one [B, V] outer product on device, no host table rebuild
+        scales_v = 1.0 - (1.0 - jnp.reshape(scale, (B, 1))) * tables_factors[None, :]
+    else:
+        scales_v = tables_scales[None, :]  # [1, V]
     ru_cont = last_is_ru[:, None] & (tables_types[None, :] == LANG_RU)
     factor = jnp.where(ru_cont, 1.0 - (1.0 - scales_v) * 0.20, scales_v)
     logits = logits * jnp.power(factor, counts)

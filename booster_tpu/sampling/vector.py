@@ -42,6 +42,10 @@ class VectorSampling:
     top_k: jnp.ndarray  # i32; <= 0 → disabled
     top_p: jnp.ndarray  # f32; >= 1 → disabled
     min_p: jnp.ndarray  # f32; <= 0 → disabled
+    tfs_z: jnp.ndarray  # f32; >= 1 → disabled
+    typical_p: jnp.ndarray  # f32; >= 1 → disabled
+    dynatemp_range: jnp.ndarray  # f32; <= 0 → disabled
+    dynatemp_exponent: jnp.ndarray  # f32
     penalty_repeat: jnp.ndarray  # f32; 1.0 → disabled
     penalty_freq: jnp.ndarray
     penalty_present: jnp.ndarray
@@ -54,14 +58,17 @@ class VectorSampling:
     janus_depth: jnp.ndarray  # i32
     janus_hi: jnp.ndarray  # f32
     janus_lo: jnp.ndarray  # f32
+    janus_scale: jnp.ndarray  # f32
     max_predict: jnp.ndarray  # f32; per-slot predict limit (Janus EOS boost)
 
     _FIELDS = (
         "temp", "top_k", "top_p", "min_p",
+        "tfs_z", "typical_p", "dynatemp_range", "dynatemp_exponent",
         "penalty_repeat", "penalty_freq", "penalty_present",
         "penalty_last_n", "penalize_nl",
         "mirostat", "mirostat_tau", "mirostat_eta",
-        "janus", "janus_depth", "janus_hi", "janus_lo", "max_predict",
+        "janus", "janus_depth", "janus_hi", "janus_lo", "janus_scale",
+        "max_predict",
     )
 
     @classmethod
@@ -76,6 +83,10 @@ class VectorSampling:
             top_k=arr(lambda p: p.top_k, np.int32),
             top_p=arr(lambda p: p.top_p),
             min_p=arr(lambda p: p.min_p),
+            tfs_z=arr(lambda p: p.tfs_z),
+            typical_p=arr(lambda p: p.typical_p),
+            dynatemp_range=arr(lambda p: p.dynatemp_range),
+            dynatemp_exponent=arr(lambda p: p.dynatemp_exponent),
             penalty_repeat=arr(lambda p: p.penalty_repeat),
             penalty_freq=arr(lambda p: p.penalty_freq),
             penalty_present=arr(lambda p: p.penalty_present),
@@ -88,6 +99,7 @@ class VectorSampling:
             janus_depth=arr(lambda p: p.janus_depth, np.int32),
             janus_hi=arr(lambda p: p.janus_hi),
             janus_lo=arr(lambda p: p.janus_lo),
+            janus_scale=arr(lambda p: p.janus_scale),
             max_predict=jnp.full(len(plist), float(max_predict), jnp.float32),
         )
 
@@ -97,6 +109,9 @@ class VectorSampling:
         p = p.normalized()
         updates = dict(
             temp=p.temp, top_k=p.top_k, top_p=p.top_p, min_p=p.min_p,
+            tfs_z=p.tfs_z, typical_p=p.typical_p,
+            dynatemp_range=p.dynatemp_range,
+            dynatemp_exponent=p.dynatemp_exponent,
             penalty_repeat=p.penalty_repeat, penalty_freq=p.penalty_freq,
             penalty_present=p.penalty_present, penalty_last_n=p.penalty_last_n,
             penalize_nl=p.penalize_nl,
@@ -104,6 +119,7 @@ class VectorSampling:
             mirostat_eta=p.mirostat_eta,
             janus=bool(p.janus), janus_depth=p.janus_depth,
             janus_hi=p.janus_hi, janus_lo=p.janus_lo,
+            janus_scale=p.janus_scale,
         )
         if max_predict is not None:
             updates["max_predict"] = float(max_predict)
@@ -151,6 +167,106 @@ def chain_cutoff(lg: jnp.ndarray, vp: VectorSampling) -> jnp.ndarray:
     return jnp.maximum(jnp.maximum(k_cut, p_cut), m_cut)
 
 
+def chain_filter(
+    logits: jnp.ndarray, vp: VectorSampling, features: tuple = ()
+) -> jnp.ndarray:
+    """[B, V] logits masked to -inf outside the survivors of the
+    default-order sampler queue k → tfs → typical → top-p → min-p,
+    sequentially renormalized per filter like the single-sequence chain
+    (sampler_queue, /root/reference/cpp/common/sampling.cpp:430; each
+    llama_sample_* impl re-softmaxes over the surviving candidates).
+
+    Vectorized over rows with traced per-row parameters on one top-K
+    shortlist: every filter only removes candidates and re-sorting keeps
+    prob-descending order, so a boolean mask over the shortlist's sorted
+    coordinates represents the shrinking candidate array exactly.  Rows
+    with all subset filters disabled keep the full vocabulary.  tfs and
+    typical compile only when "exttail" is in features (static)."""
+    lg = logits
+    B, V = lg.shape
+    K = min(256, V)
+    sorted_lg, sorted_idx = jax.lax.top_k(lg, K)
+    pos = jnp.arange(K)[None, :]
+    keep = jnp.ones((B, K), bool)
+
+    def renorm(keep):
+        return jax.nn.softmax(jnp.where(keep, sorted_lg, NEG_INF), axis=-1)
+
+    # top-k: survivors are the leading prefix at this point
+    k = jnp.where(vp.top_k <= 0, K, jnp.clip(jnp.minimum(vp.top_k, K), 1, K))
+    keep &= pos < k[:, None]
+
+    if "exttail" in features:
+        # tail-free (llama_sample_tail_free_impl, llama-sampling.cpp:235):
+        # normalized |second derivative| of the sorted prob curve
+        p = renorm(keep)
+        d2 = jnp.abs(p[:, :-2] - 2.0 * p[:, 1:-1] + p[:, 2:])
+        norm = jnp.sum(d2, axis=-1, keepdims=True)
+        d2 = jnp.where(norm > 0, d2 / jnp.maximum(norm, 1e-20), 1.0 / (K - 2))
+        cum = jnp.cumsum(d2, axis=-1)
+        keep_f = jnp.concatenate(
+            [jnp.ones((B, 1), bool), cum < vp.tfs_z[:, None],
+             jnp.zeros((B, 1), bool)], axis=-1)
+        keep &= keep_f | (vp.tfs_z >= 1.0)[:, None]
+
+        # typical (llama_sample_typical_impl, :294): order by distance from
+        # the typical surprise, keep until mass >= p
+        p = renorm(keep)
+        lp = jnp.log(jnp.maximum(p, 1e-38))
+        ent = -jnp.sum(jnp.where(keep, p * lp, 0.0), axis=-1, keepdims=True)
+        shifted = jnp.where(keep, jnp.abs(-lp - ent), jnp.inf)
+        order = jnp.argsort(shifted, axis=-1)  # most typical first
+        p_srt = jnp.take_along_axis(p, order, axis=-1)
+        cum = jnp.cumsum(p_srt, axis=-1)
+        keep_srt = (cum - p_srt) < jnp.maximum(vp.typical_p, 1e-9)[:, None]
+        keep_y = jnp.zeros_like(keep).at[
+            jnp.arange(B)[:, None], order].set(keep_srt)
+        keep &= keep_y | (vp.typical_p >= 1.0)[:, None]
+
+    # top-p over the renormalized survivors; the first survivor has
+    # preceding mass 0 < top_p, so min_keep=1 holds implicitly
+    p = renorm(keep)
+    cum = jnp.cumsum(p, axis=-1)
+    keep_p = (cum - p) < jnp.maximum(vp.top_p, 1e-9)[:, None]
+    keep &= keep_p | (vp.top_p >= 1.0)[:, None]
+
+    # min-p relative to the surviving max (ratios are renorm-invariant)
+    p = renorm(keep)
+    pmax = jnp.max(p, axis=-1, keepdims=True)
+    keep_m = (p >= vp.min_p[:, None] * pmax) | (p == pmax)
+    keep &= keep_m | (vp.min_p <= 0.0)[:, None]
+
+    any_sub = ((vp.top_k > 0) | (vp.top_p < 1.0) | (vp.min_p > 0.0)
+               | (vp.tfs_z < 1.0) | (vp.typical_p < 1.0))
+    keep_v = jnp.zeros((B, V), bool).at[
+        jnp.arange(B)[:, None], sorted_idx].set(keep)
+    keep_v = keep_v | ~any_sub[:, None]
+    return jnp.where(keep_v, lg, NEG_INF)
+
+
+def effective_temp(
+    filtered: jnp.ndarray, vp: VectorSampling, features: tuple = ()
+) -> jnp.ndarray:
+    """[B, 1] sampling temperature: dynatemp entropy scaling
+    (llama_sample_entropy_impl, llama-sampling.cpp:358) when a row enables
+    it, else the plain per-row temp."""
+    t = jnp.maximum(vp.temp, 1e-6)[:, None]
+    if "exttail" not in features:
+        return t
+    lp = jax.nn.log_softmax(filtered, axis=-1)
+    probs = jnp.exp(lp)
+    ent = -jnp.sum(jnp.where(probs > 0, probs * lp, 0.0), axis=-1,
+                   keepdims=True)
+    n_valid = jnp.sum(jnp.isfinite(filtered), axis=-1, keepdims=True)
+    max_ent = jnp.log(jnp.maximum(n_valid.astype(jnp.float32), 2.0))
+    norm_ent = jnp.clip(ent / jnp.maximum(max_ent, 1e-9), 0.0, 1.0)
+    t_min = jnp.maximum(0.0, vp.temp - vp.dynatemp_range)[:, None]
+    t_max = (vp.temp + vp.dynatemp_range)[:, None]
+    dyn_t = t_min + (t_max - t_min) * norm_ent ** vp.dynatemp_exponent[:, None]
+    return jnp.where((vp.dynatemp_range > 0)[:, None],
+                     jnp.maximum(dyn_t, 1e-9), t)
+
+
 def filtered_probs_vectorized(
     logits: jnp.ndarray, vp: VectorSampling
 ) -> jnp.ndarray:
@@ -177,7 +293,7 @@ def sample_vectorized(
     vp: VectorSampling,
     mask=None,  # [B] bool: rows to actually sample/advance (None = all)
     features: tuple = (),  # static: subset of ("janus", "mirostat")
-    janus_tables=None,  # (scales [V], types [V], pedantic [V], eos_id) when janus
+    janus_tables=None,  # (scales, types, pedantic, factors [V], eos_id) when janus
     nl_token: int = -1,
 ) -> tuple[jnp.ndarray, SamplerState]:
     B, V = logits.shape
@@ -207,15 +323,14 @@ def sample_vectorized(
 
     greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
 
-    # top-K shortlist instead of a full-vocab sort (64×V sorts dominated the
-    # batched decode step).  Exact for top_k ≤ K; top-p operates on the
-    # shortlist — exact whenever the shortlist carries ≥ p of the mass, which
-    # holds for every practical temperature.  Rows with a filter disabled get
-    # a -inf cutoff (no shortlist clamp at all).
-    cutoff = chain_cutoff(lg, vp)
-    filtered = jnp.where(lg < cutoff, NEG_INF, lg)
+    # sequential filter queue on a top-K shortlist instead of full-vocab
+    # sorts (64×V sorts dominated the batched decode step).  Exact for
+    # top_k ≤ K; the tail filters operate on the shortlist — exact whenever
+    # it carries the surviving mass, which holds for every practical
+    # temperature.
+    filtered = chain_filter(lg, vp, features)
 
-    t = jnp.maximum(vp.temp, 1e-6)[:, None]
+    t = effective_temp(filtered, vp, features)
     keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.key, 2)
     step_key, next_key = keys[:, 0], keys[:, 1]
     sampled = jax.vmap(lambda kk, l: jax.random.categorical(kk, l))(
@@ -238,12 +353,13 @@ def sample_vectorized(
     if "janus" in features:
         from booster_tpu.sampling.janus import janus_sample
 
-        scales, types, pedantic, eos_id = janus_tables
+        scales, types, pedantic, factors, eos_id = janus_tables
         j_tok = janus_sample(
             raw, state.prev_tokens, state.prev_pos, state.prompt_len,
             vp.max_predict, scales, types, pedantic, eos_id,
             SamplingParams(), step_key,
             depth=vp.janus_depth, hi=vp.janus_hi, lo=vp.janus_lo,
+            scale=vp.janus_scale, tables_factors=factors,
         )
         tokens = jnp.where(vp.janus, j_tok, tokens)
 

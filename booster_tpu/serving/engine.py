@@ -500,6 +500,7 @@ class Engine:
         self._slot_janus = np.zeros(B, bool)
         self._slot_mirostat = np.zeros(B, bool)
         self._slot_penalties = np.zeros(B, bool)
+        self._slot_exttail = np.zeros(B, bool)
         # per-slot Self-Extend knobs (0 = off)
         self._slot_se_group = np.zeros(B, np.int32)
         self._slot_se_window = np.zeros(B, np.int32)
@@ -546,6 +547,9 @@ class Engine:
             feats.append("janus")
         if self._slot_mirostat.any():
             feats.append("mirostat")
+        if self._slot_exttail.any():
+            # tfs/typical/dynatemp filters compile only when a slot uses them
+            feats.append("exttail")
         if not self._slot_penalties.any():
             # the [B, V] penalty scatter compiles out when nothing uses it
             feats.append("nopenalties")
@@ -558,7 +562,7 @@ class Engine:
         if not hasattr(self, "_jt_dev"):
             self._jt_dev = (
                 jnp.asarray(jt.scales), jnp.asarray(jt.types),
-                jnp.asarray(jt.pedantic), jt.eos_id,
+                jnp.asarray(jt.pedantic), jnp.asarray(jt.factors), jt.eos_id,
             )
         return self._jt_dev
 
@@ -595,6 +599,10 @@ class Engine:
         self._slot_penalties[slot] = (
             sampling.penalty_repeat != 1.0 or sampling.penalty_freq != 0.0
             or sampling.penalty_present != 0.0
+        )
+        self._slot_exttail[slot] = (
+            sampling.tfs_z < 1.0 or sampling.typical_p < 1.0
+            or sampling.dynatemp_range > 0.0
         )
         self._slot_se_group[slot] = se_group
         self._slot_se_window[slot] = se_window
@@ -1026,8 +1034,13 @@ class Engine:
             )
             gcache = self._new_cache(dense=True)
         jt = self.janus_tables() if sampling.janus else None
+        # per-request janus_scale: the table is affine in scale
+        # (JanusTables.factors), so rebuild is one host multiply — parity
+        # with the reference's per-pod scale (bridge.cpp:734,759)
+        _jscale = sampling.normalized().janus_scale
         janus_args = dict(
-            janus_scales=jnp.asarray(jt.scales) if jt else None,
+            janus_scales=(jnp.asarray(1.0 - (1.0 - _jscale) * jt.factors)
+                          if jt else None),
             janus_types=jnp.asarray(jt.types) if jt else None,
             janus_pedantic=jnp.asarray(jt.pedantic) if jt else None,
             janus_eos=jt.eos_id if jt else 0,

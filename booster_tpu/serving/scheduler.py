@@ -338,6 +338,13 @@ class Scheduler:
                 sp = j.sampling or self.default_sampling
                 if j.grammar or sp.cfg_scale != 1.0:
                     return True
+                # the batched chain hard-codes the default filter order; a
+                # custom ordered sampler queue (sampler_queue,
+                # common/sampling.cpp:220) runs on the exact path
+                from booster_tpu.sampling.params import SamplingParams
+
+                if sp.samplers_sequence != SamplingParams.samplers_sequence:
+                    return True
                 return self.spec is not None and bool(sp.janus or sp.mirostat)
 
             for jid in [j for j in self.queue if needs_dedicated(self.jobs[j])]:
