@@ -289,7 +289,8 @@ def _expand_scales_sub(s_sub, g: int, bn: int):
 
 def _tqmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int,
                     bn: int, has_mins: bool):
-    """x_ref [BM, BK] bf16, qw_ref [BK, BN] i8, s_ref [R, BK/G, BN] f32."""
+    """x_ref [BM, BK] bf16, qw_ref [BK, BN] i8, s_ref [R, BK/G, BN] f32 or
+    bf16 (compact_scales; widened to f32 before the sublane broadcast)."""
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -315,7 +316,8 @@ def _tqmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int,
 def _tqmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bkh: int,
                     bn: int, has_mins: bool, zero: int):
     """x_ref [BM, 2, BKH] bf16, qw_ref [BKH, BN] u8 (byte row k = elem k lo
-    nibble, elem k + K/2 hi), s_ref [2(+2), BKH/G, BN] f32."""
+    nibble, elem k + K/2 hi), s_ref [2(+2), BKH/G, BN] f32 or bf16
+    (compact_scales; widened to f32 before the sublane broadcast)."""
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -391,7 +393,17 @@ def _pick_tiles_t(n: int, pk: int, m: int, srows: int, group: int,
         if pk == bk and best is not None:
             break
     if best is None:
-        return bm, (n if n % 128 else 128), pk
+        # fallback (bf16 scales tighten the sublane gate, pruning most
+        # sub-pk candidates): still respect the VMEM model — shrink BN
+        # first, then accept the smallest K tile even over budget rather
+        # than return an unchecked bk=pk (a latent scoped-VMEM OOM)
+        bn0 = n if n % 128 else 128
+        for bk in (pk,) + tuple(c for c in _BK_CANDS if c < pk and pk % c == 0):
+            if bk != pk and (bk % group or (bk // group) % s_sub or bk % 32):
+                continue  # same shape-validity gate as the main loop
+            if vmem_est(bn0, bk) <= limit:
+                return bm, bn0, bk
+        return bm, bn0, pk
     return bm, best[1], best[2]
 
 
@@ -423,7 +435,8 @@ def _tqmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=N * K + N * sg * 4 + M * K * 2 + M * N * 4,
+            bytes_accessed=(N * K + N * sg * s3.dtype.itemsize + M * K * 2
+                            + M * N * 4),
             transcendentals=0,
         ),
         interpret=INTERPRET,
@@ -462,7 +475,8 @@ def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=N * half + N * sgh * 2 * 4 + M * K * 2 + M * N * 4,
+            bytes_accessed=(N * half + N * sgh * 2 * s3.dtype.itemsize
+                            + M * K * 2 + M * N * 4),
             transcendentals=0,
         ),
         interpret=INTERPRET,

@@ -29,6 +29,10 @@ with payload ``qw`` either
 
 ``scales``/``mins`` are float32 (exact: ggml scale products like f16(d) * 6-bit
 int need 17 mantissa bits, so f32 reproduces dequantization bit-for-bit).
+Exception: transposed kinds may carry bf16 scale planes (``compact_scales``)
+— the t-kernels round scales to bf16 in-kernel anyway and widen the slice to
+f32 before the sublane broadcast, so the kernel path stays bit-identical
+while streaming ~10% fewer bytes (set BT_SCALE_BF16=0 to keep f32).
 
 Format mapping (group = elements per scale):
     Q4_0 → i4p g32 (scale=d,      min=8d)       Q4_1 → i4p g32 (scale=d, min=-m)
@@ -190,7 +194,12 @@ def compact_scales(qt: QTensor) -> QTensor:
     kernel while halving the scale-plane HBM traffic (q4_0 G=32: scales are
     20% of the streamed bytes; affine K-formats more).  Opt-in — the loader
     applies it after transpose_qtensor so transpose itself stays a lossless
-    relayout (tests/test_pallas_qmm.py roundtrip contract)."""
+    relayout (tests/test_pallas_qmm.py roundtrip contract).
+
+    Non-kernel consumers of a compacted tensor (the qlinear XLA fallback,
+    dequantize_qtensor[_np]) dequantize with the bf16-rounded scales — the
+    same rounding the kernel applies, but a small numerics shift vs the
+    pre-compaction f32-scale fallback output."""
     if not qt.transposed or qt.scales is None:
         return qt
     import ml_dtypes
