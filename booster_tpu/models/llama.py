@@ -582,6 +582,7 @@ def forward(
                 jnp.int32(cfg.sliding_window) if cfg.sliding_window > 0
                 else None,
                 B=B, S=S, D=kf.shape[-1], itemsize=kf.dtype.itemsize,
+                G=cfg.n_heads // cfg.n_kv_heads,
             )
         off = 0
         news = []

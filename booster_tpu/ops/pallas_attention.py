@@ -40,6 +40,10 @@ INTERPRET = False
 
 _BT = int(_os.environ.get("BT_ATTN_BT", "8"))  # batch rows per grid step
 _ST = int(_os.environ.get("BT_ATTN_ST", "1024"))  # kv positions per grid step
+# merged block-diagonal dot: one [bt*G, D] x [bt*ST, D]^T MXU dot per grid
+# step instead of bt small unrolled dots (off-diagonal b-blocks are masked;
+# scales stay in score space as a [1, bt*ST] lane-merged row)
+_MERGED = _os.environ.get("BT_ATTN_MERGED", "1") != "0"
 
 _NEG = -1e30
 
@@ -159,6 +163,146 @@ def _decode_attn_kernel(
             out_ref[b, 0] = acc_b / jnp.maximum(l_b, 1e-30)
 
 
+def _smem_cols(ref, col, bt: int, st: int, shape):
+    """Expand per-b SMEM scalars ref[b, 0] to a vector over the merged
+    bt*ST column axis (value at column c is ref[c // st, 0]) — bt scalar
+    broadcast-selects, no gather."""
+    blk = col // st  # [1, bt*st] (or [btG, 1] when expanding over rows)
+    out = jnp.zeros(shape, jnp.int32)
+    for b in range(bt):
+        out = jnp.where(blk == b, ref[b, 0], out)
+    return out
+
+
+def _decode_attn_kernel_merged(
+    lay_ref,  # [1] i32 (scalar prefetch)
+    nv_ref,  # [B // BT, 2] i32 (scalar prefetch)
+    q_ref,  # [BT, 1, G, D] bf16
+    k_ref,  # [1, BT, 1, ST, D] i8|bf16
+    v_ref,
+    ks_ref,  # [1, BT, 1, 1, ST] f32 (or None)
+    vs_ref,
+    sk_ref,  # [BT, 1, 1, D] bf16 (or None — deferred-append self term)
+    sv_ref,
+    lens_ref,  # [BT, 1] i32 (SMEM)
+    win_ref,  # [1, 1] i32 (SMEM)
+    selfok_ref,  # [BT, 1] i32 (SMEM; or None)
+    out_ref,  # [BT, 1, G, D] f32
+    m_ref,  # scratch [BT*G, 1] f32
+    l_ref,  # scratch [BT*G, 1] f32
+    acc_ref,  # scratch [BT*G, D] f32
+    *,
+    bt: int,
+    st: int,
+    softcap: float,
+    quantized: bool,
+):
+    """Merged-dot variant of _decode_attn_kernel: the bt batch rows of a
+    grid step form ONE [bt*G, D] x [bt*ST, D]^T MXU dot whose off-diagonal
+    b-blocks are masked to -inf (their exp contributes exact zeros to PV).
+    Trades bt x wasted MXU FLOPs (sub-us at decode shapes) for 1 dot pair
+    per step instead of bt — the per-b unroll was 30-50% of attention time
+    at B=64 (ROUND2_NOTES).  The fattn tile-kernel role,
+    /root/reference/cpp/ggml/src/ggml-cuda/fattn.cu."""
+    s_idx = pl.program_id(2)
+    ns = pl.num_programs(2)
+    has_self = sk_ref is not None
+    G, D = q_ref.shape[2], q_ref.shape[3]
+    btG, btST = bt * G, bt * st
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    col0 = pl.program_id(2) * st
+    win = win_ref[0, 0]
+    bi = pl.program_id(0)
+
+    @pl.when((s_idx >= nv_ref[bi, 0]) & (s_idx < nv_ref[bi, 1]))
+    def _():
+        q2 = q_ref[:, 0].reshape(btG, D)  # bf16, leading-dim merge
+        k2 = k_ref[0, :, 0].reshape(btST, D).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q2, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [btG, btST]
+        if quantized:
+            # per-position k scale in score space: [bt, ST] lane-merged to
+            # one row (sublane->lane merge; st >= 128 required, see gate)
+            s = s * ks_ref[0, :, 0, 0].reshape(1, btST)
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+        ccol = jax.lax.broadcasted_iota(jnp.int32, (1, btST), 1)
+        colb = ccol // st  # which batch row this column belongs to
+        colpos = col0 + (ccol - colb * st)  # kv position of the column
+        rowb = jax.lax.broadcasted_iota(jnp.int32, (btG, 1), 0) // G
+        lens_c = _smem_cols(lens_ref, ccol, bt, st, (1, btST))
+        ok_c = (_smem_cols(selfok_ref, ccol, bt, st, (1, btST))
+                if has_self else 0)
+        lo_c = lens_c - win + ok_c
+        valid = ((colb == rowb) & (colpos < lens_c) & (colpos >= lo_c))
+        s = jnp.where(valid, s, _NEG)
+
+        m_prev = m_ref[:]  # [btG, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [btG, btST]; off-diagonal entries exact 0
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * vs_ref[0, :, 0, 0].reshape(1, btST)
+        v2 = v_ref[0, :, 0].reshape(btST, D).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [btG, D]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s_idx == ns - 1)
+    def _():
+        m_b, l_b, acc = m_ref[:], l_ref[:], acc_ref[:]
+        if has_self:
+            # deferred-append: fold the new token's (always-causal) self
+            # term in, mirroring the storage quantization (see the unrolled
+            # kernel).  One [btG, D] x [bt, D]^T dot; rows only see their
+            # own b column, the rest are masked.
+            sk2 = sk_ref[:, 0, 0].astype(jnp.float32)  # [bt, D]
+            sv2 = sv_ref[:, 0, 0].astype(jnp.float32)
+
+            def mirror(x):  # [bt, D] f32 -> storage round-trip
+                if not quantized:
+                    return x.astype(jnp.bfloat16).astype(jnp.float32)
+                sc = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+                qv = jnp.round(x / jnp.maximum(sc, 1e-12))
+                return qv * sc
+
+            skq, svq = mirror(sk2), mirror(sv2)
+            q2 = q_ref[:, 0].reshape(btG, D).astype(jnp.float32)
+            s_self = jax.lax.dot_general(
+                q2, skq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [btG, bt]
+            if softcap > 0.0:
+                s_self = softcap * jnp.tanh(s_self / softcap)
+            scol = jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+            rowb = jax.lax.broadcasted_iota(jnp.int32, (btG, 1), 0) // G
+            ok_c = _smem_cols(selfok_ref, scol, bt, 1, (1, bt))
+            s_self = jnp.where((scol == rowb) & (ok_c > 0), s_self, _NEG)
+            m2 = jnp.maximum(m_b, jnp.max(s_self, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_b - m2)
+            p_self = jnp.exp(s_self - m2)  # [btG, bt]; one live col per row
+            l_b = l_b * alpha + jnp.sum(p_self, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p_self, svq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o = acc / jnp.maximum(l_b, 1e-30)  # [btG, D]
+        for b in range(bt):
+            out_ref[b, 0] = o[b * G:(b + 1) * G]
+
+
 def _pick_bt(B: int, S: int, D: int, itemsize: int) -> tuple[int, int]:
     """Tile sizes: few grid steps, K+V tiles ≲ 2 MB each, double-buffered."""
     st = min(S, _ST)
@@ -173,6 +317,50 @@ def _pick_bt(B: int, S: int, D: int, itemsize: int) -> tuple[int, int]:
     return max(bt, 1), st
 
 
+_MERGED_LIMIT = 12 * 2**20  # scoped-VMEM budget for the merged kernel
+
+
+def _vmem_merged(bt: int, st: int, D: int, G: int, itemsize: int) -> int:
+    """Merged-kernel scoped-VMEM model: double-buffered K/V blocks, the
+    i8→bf16 cast temporaries, and the [bt·G, bt·ST] score plane (f32 s +
+    exp/where temps + bf16 p ≈ 2.5× its f32 bytes)."""
+    kv = 2 * 2 * bt * st * D * itemsize
+    casts = (2 * bt * st * D * 2) if itemsize == 1 else 0
+    s_bytes = bt * G * bt * st * 4
+    return kv + casts + int(2.5 * s_bytes) + 12 * bt * G * D
+
+
+def _pick_bt_merged(B: int, S: int, D: int, G: int,
+                    itemsize: int) -> tuple[int, int]:
+    """(bt, st) for the merged kernel: minimize grid steps under the VMEM
+    model; on ties prefer smaller bt (MXU waste in the merged dot scales
+    with bt) then larger st.  st must stay lane-mergeable (≥128)."""
+    best = None
+    bt0 = _BT
+    while B % bt0:
+        bt0 //= 2
+    bt = bt0
+    while bt >= 1:
+        # SMEM (bt, 1) blocks need bt % 8 == 0 or bt == B (Mosaic block gate)
+        if B % bt == 0 and (bt == B or bt % 8 == 0):
+            st = min(S, _ST)
+            while S % st:
+                st //= 2
+            while st >= 128:
+                if S % st == 0 and _vmem_merged(bt, st, D, G,
+                                                itemsize) <= _MERGED_LIMIT:
+                    steps = (B // bt) * (S // st)
+                    key = (steps, bt, -st)
+                    if best is None or key < best[0]:
+                        best = (key, bt, st)
+                    break  # larger st within budget dominates smaller
+                st //= 2
+        bt //= 2
+    if best is None:
+        return _pick_bt(B, S, D, itemsize)
+    return best[1], best[2]
+
+
 def decode_prep(
     kv_valid_len: jnp.ndarray,  # [B] i32
     window,  # traced i32 scalar or None
@@ -181,12 +369,17 @@ def decode_prep(
     S: int,
     D: int,
     itemsize: int,
+    G: int = 0,
 ):
     """Layer-invariant operands of the decode-attention kernel: (lens, win,
     nv, bt, st).  Compute ONCE per forward and pass as `prep` — inside the
     layer scan these small fusions otherwise re-run every layer (3 extra
-    launches/layer, tools/ablate_decode)."""
-    bt, st = _pick_bt(B, S, D, itemsize)
+    launches/layer, tools/ablate_decode).  Pass G (= H // Hkv) so the tile
+    pick matches the merged kernel's VMEM model."""
+    if G and _MERGED:
+        bt, st = _pick_bt_merged(B, S, D, G, itemsize)
+    else:
+        bt, st = _pick_bt(B, S, D, itemsize)
     lens = kv_valid_len.astype(jnp.int32).reshape(B, 1)
     win = (jnp.asarray(window, jnp.int32) if window is not None
            else jnp.int32(S + 1)).reshape(1, 1)
@@ -245,9 +438,15 @@ def decode_attention_stacked(
 
     if prep is None:
         prep = decode_prep(kv_valid_len, window, B=B, S=S, D=D,
-                           itemsize=k_cache.dtype.itemsize)
+                           itemsize=k_cache.dtype.itemsize, G=G)
     lens, win, nv, bt, st = prep
     grid = (B // bt, Hkv, S // st)
+    # merged block-diagonal dot: needs a lane-mergeable st and the score
+    # plane within the scoped-VMEM budget; otherwise the per-b unroll
+    use_merged = (_MERGED and st % 128 == 0
+                  and (bt == B or bt % 8 == 0)
+                  and _vmem_merged(bt, st, D, G, k_cache.dtype.itemsize)
+                  <= _MERGED_LIMIT)
 
     lay = jnp.asarray(layer, jnp.int32).reshape(1)
 
@@ -288,8 +487,10 @@ def decode_attention_stacked(
             memory_space=pltpu.VMEM)
         in_specs += [self_spec, self_spec]
         args += [_padd(sk), _padd(sv)]
-    kernel = functools.partial(_adapt_refs, _decode_attn_kernel,
-                               quantized, has_self)
+    kernel = functools.partial(
+        _adapt_refs,
+        _decode_attn_kernel_merged if use_merged else _decode_attn_kernel,
+        quantized, has_self)
     in_specs += [
         pl.BlockSpec((bt, 1), lambda i, j, k, lay_ref, nv_ref: (i, 0),
                      memory_space=pltpu.SMEM),
@@ -310,11 +511,19 @@ def decode_attention_stacked(
         out_specs=pl.BlockSpec((bt, 1, G, D),
                                lambda i, j, k, lay_ref, nv_ref: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((bt, G, 1), jnp.float32),
-            pltpu.VMEM((bt, G, 1), jnp.float32),
-            pltpu.VMEM((bt, G, D), jnp.float32),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((bt * G, 1), jnp.float32),
+                pltpu.VMEM((bt * G, 1), jnp.float32),
+                pltpu.VMEM((bt * G, D), jnp.float32),
+            ]
+            if use_merged
+            else [
+                pltpu.VMEM((bt, G, 1), jnp.float32),
+                pltpu.VMEM((bt, G, 1), jnp.float32),
+                pltpu.VMEM((bt, G, D), jnp.float32),
+            ]
+        ),
     )
     out = pl.pallas_call(
         functools.partial(kernel, bt=bt, st=st, softcap=logit_softcap,

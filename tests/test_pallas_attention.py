@@ -15,8 +15,11 @@ from booster_tpu.ops.attention import attention
 from booster_tpu.ops.kv_cache import _quantize_kv
 
 
-@pytest.fixture(autouse=True)
-def _interpret():
+@pytest.fixture(autouse=True, params=[True, False], ids=["merged", "unrolled"])
+def _interpret(request, monkeypatch):
+    # run every case through BOTH kernel variants: the merged block-diagonal
+    # dot and the per-b unrolled fallback
+    monkeypatch.setattr(pa, "_MERGED", request.param)
     pa.INTERPRET = True
     yield
     pa.INTERPRET = False
