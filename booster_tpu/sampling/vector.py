@@ -59,6 +59,7 @@ class VectorSampling:
     janus_hi: jnp.ndarray  # f32
     janus_lo: jnp.ndarray  # f32
     janus_scale: jnp.ndarray  # f32
+    cfg_scale: jnp.ndarray  # f32; 1.0 → guidance disabled for the row
     max_predict: jnp.ndarray  # f32; per-slot predict limit (Janus EOS boost)
 
     _FIELDS = (
@@ -68,7 +69,7 @@ class VectorSampling:
         "penalty_last_n", "penalize_nl",
         "mirostat", "mirostat_tau", "mirostat_eta",
         "janus", "janus_depth", "janus_hi", "janus_lo", "janus_scale",
-        "max_predict",
+        "cfg_scale", "max_predict",
     )
 
     @classmethod
@@ -100,6 +101,7 @@ class VectorSampling:
             janus_hi=arr(lambda p: p.janus_hi),
             janus_lo=arr(lambda p: p.janus_lo),
             janus_scale=arr(lambda p: p.janus_scale),
+            cfg_scale=arr(lambda p: p.cfg_scale),
             max_predict=jnp.full(len(plist), float(max_predict), jnp.float32),
         )
 
@@ -120,6 +122,7 @@ class VectorSampling:
             janus=bool(p.janus), janus_depth=p.janus_depth,
             janus_hi=p.janus_hi, janus_lo=p.janus_lo,
             janus_scale=p.janus_scale,
+            cfg_scale=p.cfg_scale,
         )
         if max_predict is not None:
             updates["max_predict"] = float(max_predict)

@@ -231,39 +231,64 @@ def _masked_decode_step(
          donate_argnames=("cache", "state"))
 def _prefill_batched(params, cfg: ModelConfig, cache: KVCache, tokens, n_valid,
                      state: SamplerState, vp, admit_mask,
-                     features=(), janus_tables=None, nl_token: int = -1):
+                     features=(), janus_tables=None, nl_token: int = -1,
+                     guidance_logits=None):
     """Prefill any subset of slots (n_valid=0 rows are no-ops) and sample the
-    first token for admitted rows."""
+    first token for admitted rows.  With "cfg" in features, rows with an
+    active cfg_scale combine with their guidance context's last-position
+    logits (captured by prefill_guidance) before sampling."""
     from booster_tpu.sampling.vector import sample_vectorized
 
     gather = jnp.maximum(n_valid - 1, 0)
     logits, cache = forward(
         params, cfg, tokens, cache, gather_idx=gather, n_valid=n_valid
     )
+    lg = logits[:, 0, :]
+    if "cfg" in features and guidance_logits is not None:
+        cfg_on = vp.cfg_scale != 1.0
+        guided = apply_guidance(lg, guidance_logits, vp.cfg_scale[:, None])
+        lg = jnp.where(cfg_on[:, None], guided, lg)
     tok, state = sample_vectorized(
-        logits[:, 0, :], state, vp, mask=admit_mask,
+        lg, state, vp, mask=admit_mask,
         features=features, janus_tables=janus_tables, nl_token=nl_token,
     )
     return tok, cache, state
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("gcache",))
+def _prefill_guidance_chunk(params, cfg: ModelConfig, gcache, tokens, n_valid):
+    """Advance guidance contexts by a chunk of negative-prompt tokens (rows
+    with n_valid=0 are no-ops); returns the last-position logit rows (used
+    by _prefill_batched to guide the first sampled token)."""
+    gather = jnp.maximum(n_valid - 1, 0)
+    logits, gcache = forward(params, cfg, tokens, gcache, gather_idx=gather,
+                             n_valid=n_valid)
+    return logits[:, 0, :], gcache
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "features", "nl_token"),
-         donate_argnames=("cache", "state"))
+         donate_argnames=("cache", "gcache", "state"))
 def _decode_chunk_vec(params, cfg: ModelConfig, cache: KVCache, last_tok,
                       state: SamplerState, vp, active, n_steps: int, eog_mask,
                       features=(), janus_tables=None, nl_token: int = -1,
-                      rope_pos_vec=None):
+                      rope_pos_vec=None, gcache=None):
     """n_steps batched decode iterations with per-slot sampling params.
 
     Rows become inactive once they emit EOG (their cache stops advancing).
     `rope_pos_vec` = (se_group [B], se_window [B]) enables per-slot
-    Self-Extend position compression.
-    Returns (tokens [B, n], emitted [B, n] bool, cache, state).
+    Self-Extend position compression.  With "cfg" in features, `gcache`
+    (the per-slot guidance contexts, prefilled with the negative prompts)
+    rides the chunk: each step runs a second forward over it and combines
+    logit rows per slot (llama_sample_apply_guidance_impl runs per pod,
+    concurrently — /root/reference/cpp/src/llama-sampling.cpp:484).
+    Returns (tokens [B, n], emitted [B, n] bool, cache, gcache, state).
     """
     from booster_tpu.sampling.vector import sample_vectorized
 
+    use_cfg = "cfg" in features and gcache is not None
+
     def step(carry, _):
-        cache, tok, state, live = carry
+        cache, gcache, tok, state, live = carry
         rope_positions = None
         if rope_pos_vec is not None:
             se_g, se_w = rope_pos_vec
@@ -276,19 +301,29 @@ def _decode_chunk_vec(params, cfg: ModelConfig, cache: KVCache, last_tok,
             n_valid=live.astype(jnp.int32),
             rope_positions=rope_positions,
         )
+        lg = logits[:, -1, :]
+        if use_cfg:
+            cfg_on = vp.cfg_scale != 1.0
+            glogits, gcache = forward(
+                params, cfg, tok, gcache, last_only=True,
+                n_valid=(live & cfg_on).astype(jnp.int32),
+            )
+            guided = apply_guidance(lg, glogits[:, -1, :],
+                                    vp.cfg_scale[:, None])
+            lg = jnp.where(cfg_on[:, None], guided, lg)
         nxt, state = sample_vectorized(
-            logits[:, -1, :], state, vp, mask=live,
+            lg, state, vp, mask=live,
             features=features, janus_tables=janus_tables, nl_token=nl_token,
         )
         nxt = jnp.where(live, nxt, tok[:, 0])
         emitted = live
         live = live & ~eog_mask[nxt]
-        return (cache, nxt[:, None], state, live), (nxt, emitted)
+        return (cache, gcache, nxt[:, None], state, live), (nxt, emitted)
 
-    (cache, _, state, _), (toks, emitted) = jax.lax.scan(
-        step, (cache, last_tok, state, active), None, length=n_steps
+    (cache, gcache, _, state, _), (toks, emitted) = jax.lax.scan(
+        step, (cache, gcache, last_tok, state, active), None, length=n_steps
     )
-    return toks.T, emitted.T, cache, state
+    return toks.T, emitted.T, cache, gcache, state
 
 
 class Engine:
@@ -344,6 +379,9 @@ class Engine:
                 s: [] for s in range(max_batch)
             }
         self.cache = self._new_cache()
+        # per-slot CFG guidance contexts (allocated lazily on the first CFG
+        # job; a second full dense cache — freed when no slot uses CFG)
+        self.gcache = None
         self._eog_mask = None
         if model.tokenizer is not None:
             V = model.cfg.n_vocab
@@ -501,6 +539,9 @@ class Engine:
         self._slot_mirostat = np.zeros(B, bool)
         self._slot_penalties = np.zeros(B, bool)
         self._slot_exttail = np.zeros(B, bool)
+        self._slot_cfg = np.zeros(B, bool)
+        self.gcache = None
+        self._guidance_logits = None
         # per-slot Self-Extend knobs (0 = off)
         self._slot_se_group = np.zeros(B, np.int32)
         self._slot_se_window = np.zeros(B, np.int32)
@@ -550,6 +591,10 @@ class Engine:
         if self._slot_exttail.any():
             # tfs/typical/dynatemp filters compile only when a slot uses them
             feats.append("exttail")
+        if self._slot_cfg.any():
+            # CFG guidance: the decode chunk runs a second forward over the
+            # per-slot guidance contexts only while a CFG job is active
+            feats.append("cfg")
         if not self._slot_penalties.any():
             # the [B, V] penalty scatter compiles out when nothing uses it
             feats.append("nopenalties")
@@ -604,6 +649,16 @@ class Engine:
             sampling.tfs_z < 1.0 or sampling.typical_p < 1.0
             or sampling.dynatemp_range > 0.0
         )
+        self._slot_cfg[slot] = sampling.cfg_scale != 1.0 and not self.paged
+        if self._slot_cfg[slot] and self.gcache is None:
+            self.gcache = self._new_cache(dense=True)
+        elif self.gcache is not None:
+            if not self._slot_cfg.any():
+                self.gcache = None  # last CFG slot gone: free the memory
+            else:
+                self.gcache = dataclasses.replace(
+                    self.gcache,
+                    lengths=self.gcache.lengths.at[slot].set(0))
         self._slot_se_group[slot] = se_group
         self._slot_se_window[slot] = se_window
         if hasattr(self, "slot_lengths"):
@@ -654,6 +709,8 @@ class Engine:
                 features=feats,
                 janus_tables=self._vector_janus_tables(feats),
                 nl_token=self.nl_token,
+                guidance_logits=(getattr(self, "_guidance_logits", None)
+                                 if "cfg" in feats else None),
             )
             self._last_dev = jnp.where(admit_dev[:, None], tok[:, None], self._last_dev)
             tok_np = np.asarray(tok)
@@ -662,6 +719,34 @@ class Engine:
                 self.trim_slot_pages(s)
                 del remaining[s]
         return first
+
+    def prefill_guidance(self, slot: int, ids: list[int],
+                         chunk: int = 512) -> None:
+        """Prefill one slot's CFG guidance context (the negative prompt)
+        into the shared per-slot guidance cache.  Batched analog of the
+        reference's per-pod ctx_guidance decode (common/sampling.cpp;
+        llama-sampling.cpp:484)."""
+        if self.gcache is None:
+            self.gcache = self._new_cache(dense=True)
+        B = self.max_batch
+        if not hasattr(self, "_guidance_logits") or self._guidance_logits is None:
+            self._guidance_logits = jnp.zeros((B, self.cfg.n_vocab),
+                                              jnp.float32)
+        self.gcache = dataclasses.replace(
+            self.gcache, lengths=self.gcache.lengths.at[slot].set(0))
+        rem = list(ids)
+        while rem:
+            take = min(len(rem), chunk)
+            T = min(max(16, 1 << (take - 1).bit_length()), chunk)
+            tokens = np.zeros((B, T), np.int32)
+            tokens[slot, :take] = rem[:take]
+            nv = np.zeros(B, np.int32)
+            nv[slot] = take
+            glg, self.gcache = _prefill_guidance_chunk(
+                self.params, self.cfg, self.gcache, jnp.asarray(tokens),
+                jnp.asarray(nv))
+            rem = rem[take:]
+        self._guidance_logits = self._guidance_logits.at[slot].set(glg[slot])
 
     def decode_slots_start(
         self, active_slots, n_steps: Optional[int] = None,
@@ -693,13 +778,14 @@ class Engine:
                 jnp.asarray(self._slot_se_group),
                 jnp.asarray(self._slot_se_window),
             )
-        toks, emitted, self.cache, self.state = _decode_chunk_vec(
+        toks, emitted, self.cache, self.gcache, self.state = _decode_chunk_vec(
             self.params, self.cfg, self.cache, last, self.state,
             self.vp, active_dev, n, self._eog_mask,
             features=feats,
             janus_tables=self._vector_janus_tables(feats),
             nl_token=self.nl_token,
             rope_pos_vec=rope_pos_vec,
+            gcache=self.gcache if "cfg" in feats else None,
         )
         self._last_dev = jnp.where(active_dev[:, None], toks[:, -1:], self._last_dev)
         return (toks, emitted, list(active_slots))
@@ -752,6 +838,17 @@ class Engine:
             jnp.int32(n_discard), self.params["rope"]["inv_freq"],
             self.cfg.rope_style,
         )
+        if getattr(self, "_slot_cfg", None) is not None and \
+                self._slot_cfg[slot] and self.gcache is not None:
+            # keep the slot's guidance context in step (its length differs —
+            # negative prompt vs main prompt — so clamp the discard)
+            g_disc = jnp.minimum(
+                jnp.int32(n_discard),
+                jnp.maximum(self.gcache.lengths[slot] - n_keep, 0))
+            self.gcache = shift_slot_cache(
+                self.gcache, jnp.int32(slot), jnp.int32(n_keep), g_disc,
+                self.params["rope"]["inv_freq"], self.cfg.rope_style,
+            )
         self.slot_lengths[slot] = length - n_discard
         return n_discard
 

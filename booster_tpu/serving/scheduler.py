@@ -336,7 +336,11 @@ class Scheduler:
             # those jobs fall back to the dedicated single-sequence path.
             def needs_dedicated(j: Job) -> bool:
                 sp = j.sampling or self.default_sampling
-                if j.grammar or sp.cfg_scale != 1.0:
+                if j.grammar:
+                    return True
+                if sp.cfg_scale != 1.0 and self.engine.paged:
+                    # batched CFG rides a dense guidance cache; paged
+                    # engines keep the exact dedicated path
                     return True
                 # the batched chain hard-codes the default filter order; a
                 # custom ordered sampler queue (sampler_queue,
@@ -431,9 +435,24 @@ class Scheduler:
                     prefill_map[slot] = ids[restored:]
                     if restored:
                         history_map[slot] = ids
+                guidance_map: dict[int, list[int]] = {}
+                for slot, job in admits.items():
+                    if slot in rejected:
+                        continue
+                    sp = (job.sampling or self.default_sampling)
+                    if sp.cfg_scale != 1.0 and not self.engine.paged:
+                        # negative-prompt context per slot (reference decodes
+                        # the negative prompt into ctx_guidance per pod)
+                        neg = (self.engine.tokenizer.encode(
+                                   sp.cfg_negative_prompt)
+                               if sp.cfg_negative_prompt
+                               else list(job._prompt_ids))
+                        guidance_map[slot] = neg[:self.engine.max_seq - 4]
                 for slot in rejected:
                     del admits[slot]
                 def _admit_prefill():
+                    for s, neg in guidance_map.items():
+                        self.engine.prefill_guidance(s, neg)
                     first = self.engine.prefill_slots(
                         prefill_map, full_history=history_map
                     )
@@ -570,6 +589,25 @@ class Scheduler:
 
     async def _run_grammar_job(self, job: Job) -> None:
         loop = asyncio.get_event_loop()
+        # each grammar job allocates a private full [B, max_seq] dense cache
+        # (engine.generate_grammar); unbounded concurrency would put N+1
+        # full caches in HBM — bound it (the reference can't exceed its
+        # fixed pod count, bridge.cpp:100-110)
+        if not hasattr(self, "_grammar_sem"):
+            import os
+
+            self._grammar_sem = asyncio.Semaphore(
+                int(os.environ.get("BT_GRAMMAR_CONCURRENCY", "2")))
+        async with self._grammar_sem:
+            await self._run_grammar_job_inner(job, loop)
+
+    async def _run_grammar_job_inner(self, job: Job, loop) -> None:
+        if job.cancelled:
+            job.status = STATUS_STOPPED
+            job.finish_reason = "cancelled"
+            job.finished_at = time.time()
+            job._done.set()
+            return
         job.full_prompt = self.build_full_prompt(job)
         ids = self.engine.tokenizer.encode(job.full_prompt)
         job.n_prompt_tokens = len(ids)
