@@ -295,9 +295,7 @@ def load_model(
         )
         max_gb = float(os.environ.get("BT_WEIGHTS_BF16_MAX_GB", "6"))
         fits = 2 * n_elems <= max_gb * 2**30
-        # small-batch serving: the K-major layout only applies on the
-        # unsharded path (sharded params stay lane-major)
-        kmaj = device_put is None and os.environ.get("BT_TQMM", "1") != "0"
+        kmaj = os.environ.get("BT_TQMM", "1") != "0"
         if 0 < batch_hint < 8 and kmaj:
             weights = "native"
         else:
@@ -364,14 +362,15 @@ def load_model(
         params["pos_embd"] = put(pos_embd.astype(jnp.bfloat16), "embedding")
     out_q = load_q("output.weight")
     if out_q is not None and out_q.kind in ("i4p", "i8") and (
-            device_put is None and os.environ.get("BT_TQMM", "1") != "0"):
+            os.environ.get("BT_TQMM", "1") != "0"):
         out_q = prepare_kernel_scales(out_q)
         if _transposable(out_q):
             out_q = transpose_qtensor(out_q)
             if os.environ.get("BT_SCALE_BF16", "1") != "0":
                 out_q = compact_scales(out_q)
     params["output"] = None if out_q is None else jax.tree.map(
-        lambda a: put(a, "lm_head"), prepare_kernel_scales(out_q)
+        lambda a: put(a, "lm_head:t" if out_q.transposed else "lm_head"),
+        prepare_kernel_scales(out_q)
     )
     out_b = load_dense("output.bias")
     if out_b is not None:  # phi2 lm head bias
@@ -500,11 +499,14 @@ def load_model(
 
     # K-major weight layout for the fused matmul kernels (BT_TQMM=0 reverts):
     # the lane-major layout's scale expansion is a one-hot MXU dot that
-    # dominates every native-quant matvec (ops/pallas_qmm.py).  Sharded
-    # params and MoE expert stacks keep lane-major (their kernels/specs
-    # address [N, K]).
-    transpose = (device_put is None
-                 and os.environ.get("BT_TQMM", "1") != "0")
+    # dominates every native-quant matvec (ops/pallas_qmm.py).  MoE expert
+    # stacks keep lane-major (the grouped-dispatch kernel addresses [N, K]).
+    # Sharded params stay K-major too (r3): transposed leaves are tagged
+    # ":t" so parallel.mesh maps the [out, in] spec onto [.., K, N] axes —
+    # multi-chip serving keeps the measured single-stream fast path
+    # (reference analog: row split streams quantized rows on every GPU,
+    # /root/reference/cpp/src/llama.cpp:5971-5995).
+    transpose = os.environ.get("BT_TQMM", "1") != "0"
 
     # bf16 scale planes for the K-major kernels: bit-identical through the
     # kernel (it rounds scales to bf16 in-kernel anyway), ~10% fewer streamed
@@ -526,7 +528,8 @@ def load_model(
             if isinstance(vals[0], QTensor):
                 qt = prepare_kernel_scales(_stack_qtensors(vals))
                 qt = maybe_transpose(qt, key)
-                stacked[key] = jax.tree.map(lambda a: put(a, key), qt)
+                role = key + (":t" if qt.transposed else "")
+                stacked[key] = jax.tree.map(lambda a: put(a, role), qt)
             else:
                 stacked[key] = put(np.stack(vals), key)
         return stacked

@@ -78,7 +78,20 @@ PARAM_SPECS: dict[str, P] = {
 
 
 def _spec_for(role: str, ndim: int, stacked: bool) -> P:
+    transposed = role.endswith(":t")
+    if transposed:
+        role = role[:-2]
     base = PARAM_SPECS.get(role, P())
+    if transposed:
+        # K-major QTensor leaves (loader tags them ":t"): qw [.., K, N] and
+        # scale planes [.., R, SG, N] — the logical [out, in] spec lands as
+        # (.., in, out) on the last two axes (SG tracks K; N is last), so
+        # multi-chip serving keeps the K-major fast path (reference: row
+        # split streams quantized rows, llama.cpp:5971-5995)
+        o = base[0] if len(base) > 0 else None
+        i = base[1] if len(base) > 1 else None
+        parts = [None] * max(ndim - 2, 0) + [i, o]
+        return P(*parts[:ndim])
     parts = list(base)
     if stacked:
         parts = [None] + parts
@@ -105,7 +118,8 @@ def make_device_put(mesh: Mesh) -> Callable[[Any, str], Any]:
 
     def put(arr, role: str):
         a = np.asarray(arr)
-        spec = _spec_for(role, a.ndim, stacked=role in layer_roles)
+        base_role = role[:-2] if role.endswith(":t") else role
+        spec = _spec_for(role, a.ndim, stacked=base_role in layer_roles)
         # guard: only shard axes the array can actually divide
         parts = []
         for dim, ax in zip(a.shape, spec):
