@@ -487,8 +487,13 @@ class Engine:
         while pages and covered > len(ids) - 1:
             pages.pop()
             covered -= P
+        # prefix-sharing hit telemetry (surfaced on /health)
+        self.prefix_lookups = getattr(self, "prefix_lookups", 0) + 1
         if not pages:
             return 0
+        self.prefix_hits = getattr(self, "prefix_hits", 0) + 1
+        self.prefix_tokens_reused = (
+            getattr(self, "prefix_tokens_reused", 0) + covered)
         import numpy as _np
 
         self.page_alloc.retain(pages)

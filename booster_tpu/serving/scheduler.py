@@ -198,6 +198,11 @@ class Scheduler:
             "tokens_generated": self._total_generated,
             "tokens_per_sec": round(toks_30s / span, 2) if span > 0 else 0.0,
             "ttft_p50_ms": round(ttfts[len(ttfts) // 2] * 1000, 1) if ttfts else None,
+            # paged-cache prefix-sharing effectiveness (VERDICT r3 #6)
+            "prefix_lookups": getattr(self.engine, "prefix_lookups", 0),
+            "prefix_hits": getattr(self.engine, "prefix_hits", 0),
+            "prefix_tokens_reused": getattr(self.engine,
+                                            "prefix_tokens_reused", 0),
         }
 
     async def shutdown(self, drain: bool = True) -> None:

@@ -44,7 +44,10 @@ def bench_mesh(model_path: str, tp: int, dp: int, steps: int = 64) -> float:
     model = load_model(model_path, device_put=put)
     cfg = model.cfg
     B = max(4, dp)
-    cache = KVCache.create(cfg.n_layers, B, 256, cfg.n_kv_heads, cfg.head_dim)
+    # the REAL serving configuration: K-major quantized weights (loader
+    # default, now kept under sharding) + int8-quantized KV cache
+    cache = KVCache.create(cfg.n_layers, B, 256, cfg.n_kv_heads,
+                           cfg.head_dim, quantized=True)
     if mesh:
         cache = shard_cache(cache, mesh)
     prompt = jnp.asarray(np.tile(np.arange(4, 20, dtype=np.int32)[None, :], (B, 1)))
