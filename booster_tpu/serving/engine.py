@@ -187,7 +187,13 @@ def _decode_chunk_cfg(
     """Decode chunk with classifier-free guidance: every step runs the model
     over both the main and the guidance context (reference: ctx_guidance in
     llama_sampling_sample_impl, common/sampling.cpp) and combines the logit
-    rows with apply_guidance before the sampler chain."""
+    rows with apply_guidance before the sampler chain.
+
+    This dedicated path remains only for paged engines (scheduler routes
+    everything else to the batched CFG in _decode_chunk_vec, which also
+    composes with janus/mirostat/self-extend).  Limitations here: the
+    chain is samplers.sample (no janus) and no self-extend positions —
+    combinations needing those use a dense cache and ride the batch."""
 
     def step(carry, _):
         cache, gcache, tok, state = carry

@@ -266,7 +266,11 @@ class Scheduler:
             return 0
         if hasattr(self.engine.cache, "conv") or self.engine.paged:
             # recurrent state can't be truncated to a shorter matching
-            # prefix; paged slots reuse resident pages instead (adopt_prefix)
+            # prefix; paged slots reuse resident pages instead
+            # (engine.adopt_prefix): a returning session's history pages
+            # were published on job finish, so restore cost is bounded by
+            # the sub-page tail — at most page_size-1 tokens re-prefilled,
+            # vs the swap file's exact-prefix restore on dense caches
             return 0
         path = self._swap_path(job.session_id)
         if not os.path.exists(path):

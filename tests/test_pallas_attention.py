@@ -328,3 +328,85 @@ def test_decode_attention_self_term(quantized):
         )
     finally:
         pk_mod.INTERPRET = False
+
+
+def _prefill_case(B=2, Hkv=2, G=2, S=256, T=32, D=128, seed=17, lens=None):
+    rng = np.random.default_rng(seed)
+    H = Hkv * G
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+    if lens is None:
+        lens = rng.integers(T, S, B)
+    lens = jnp.asarray(np.asarray(lens, np.int32))
+    return q, k, v, lens
+
+
+def ref_prefill(q, k, v, lens, scale, softcap=0.0, window=None, pos0=None):
+    B, T = q.shape[:2]
+    if pos0 is None:
+        pos0 = lens - T
+    qpos = pos0[:, None] + jnp.arange(T)[None, :]
+    return attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), qpos, lens, scale,
+        logit_softcap=softcap, sliding_window=window,
+    )
+
+
+@pytest.mark.parametrize("quantized", [True, False])
+def test_prefill_attention_matches_xla(quantized):
+    q, k, v, lens = _prefill_case()
+    scale = 0.125
+    if quantized:
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        kd = (kq.astype(jnp.float32) * ks).astype(jnp.bfloat16)
+        vd = (vq.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+        ref = ref_prefill(q, kd, vd, lens, scale)
+        out = pa.prefill_attention(q, kq, vq, ks, vs, lens, scale)
+    else:
+        ref = ref_prefill(q, k, v, lens, scale)
+        out = pa.prefill_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), None, None, lens, scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_prefill_attention_window_softcap_multitile():
+    q, k, v, lens = _prefill_case(B=2, S=512, T=128, seed=23,
+                                  lens=[200, 512])
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+    kd = (kq.astype(jnp.float32) * ks).astype(jnp.bfloat16)
+    vd = (vq.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+    ref = ref_prefill(q, kd, vd, lens, 0.1, softcap=30.0,
+                      window=jnp.int32(64))
+    out = pa.prefill_attention(q, kq, vq, ks, vs, lens, 0.1,
+                               logit_softcap=30.0, window=jnp.int32(64))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_prefill_attention_padded_rows_pos0():
+    """Right-padded prefill rows (n_valid < T): pos0 is the pre-append
+    cache length, padding queries sit past the valid range and attend the
+    full prefix (engine semantics)."""
+    q, k, v, lens = _prefill_case(B=2, S=256, T=64, seed=29,
+                                  lens=[100, 256])
+    pos0 = jnp.asarray([100 - 40, 256 - 64], jnp.int32)  # row 0: 40 real
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+    kd = (kq.astype(jnp.float32) * ks).astype(jnp.bfloat16)
+    vd = (vq.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+    ref = ref_prefill(q, kd, vd, lens, 0.2, pos0=pos0)
+    out = pa.prefill_attention(q, kq, vq, ks, vs, lens, 0.2, pos0=pos0)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
