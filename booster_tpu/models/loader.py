@@ -329,7 +329,9 @@ def load_model(
             return None
         file_types[name] = info.ggml_type
         qt = repack_gguf_tensor(reader.tensor_bytes(info), info.ggml_type, info.shape)
-        if weights != "native" and "_exps" not in name:
+        if weights not in ("native", "i8c") and "_exps" not in name:
+            # i8c defers to stack time: per-channel scales don't survive the
+            # rope row de-interleave / qkv row fusion that happens first
             qt = repack_weights(qt, weights)
         return qt
 
@@ -361,6 +363,10 @@ def load_model(
     if pos_embd is not None:  # gpt2/starcoder learned positions
         params["pos_embd"] = put(pos_embd.astype(jnp.bfloat16), "embedding")
     out_q = load_q("output.weight")
+    if out_q is not None and weights == "i8c" and out_q.kind in ("i4p", "i8"):
+        from booster_tpu.quant.qtensor import channel_quantize
+
+        out_q = channel_quantize(out_q)
     if out_q is not None and out_q.kind in ("i4p", "i8") and (
             os.environ.get("BT_TQMM", "1") != "0"):
         out_q = prepare_kernel_scales(out_q)
@@ -526,6 +532,11 @@ def load_model(
         for key in sorted(dicts[0]):
             vals = [lp[key] for lp in dicts]
             if isinstance(vals[0], QTensor):
+                if (weights == "i8c" and "exps" not in key
+                        and vals[0].kind in ("i4p", "i8")):
+                    from booster_tpu.quant.qtensor import channel_quantize
+
+                    vals = [channel_quantize(v) for v in vals]
                 qt = prepare_kernel_scales(_stack_qtensors(vals))
                 qt = maybe_transpose(qt, key)
                 role = key + (":t" if qt.transposed else "")

@@ -483,6 +483,83 @@ def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     )(x3, w.qw, s3)
 
 
+def _i8c_kernel(x_ref, qw_ref, out_ref):
+    """x_ref [BM, BK] bf16, qw_ref [BK, BN] i8 — ONE mixed bf16×int8 MXU
+    dot, no dequant pass (the MXU consumes i8 natively; tools/cast_probe).
+    The per-channel rescale is a rank-1 multiply outside the kernel."""
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jax.lax.dot_general(
+        x_ref[:], qw_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _tqmm_i8c(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
+    """Per-channel int8 matmul (the mmq role,
+    /root/reference/cpp/ggml/src/ggml-cuda/mmq.cu): y = (x @ qw) * s[n].
+    Activations stay exact bf16 (no q8 activation pass — the mixed-operand
+    MXU dot makes it unnecessary on TPU); the only loss is the per-channel
+    weight quantization itself (quant/qtensor.channel_quantize)."""
+    M, K = x.shape
+    N = w.shape[0]
+    BM = M if M <= 256 else 256
+    limit = 13 * 2**20 + 2**19
+
+    def vmem(bn, bk):
+        return 2 * (2 * BM * bk + bn * bk + 4 * BM * bn) + 4 * BM * bn
+
+    best = None
+    for bk in _BK_CANDS:
+        if bk > K or K % bk or bk % 256:
+            continue
+        for bn in _BN_CANDS:
+            if bn > N or N % bn or vmem(bn, bk) > limit:
+                continue
+            steps = (N // bn) * (K // bk)
+            key = (steps, -bn * bk)
+            if best is None or key < best[0]:
+                best = (key, bn, bk)
+    if best is None:
+        BN, BK = (N if N % 128 else 128), 256
+    else:
+        BN, BK = best[1], best[2]
+
+    out = pl.pallas_call(
+        _i8c_kernel,
+        grid=(M // BM, N // BN, K // BK),
+        in_specs=[
+            pl.BlockSpec((BM, BK), lambda m, n, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BN), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * K + M * K * 2 + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(x.astype(jnp.bfloat16), w.qw)
+    return out * w.scales  # [1, N] per-channel rescale (fused by XLA)
+
+
+def _supported_i8c(w: QTensor, K: int) -> bool:
+    if w.kind != "i8c" or w.scales is None:
+        return False
+    N = w.shape[0]
+    return K == w.shape[1] and K % 256 == 0 and N % 128 == 0
+
+
 def _supported_t(w: QTensor, K: int, M: int) -> bool:
     if w.kind not in ("i4t", "i8t") or w.scales is None:
         return False
@@ -530,7 +607,9 @@ def qmm(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     M = 1
     for d in lead:
         M *= d
-    if w.transposed and _supported_t(w, K, M):
+    if w.kind == "i8c" and _supported_i8c(w, K):
+        fn = _tqmm_i8c
+    elif w.transposed and w.kind != "i8c" and _supported_t(w, K, M):
         fn = _tqmm_i4 if w.kind == "i4t" else _tqmm_i8
     elif not w.transposed and _supported(w, K, M):
         fn = _qmm_i4 if w.kind == "i4p" else _qmm_i8

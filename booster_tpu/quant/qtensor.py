@@ -71,7 +71,7 @@ class QTensor:
     it can flow through jit/pjit/shard_map directly.
     """
 
-    kind: str  # "i4p" | "i8" | "i4t" | "i8t" | "dense"
+    kind: str  # "i4p" | "i8" | "i4t" | "i8t" | "i8c" | "dense"
     qw: Any  # payload, see module docstring
     scales: Optional[Any]  # f32 [out, in//group] or None for dense
     mins: Optional[Any]  # f32 [out, in//group] or None
@@ -97,7 +97,7 @@ class QTensor:
 
     @property
     def transposed(self) -> bool:
-        return self.kind in ("i4t", "i8t")
+        return self.kind in ("i4t", "i8t", "i8c")
 
     @property
     def scale_rows(self) -> int:
@@ -161,7 +161,33 @@ def repack_weights(qt: QTensor, mode: str) -> QTensor:
         out[..., :half] = (qw & 0x0F).astype(np.int16) - z
         out[..., half:] = (qw >> 4).astype(np.int16) - z
         return replace(qt, kind="i8", qw=out, zero=0)
+    if mode == "i8c":
+        return channel_quantize(qt)
     raise ValueError(f"unknown weights mode {mode!r}")
+
+
+def channel_quantize(qt: QTensor) -> QTensor:
+    """Per-channel (per-output-row) symmetric int8 repack, K-major: the
+    TPU mmq analog (/root/reference/cpp/ggml/src/ggml-cuda/mmq.cu role).
+
+    One scale per output channel lets the matmul be ONE mixed bf16×int8
+    MXU dot (no per-element dequant pass, no activation quantization) with
+    a rank-1 output rescale — the fastest large-batch form that still
+    streams 1 byte/weight.  LOSSY vs the group-quantized source: the
+    channel scale is the max of the row's group scales, so narrow-range
+    groups lose low bits (bounded; quantified in tests/test_i8c.py and
+    tools/quant_quality.py --weights i8c).  Shape: qw [K, N] i8,
+    scales [1, N] f32, group = K."""
+    if qt.kind == "dense":
+        return qt
+    N, K = qt.shape
+    w = dequantize_qtensor_np(qt).astype(np.float32)  # [N, K]
+    s = np.abs(w).max(axis=1, keepdims=True) / 127.0  # [N, 1]
+    s = np.maximum(s, 1e-12)
+    q = np.rint(w / s).astype(np.int8)
+    return QTensor("i8c", np.ascontiguousarray(q.T),
+                   np.ascontiguousarray(s.reshape(1, N).astype(np.float32)),
+                   None, K, qt.shape, qt.source_type)
 
 
 def transpose_qtensor(qt: QTensor) -> QTensor:
@@ -217,6 +243,9 @@ def untranspose_qtensor(qt: QTensor) -> QTensor:
     xp = np if isinstance(qt.qw, np.ndarray) else jnp
     qw = xp.swapaxes(qt.qw, -1, -2)
     s = qt.scales
+    if qt.kind == "i8c":  # per-channel: scales [.., 1, N] → [.., N, 1]
+        return replace(qt, kind="i8", qw=qw,
+                       scales=None if s is None else xp.swapaxes(s, -1, -2))
     if s is not None:
         s = xp.moveaxis(s, -1, -3)  # [..., R, SG, N] → [..., N, R, SG]
     return replace(qt, kind="i4p" if qt.kind == "i4t" else "i8", qw=qw, scales=s)

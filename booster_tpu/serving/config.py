@@ -220,12 +220,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--mirostat-lr", type=float, default=0.1, dest="mirostat_eta")
     ap.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
     ap.add_argument("--weights", default="auto",
-                    choices=("auto", "native", "bf16", "i8"),
+                    choices=("auto", "native", "bf16", "i8", "i8c"),
                     help="runtime weight-format repack: hold quantized "
-                         "weights wider in HBM for decode speed (exact; "
-                         "decode matvecs are dequant-bound, not "
-                         "bandwidth-bound). auto = bf16 when the model "
-                         "comfortably fits")
+                         "weights wider in HBM for decode speed. "
+                         "bf16/i8 are exact; i8c is per-channel int8 "
+                         "(LOSSY, mmq-style: one mixed bf16*int8 MXU dot, "
+                         "fastest large-batch form at 1 byte/weight). "
+                         "auto = bf16 when the model comfortably fits")
     ap.add_argument("--paged-kv", action="store_true",
                     help="paged KV cache (page pool + per-slot tables, "
                          "cross-slot shared-prefix page dedup)")

@@ -75,12 +75,16 @@ def main() -> None:
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--kv-quant", action="store_true")
     ap.add_argument("--hlo", action="store_true", help="dump optimized HLO")
+    ap.add_argument("--model", default="", help="GGUF path (default: bench 1.1B)")
     args = ap.parse_args()
 
-    from bench import build_model
+    if args.model:
+        path = args.model
+    else:
+        from bench import build_model
 
-    path = "/tmp/bench_tinyllama_q4_0.gguf" if not args.small else "/tmp/bench_small.gguf"
-    build_model(path, args.small)
+        path = "/tmp/bench_tinyllama_q4_0.gguf" if not args.small else "/tmp/bench_small.gguf"
+        build_model(path, args.small)
 
     import jax
     import jax.numpy as jnp
