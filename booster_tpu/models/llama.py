@@ -13,6 +13,7 @@ rebuild — one compiled prefill fn + one decode fn, static shapes.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any, Optional
 
@@ -182,6 +183,25 @@ def _moe_ffn(x: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     down = expert_w("down_exps")  # [E, C, ff]
     y = jnp.einsum("btef,ecf->btec", h, down)
     return jnp.einsum("btec,bte->btc", y, weights.astype(y.dtype)).astype(x.dtype)
+
+
+def _split_stacked_q(g: dict) -> tuple[dict, dict]:
+    """Separate layer-stacked K-major QTensors from a scan group: their
+    payloads stay OUT of the scan xs — lax.scan's per-iteration slice
+    MATERIALIZES a copy of the whole layer's weights before every
+    pallas_call (measured 2×: 656 → 325 GB/s, tools/slice_probe.py).
+    They are instead passed whole, with a traced per-iteration `layer`
+    view that the matmul kernels resolve via scalar-prefetch index maps
+    (the weight analog of the stacked-cache design)."""
+    import os as _os
+
+    if _os.environ.get("BT_STACKED_W", "1") == "0":  # ablation revert
+        return {}, dict(g)
+    gq = {k: v for k, v in g.items()
+          if isinstance(v, QTensor) and v.transposed
+          and getattr(v.qw, "ndim", 0) == 3}
+    rest = {k: v for k, v in g.items() if k not in gq}
+    return gq, rest
 
 
 def _lin(h: jnp.ndarray, lp: dict, key: str, bias=None) -> jnp.ndarray:
@@ -631,10 +651,14 @@ def forward(
         news = []
         for g in groups:
             Lg = jax.tree.leaves(g)[0].shape[0]
+            gq, g_rest = _split_stacked_q(g)
 
-            def body_st(carry, scanned):
+            def body_st(carry, scanned, gq=gq, off_g=off):
                 x, kf, vf, ksf, vsf = carry
-                lp, layer_idx = scanned
+                lp_rest, layer_idx = scanned
+                lp = dict(lp_rest)
+                for k_, v_ in gq.items():
+                    lp[k_] = dataclasses.replace(v_, layer=layer_idx - off_g)
                 x, upd = _layer(
                     x, lp, layer_idx, kf, vf, ksf, vsf,
                     positions, rope_cos, rope_sin, None, None,
@@ -650,7 +674,7 @@ def forward(
 
             (x, kf, vf, ksf, vsf), ys = jax.lax.scan(
                 body_st, (x, kf, vf, ksf, vsf),
-                (g, jnp.arange(off, off + Lg, dtype=jnp.int32)),
+                (g_rest, jnp.arange(off, off + Lg, dtype=jnp.int32)),
             )
             if defer:
                 news.append(ys)
@@ -682,8 +706,13 @@ def forward(
                 n_ff=(cfg.ff_per_layer[off] if cfg.ff_per_layer else cfg.n_ff),
             )
 
-        def body(x, scanned, cfg_g=cfg_g):
-            lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice = scanned
+        gq, g_rest = _split_stacked_q(g)
+
+        def body(x, scanned, cfg_g=cfg_g, gq=gq, off_g=off):
+            lp_rest, layer_idx, k_slice, v_slice, ks_slice, vs_slice = scanned
+            lp = dict(lp_rest)
+            for k_, v_ in gq.items():
+                lp[k_] = dataclasses.replace(v_, layer=layer_idx - off_g)
             x, updated = _layer(
                 x, lp, layer_idx, k_slice, v_slice, ks_slice, vs_slice,
                 positions, rope_cos, rope_sin, mask_base, mask_swa,
@@ -693,7 +722,7 @@ def forward(
             return x, updated
 
         scanned = (
-            g,
+            g_rest,
             jnp.arange(off, off + Lg, dtype=jnp.int32),
             cache.k[sl],
             cache.v[sl],

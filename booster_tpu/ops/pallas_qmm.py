@@ -288,13 +288,21 @@ def _expand_scales_sub(s_sub, g: int, bn: int):
 
 
 def _tqmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int,
-                    bn: int, has_mins: bool):
+                    bn: int, has_mins: bool, stacked: bool = False):
     """x_ref [BM, BK] bf16, qw_ref [BK, BN] i8, s_ref [R, BK/G, BN] f32 or
-    bf16 (compact_scales; widened to f32 before the sublane broadcast)."""
+    bf16 (compact_scales; widened to f32 before the sublane broadcast).
+    `stacked`: qw/s blocks carry a leading layer dim of 1 (the layer is
+    selected by scalar-prefetch index maps — see QTensor.layer)."""
 
     @pl.when(pl.program_id(2) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+
+    def qw(sl):
+        return qw_ref[0, sl, :] if stacked else qw_ref[sl, :]
+
+    def sc(r, gsl):
+        return s_ref[0, r, gsl, :] if stacked else s_ref[r, gsl, :]
 
     sub = min(_SUB, bk)
     acc = jnp.zeros_like(out_ref)
@@ -302,10 +310,10 @@ def _tqmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int,
         w_sub = min(sub, bk - j * sub)
         sl = slice(j * sub, j * sub + w_sub)
         gsl = slice(j * sub // group, (j * sub + w_sub) // group)
-        w = qw_ref[sl, :].astype(jnp.bfloat16) * _expand_scales_sub(
-            s_ref[0, gsl, :], group, bn).astype(jnp.bfloat16)
+        w = qw(sl).astype(jnp.bfloat16) * _expand_scales_sub(
+            sc(0, gsl), group, bn).astype(jnp.bfloat16)
         if has_mins:
-            w -= _expand_scales_sub(s_ref[1, gsl, :], group, bn).astype(jnp.bfloat16)
+            w -= _expand_scales_sub(sc(1, gsl), group, bn).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:, sl], w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -314,14 +322,22 @@ def _tqmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int,
 
 
 def _tqmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bkh: int,
-                    bn: int, has_mins: bool, zero: int):
+                    bn: int, has_mins: bool, zero: int,
+                    stacked: bool = False):
     """x_ref [BM, 2, BKH] bf16, qw_ref [BKH, BN] u8 (byte row k = elem k lo
     nibble, elem k + K/2 hi), s_ref [2(+2), BKH/G, BN] f32 or bf16
-    (compact_scales; widened to f32 before the sublane broadcast)."""
+    (compact_scales; widened to f32 before the sublane broadcast).
+    `stacked`: see _tqmm_i8_kernel."""
 
     @pl.when(pl.program_id(2) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+
+    def qw(sl):
+        return qw_ref[0, sl, :] if stacked else qw_ref[sl, :]
+
+    def sc(r, gsl):
+        return s_ref[0, r, gsl, :] if stacked else s_ref[r, gsl, :]
 
     sub = min(_SUB, bkh)
     acc = jnp.zeros_like(out_ref)
@@ -329,14 +345,14 @@ def _tqmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bkh: int,
         w_sub = min(sub, bkh - j * sub)
         sl = slice(j * sub, j * sub + w_sub)
         gsl = slice(j * sub // group, (j * sub + w_sub) // group)
-        q = qw_ref[sl, :].astype(jnp.int32)  # u8→i32 (Mosaic lacks u8→bf16)
+        q = qw(sl).astype(jnp.int32)  # u8→i32 (Mosaic lacks u8→bf16)
         lo = ((q & 0x0F) - zero).astype(jnp.bfloat16)
         hi = ((q >> 4) - zero).astype(jnp.bfloat16)
-        w_lo = lo * _expand_scales_sub(s_ref[0, gsl, :], group, bn).astype(jnp.bfloat16)
-        w_hi = hi * _expand_scales_sub(s_ref[1, gsl, :], group, bn).astype(jnp.bfloat16)
+        w_lo = lo * _expand_scales_sub(sc(0, gsl), group, bn).astype(jnp.bfloat16)
+        w_hi = hi * _expand_scales_sub(sc(1, gsl), group, bn).astype(jnp.bfloat16)
         if has_mins:
-            w_lo -= _expand_scales_sub(s_ref[2, gsl, :], group, bn).astype(jnp.bfloat16)
-            w_hi -= _expand_scales_sub(s_ref[3, gsl, :], group, bn).astype(jnp.bfloat16)
+            w_lo -= _expand_scales_sub(sc(2, gsl), group, bn).astype(jnp.bfloat16)
+            w_hi -= _expand_scales_sub(sc(3, gsl), group, bn).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:, 0, sl], w_lo, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -412,23 +428,12 @@ def _tqmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     N = w.shape[0]
     G = w.group
     sg = K // G
-    s3, has_mins = kernel_scales(w)  # [R, sg, N]
-    BM, BN, BK = _pick_tiles_t(N, K, M, s3.shape[0], G, 2, 9,
-                               s3.dtype.itemsize)
+    s3, has_mins = kernel_scales(w)  # [(L,) R, sg, N]
+    rows = s3.shape[-3]
+    BM, BN, BK = _pick_tiles_t(N, K, M, rows, G, 2, 9, s3.dtype.itemsize)
     grid = (M // BM, N // BN, K // BK)
-
-    return pl.pallas_call(
-        functools.partial(_tqmm_i8_kernel, group=G, bk=BK, bn=BN,
-                          has_mins=has_mins),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((BM, BK), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s3.shape[0], BK // G, BN), lambda m, n, k: (0, k, n),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
-                               memory_space=pltpu.VMEM),
+    stacked = w.layer is not None
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -440,7 +445,46 @@ def _tqmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
             transcendentals=0,
         ),
         interpret=INTERPRET,
-    )(x.astype(jnp.bfloat16), w.qw, s3)
+    )
+    kern = functools.partial(_tqmm_i8_kernel, group=G, bk=BK, bn=BN,
+                             has_mins=has_mins, stacked=stacked)
+    xb = x.astype(jnp.bfloat16)
+    if not stacked:
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BM, BK), lambda m, n, k: (m, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BK, BN), lambda m, n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, BK // G, BN), lambda m, n, k: (0, k, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
+                                   memory_space=pltpu.VMEM),
+            **common,
+        )(xb, w.qw, s3)
+    # stacked: the layer rides as a scalar-prefetch index — no XLA slice
+    # (which would copy the whole layer's weights; tools/slice_probe.py)
+    lay = jnp.asarray(w.layer, jnp.int32).reshape(1)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM, BK), lambda m, n, k, l: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, BN), lambda m, n, k, l: (l[0], k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, BK // G, BN),
+                         lambda m, n, k, l: (l[0], 0, k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k, l: (m, n),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(lambda lay_ref, *refs: kern(*refs),
+                          grid_spec=gs, **common)(lay, xb, w.qw, s3)
 
 
 def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
@@ -449,26 +493,14 @@ def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     G = w.group
     half = K // 2
     sgh = half // G
-    s3, has_mins = kernel_scales(w)  # [R, sgh, N]
-    BM, BN, BB = _pick_tiles_t(N, half, M, s3.shape[0], G, 4, 16,
+    s3, has_mins = kernel_scales(w)  # [(L,) R, sgh, N]
+    rows = s3.shape[-3]
+    BM, BN, BB = _pick_tiles_t(N, half, M, rows, G, 4, 16,
                                s3.dtype.itemsize)
     grid = (M // BM, N // BN, half // BB)
-
+    stacked = w.layer is not None
     x3 = x.reshape(M, 2, half).astype(jnp.bfloat16)
-
-    return pl.pallas_call(
-        functools.partial(_tqmm_i4_kernel, group=G, bkh=BB, bn=BN,
-                          has_mins=has_mins, zero=w.zero),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((BM, 2, BB), lambda m, n, k: (m, 0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s3.shape[0], BB // G, BN), lambda m, n, k: (0, k, n),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
-                               memory_space=pltpu.VMEM),
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -480,10 +512,46 @@ def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
             transcendentals=0,
         ),
         interpret=INTERPRET,
-    )(x3, w.qw, s3)
+    )
+    kern = functools.partial(_tqmm_i4_kernel, group=G, bkh=BB, bn=BN,
+                             has_mins=has_mins, zero=w.zero, stacked=stacked)
+    if not stacked:
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BM, 2, BB), lambda m, n, k: (m, 0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BB, BN), lambda m, n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, BB // G, BN), lambda m, n, k: (0, k, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
+                                   memory_space=pltpu.VMEM),
+            **common,
+        )(x3, w.qw, s3)
+    lay = jnp.asarray(w.layer, jnp.int32).reshape(1)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM, 2, BB), lambda m, n, k, l: (m, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, BN), lambda m, n, k, l: (l[0], k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, BB // G, BN),
+                         lambda m, n, k, l: (l[0], 0, k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k, l: (m, n),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(lambda lay_ref, *refs: kern(*refs),
+                          grid_spec=gs, **common)(lay, x3, w.qw, s3)
 
 
-def _i8c_kernel(x_ref, qw_ref, out_ref):
+def _i8c_kernel(x_ref, qw_ref, out_ref, *, stacked: bool = False):
     """x_ref [BM, BK] bf16, qw_ref [BK, BN] i8 — ONE mixed bf16×int8 MXU
     dot, no dequant pass (the MXU consumes i8 natively; tools/cast_probe).
     The per-channel rescale is a rank-1 multiply outside the kernel."""
@@ -493,7 +561,8 @@ def _i8c_kernel(x_ref, qw_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     out_ref[:] += jax.lax.dot_general(
-        x_ref[:], qw_ref[:], (((1,), (0,)), ((), ())),
+        x_ref[:], qw_ref[0] if stacked else qw_ref[:],
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -528,17 +597,8 @@ def _tqmm_i8c(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     else:
         BN, BK = best[1], best[2]
 
-    out = pl.pallas_call(
-        _i8c_kernel,
-        grid=(M // BM, N // BN, K // BK),
-        in_specs=[
-            pl.BlockSpec((BM, BK), lambda m, n, k: (m, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK, BN), lambda m, n, k: (k, n),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
-                               memory_space=pltpu.VMEM),
+    stacked = w.layer is not None
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -549,8 +609,47 @@ def _tqmm_i8c(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
             transcendentals=0,
         ),
         interpret=INTERPRET,
-    )(x.astype(jnp.bfloat16), w.qw)
-    return out * w.scales  # [1, N] per-channel rescale (fused by XLA)
+    )
+    xb = x.astype(jnp.bfloat16)
+    if not stacked:
+        out = pl.pallas_call(
+            _i8c_kernel,
+            grid=(M // BM, N // BN, K // BK),
+            in_specs=[
+                pl.BlockSpec((BM, BK), lambda m, n, k: (m, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BK, BN), lambda m, n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
+                                   memory_space=pltpu.VMEM),
+            **common,
+        )(xb, w.qw)
+        return out * w.scales  # [1, N] per-channel rescale (fused by XLA)
+    lay = jnp.asarray(w.layer, jnp.int32).reshape(1)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // BM, N // BN, K // BK),
+        in_specs=[
+            pl.BlockSpec((BM, BK), lambda m, n, k, l: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, BN), lambda m, n, k, l: (l[0], k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k, l: (m, n),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        lambda lay_ref, *refs: _i8c_kernel(*refs, stacked=True),
+        grid_spec=gs, **common,
+    )(lay, xb, w.qw)
+    s = jax.lax.dynamic_index_in_dim(w.scales, w.layer, 0, keepdims=False)
+    return out * s  # [1, N] per-channel rescale
+
+
+def _stack_ok(w: QTensor) -> bool:
+    """Stacked ([L, ...]) payloads need a traced layer view; 2-D need none."""
+    return (w.layer is None) == (getattr(w.qw, "ndim", 2) == 2)
 
 
 def _supported_i8c(w: QTensor, K: int) -> bool:
@@ -607,11 +706,12 @@ def qmm(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     M = 1
     for d in lead:
         M *= d
-    if w.kind == "i8c" and _supported_i8c(w, K):
+    if w.kind == "i8c" and _supported_i8c(w, K) and _stack_ok(w):
         fn = _tqmm_i8c
-    elif w.transposed and w.kind != "i8c" and _supported_t(w, K, M):
+    elif (w.transposed and w.kind != "i8c" and _supported_t(w, K, M)
+          and _stack_ok(w)):
         fn = _tqmm_i4 if w.kind == "i4t" else _tqmm_i8
-    elif not w.transposed and _supported(w, K, M):
+    elif not w.transposed and _supported(w, K, M) and _stack_ok(w):
         fn = _qmm_i4 if w.kind == "i4p" else _qmm_i8
     else:
         wd = dequantize_qtensor(w, dtype=jnp.bfloat16)

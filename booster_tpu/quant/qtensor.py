@@ -79,6 +79,13 @@ class QTensor:
     shape: tuple[int, int]  # logical (out, in) before padding
     source_type: GGMLType  # original GGUF type
     zero: int = 0  # integer zero point: value = (q - zero) * scale - min
+    # traced i32 layer index into stacked ([L, ...]) payloads — set inside a
+    # layer scan so the matmul kernels select the layer via scalar-prefetch
+    # index maps instead of an XLA dynamic-slice, which MATERIALIZES a copy
+    # of the whole layer's weights before every pallas_call (measured 2x:
+    # 656 -> 325 GB/s, tools/slice_probe.py).  The weight analog of the
+    # stacked-cache design in ops/pallas_attention.py.
+    layer: Any = None
 
     @property
     def out_features(self) -> int:
@@ -311,15 +318,16 @@ def kernel_scales(qt: QTensor):
 
 
 def _tree_flatten(qt: QTensor):
-    children = (qt.qw, qt.scales, qt.mins)
+    children = (qt.qw, qt.scales, qt.mins, qt.layer)
     aux = (qt.kind, qt.group, qt.shape, qt.source_type, qt.zero)
     return children, aux
 
 
 def _tree_unflatten(aux, children):
     kind, group, shape, source_type, zero = aux
-    qw, scales, mins = children
-    return QTensor(kind, qw, scales, mins, group, shape, source_type, zero)
+    qw, scales, mins, layer = children
+    return QTensor(kind, qw, scales, mins, group, shape, source_type, zero,
+                   layer)
 
 
 if jax is not None:
@@ -615,6 +623,14 @@ def dequantize_qtensor_np(qt: QTensor) -> np.ndarray:
 def dequantize_qtensor(qt: QTensor, dtype=None):
     """Device-side dequantization with jnp (XLA fallback path for matmuls)."""
     dtype = dtype or jnp.bfloat16
+    if qt.layer is not None:  # stacked view: resolve the layer (copies —
+        # fallback only; the kernels select the layer via index maps)
+        def idx(a):
+            return None if a is None else jax.lax.dynamic_index_in_dim(
+                jnp.asarray(a), qt.layer, 0, keepdims=False)
+
+        qt = replace(qt, qw=idx(qt.qw), scales=idx(qt.scales),
+                     mins=idx(qt.mins), layer=None)
     if qt.kind == "dense":
         return jnp.asarray(qt.qw, dtype=dtype)
     if qt.transposed:

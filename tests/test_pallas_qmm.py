@@ -177,3 +177,77 @@ def test_compact_scales_bit_identical_kernel(fmt):
     got_f32 = np.asarray(pq.qmm(x, qt.astype_device()))
     got_bf16 = np.asarray(pq.qmm(x, cq.astype_device()))
     np.testing.assert_array_equal(got_f32, got_bf16)
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q8_0])
+def test_tqmm_stacked_layer_view(fmt):
+    """Stacked tensors passed WHOLE with a traced `layer` view: the kernels
+    select the layer via scalar-prefetch index maps instead of an XLA
+    dynamic-slice (which copies the layer's weights before every call —
+    tools/slice_probe.py measured 2x).  Every layer must match its own
+    reference."""
+    from booster_tpu.models.loader import _stack_qtensors
+
+    N, K, L = 256, 512, 3
+    qts = [make_qt_host(fmt, N, K) for _ in range(L)]
+    stacked = transpose_qtensor(prepare_kernel_scales(_stack_qtensors(qts)))
+    dev = stacked.astype_device()
+    x = jnp.asarray(RNG.standard_normal((4, K)).astype(np.float32))
+
+    import dataclasses
+
+    for i in range(L):
+        view = dataclasses.replace(dev, layer=jnp.int32(i))
+        got = np.asarray(pq.qmm(x, view))
+        # the unstacked kernel on the same layer: identical math, so the
+        # stacked scalar-prefetch path must agree to fp exactness
+        want = np.asarray(pq.qmm(
+            x, transpose_qtensor(prepare_kernel_scales(qts[i])).astype_device()))
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6,
+                                   err_msg=f"layer {i}")
+
+
+def test_i8c_stacked_layer_view():
+    from booster_tpu.models.loader import _stack_qtensors
+    from booster_tpu.quant.qtensor import channel_quantize
+
+    N, K, L = 256, 512, 3
+    qts = [channel_quantize(make_qt_host(GGMLType.Q8_0, N, K))
+           for _ in range(L)]
+    stacked = _stack_qtensors(qts).astype_device()
+    assert stacked.qw.shape == (L, K, N)
+    x = jnp.asarray(RNG.standard_normal((4, K)).astype(np.float32))
+
+    import dataclasses
+
+    for i in range(L):
+        view = dataclasses.replace(stacked, layer=jnp.int32(i))
+        got = np.asarray(pq.qmm(x, view))
+        want = np.asarray(pq.qmm(x, qts[i].astype_device()))
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6,
+                                   err_msg=f"layer {i}")
+
+
+def test_stacked_layer_view_in_scan():
+    """The serving shape: whole stacked tensor closed over, per-iteration
+    traced index — matches per-layer references token-for-token."""
+    from booster_tpu.models.loader import _stack_qtensors
+
+    N, K, L = 256, 512, 3
+    qts = [make_qt_host(GGMLType.Q4_0, N, K) for _ in range(L)]
+    dev = transpose_qtensor(
+        prepare_kernel_scales(_stack_qtensors(qts))).astype_device()
+    x = jnp.asarray(RNG.standard_normal((4, K)).astype(np.float32))
+
+    import dataclasses
+
+    def body(c, i):
+        view = dataclasses.replace(dev, layer=i)
+        return c, pq.qmm(x, view)
+
+    _, ys = jax.lax.scan(body, 0, jnp.arange(L, dtype=jnp.int32))
+    for i in range(L):
+        want = np.asarray(pq.qmm(
+            x, transpose_qtensor(prepare_kernel_scales(qts[i])).astype_device()))
+        np.testing.assert_allclose(np.asarray(ys[i]), want, atol=1e-6,
+                                   rtol=1e-6)

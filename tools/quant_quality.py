@@ -60,13 +60,21 @@ def main() -> None:
         r = perplexity(model, corpus, n_ctx=args.ctx)
         results[name] = r["ppl"]
         sys.stderr.write(f"[qq] {name}: ppl {r['ppl']:.4f}\n")
+        if name == "q8_0":
+            # the lossy --weights i8c serving repack, measured off the same
+            # q8_0 checkpoint (its realistic source format)
+            m2 = load_model(path, weights="i8c")
+            r2 = perplexity(m2, corpus, n_ctx=args.ctx)
+            results["q8_0+i8c"] = r2["ppl"]
+            sys.stderr.write(f"[qq] q8_0+i8c: ppl {r2['ppl']:.4f}\n")
 
     f16 = results["f16"]
     print(json.dumps({
         "shape": args.shape,
         "tokens": args.tokens,
         "f16_ppl": round(f16, 4),
-        "deltas": {n: round(results[n] - f16, 4) for n, _ in fmts[1:]},
+        "deltas": {n: round(v - f16, 4) for n, v in results.items()
+                   if n != "f16"},
     }))
 
 
