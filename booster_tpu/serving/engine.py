@@ -551,6 +551,7 @@ class Engine:
         self._slot_penalties = np.zeros(B, bool)
         self._slot_exttail = np.zeros(B, bool)
         self._slot_cfg = np.zeros(B, bool)
+        self._slot_fullv = np.zeros(B, bool)
         self.gcache = None
         self._guidance_logits = None
         # per-slot Self-Extend knobs (0 = off)
@@ -606,6 +607,11 @@ class Engine:
             # CFG guidance: the decode chunk runs a second forward over the
             # per-slot guidance contexts only while a CFG job is active
             feats.append("cfg")
+        if self._slot_fullv.any():
+            # a slot samples from the full vocabulary (no subset filter):
+            # the batched sampler scatters the survivor mask to [B, V];
+            # otherwise it samples in shortlist space (sampling/vector.py)
+            feats.append("fullv")
         if not self._slot_penalties.any():
             # the [B, V] penalty scatter compiles out when nothing uses it
             feats.append("nopenalties")
@@ -659,6 +665,13 @@ class Engine:
         self._slot_exttail[slot] = (
             sampling.tfs_z < 1.0 or sampling.typical_p < 1.0
             or sampling.dynatemp_range > 0.0
+        )
+        self._slot_fullv[slot] = (
+            sampling.temp > 0 and sampling.mirostat == 0
+            and not sampling.janus
+            and sampling.top_k <= 0 and sampling.top_p >= 1.0
+            and sampling.min_p <= 0.0 and sampling.tfs_z >= 1.0
+            and sampling.typical_p >= 1.0
         )
         self._slot_cfg[slot] = sampling.cfg_scale != 1.0 and not self.paged
         if self._slot_cfg[slot] and self.gcache is None:

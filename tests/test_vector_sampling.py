@@ -179,3 +179,46 @@ def test_janus_per_row_scale_matches_rebuilt_tables():
                      scale=jnp.full((B,), s, jnp.float32),
                      tables_factors=jnp.asarray(t_def.factors), **common)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shortlist_sampling_stays_in_support():
+    """Default mode (no "fullv"): sampling happens in shortlist space —
+    tokens always land in the reference-filtered candidate set."""
+    from booster_tpu.sampling.samplers import make_sampler_state
+    from booster_tpu.sampling.vector import sample_vectorized
+
+    plist = [SamplingParams(temp=1.2, top_k=13),
+             SamplingParams(temp=0.9, top_p=0.8)]
+    B, V = len(plist), 500
+    lg = _hetero_logits(B, V, seed=31)
+    vp = VectorSampling.from_params(plist)
+    state = make_sampler_state(B, 64, seed=1)
+    allowed = [np.isfinite(np.asarray(ref_chain(lg[b:b + 1], p))[0])
+               for b, p in enumerate(plist)]
+    for _ in range(25):
+        toks, state = sample_vectorized(lg, state, vp,
+                                        features=("nopenalties",))
+        for b, t in enumerate(np.asarray(toks)):
+            assert allowed[b][t], (b, t)
+
+
+def test_fullv_feature_keeps_whole_vocab_support():
+    """A row with every subset filter disabled must be able to emit tokens
+    outside the top-256 shortlist when the "fullv" feature is on (the
+    engine sets it whenever such a slot is active)."""
+    from booster_tpu.sampling.samplers import make_sampler_state
+    from booster_tpu.sampling.vector import sample_vectorized
+
+    B, V = 2, 2048
+    p = SamplingParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0)
+    lg = jnp.zeros((B, V), jnp.float32)  # uniform: all tokens equally likely
+    vp = VectorSampling.from_params([p, p])
+    state = make_sampler_state(B, 64, seed=2)
+    seen_far = False
+    for _ in range(40):
+        toks, state = sample_vectorized(
+            lg, state, vp, features=("fullv", "nopenalties"))
+        if (np.asarray(toks) >= 256).any():
+            seen_far = True
+            break
+    assert seen_far

@@ -87,6 +87,31 @@ def main():
     if dt:
         print(f"sampler: {dt*1e6:.1f} us/step", flush=True)
 
+    # sampler sub-components
+    def topk_only(acc, lg):
+        v, i = jax.lax.top_k(lg, 256)
+        return acc + v[:, :128]
+
+    def approx_topk(acc, lg):
+        v, i = jax.lax.approx_max_k(lg, 256, recall_target=0.95)
+        return acc + v[:, :128]
+
+    def cat_only(acc, lg):
+        key = jax.random.PRNGKey(0)
+        t = jax.random.categorical(key, lg, axis=-1)
+        return acc + t[:, None].astype(jnp.float32)[:, :1]
+
+    for name, fn in (("lax.top_k(256)", topk_only),
+                     ("approx_max_k(256)", approx_topk),
+                     ("categorical [B,V]", cat_only)):
+        try:
+            dt = timeit(name, fn, jnp.zeros((B, 128), jnp.float32), lg,
+                        iters=(128, 512))
+            if dt:
+                print(f"{name}: {dt*1e6:.1f} us", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAIL {str(e).splitlines()[0][:120]}", flush=True)
+
     # rope tables + norms proxy: one [B, C] rmsnorm x 2L
     C = 4096
     x = jnp.asarray(rng.normal(size=(B, 1, C)), jnp.bfloat16)
