@@ -414,12 +414,16 @@ def _pick_tiles_t(n: int, pk: int, m: int, srows: int, group: int,
         # first, then accept the smallest K tile even over budget rather
         # than return an unchecked bk=pk (a latent scoped-VMEM OOM)
         bn0 = n if n % 128 else 128
-        for bk in (pk,) + tuple(c for c in _BK_CANDS if c < pk and pk % c == 0):
-            if bk != pk and (bk % group or (bk // group) % s_sub or bk % 32):
-                continue  # same shape-validity gate as the main loop
+        valid = [pk] + [
+            c for c in _BK_CANDS if c < pk and pk % c == 0
+            and not (c % group or (c // group) % s_sub or c % 32)
+        ]  # same shape-validity gate as the main loop
+        for bk in valid:
             if vmem_est(bn0, bk) <= limit:
                 return bm, bn0, bk
-        return bm, bn0, pk
+        # last resort: everything is over budget — take the smallest valid
+        # K tile (minimizes the VMEM blocks) rather than an unchecked bk=pk
+        return bm, bn0, min(valid)
     return bm, best[1], best[2]
 
 

@@ -69,7 +69,7 @@ def pipeline_prefill(
     n_micro: int = 4,
 ) -> jnp.ndarray:
     """Pipelined prefill logits [B, T, V] over the pp mesh axis."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     pp = mesh.shape["pp"]
     B, T = tokens.shape
@@ -91,7 +91,7 @@ def pipeline_prefill(
         shard_map, mesh=mesh,
         in_specs=(P("pp"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def run(stage_layers, x_all):
         stage = jax.lax.axis_index("pp")

@@ -196,8 +196,10 @@ def tfs_filter(logits: jnp.ndarray, z: float, min_keep: int = 1) -> jnp.ndarray:
     d2 = jnp.where(norm > 0, d2 / jnp.maximum(norm, 1e-20), 1.0 / d2.shape[-1])
     cum = jnp.cumsum(d2, axis=-1)
     keep2 = cum < z  # over the d2 positions (length V-2)
+    # last position stays kept when cum never reaches z (the reference's
+    # last_idx defaults to size: all candidates survive then)
     keep = jnp.concatenate(
-        [jnp.ones_like(keep2[..., :1]), keep2, jnp.zeros_like(keep2[..., :1])], axis=-1
+        [jnp.ones_like(keep2[..., :1]), keep2, cum[..., -1:] < z], axis=-1
     )
     keep = keep.at[..., :min_keep].set(True)
     n_keep = keep.sum(axis=-1, keepdims=True)

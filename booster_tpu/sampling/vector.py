@@ -201,9 +201,12 @@ def _chain_keep(
         norm = jnp.sum(d2, axis=-1, keepdims=True)
         d2 = jnp.where(norm > 0, d2 / jnp.maximum(norm, 1e-20), 1.0 / (K - 2))
         cum = jnp.cumsum(d2, axis=-1)
+        # last position defaults to kept when cumulative d2 mass never
+        # reaches tfs_z (llama_sample_tail_free keeps all candidates then:
+        # last_idx defaults to size)
         keep_f = jnp.concatenate(
             [jnp.ones((B, 1), bool), cum < vp.tfs_z[:, None],
-             jnp.zeros((B, 1), bool)], axis=-1)
+             cum[:, -1:] < vp.tfs_z[:, None]], axis=-1)
         keep &= keep_f | (vp.tfs_z >= 1.0)[:, None]
 
         # typical (llama_sample_typical_impl, :294): order by distance from

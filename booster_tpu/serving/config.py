@@ -120,8 +120,27 @@ def _sampling_from_dict(d: dict) -> SamplingParams:
     kw["penalty_repeat"] = float(
         pick("penalty_repeat", "repetition_penalty", "penaltyrepeat", default=1.0)
     )
+    # frequency/presence penalties are first-class in the reference
+    # (llama_sampling_params penalty_freq/penalty_present, common/sampling.h;
+    # OpenAI-style frequency_penalty/presence_penalty aliases)
+    kw["penalty_freq"] = float(
+        pick("penalty_freq", "frequency_penalty", "penaltyfreq", default=0.0)
+    )
+    kw["penalty_present"] = float(
+        pick("penalty_present", "presence_penalty", "penaltypresent", default=0.0)
+    )
+    kw["penalize_nl"] = bool(pick("penalize_nl", "penalizenl", default=True))
     last_n = int(pick("penalty_last_n", "penaltylastn", default=64))
     kw["penalty_last_n"] = 64 if last_n < 0 else last_n
+    kw["dynatemp_range"] = float(
+        pick("dynatemp_range", "dynatemprange", default=0.0))
+    kw["dynatemp_exponent"] = float(
+        pick("dynatemp_exponent", "dynatempexponent", default=1.0))
+    kw["cfg_scale"] = float(pick("cfg_scale", "cfgscale", default=1.0))
+    kw["cfg_negative_prompt"] = str(
+        pick("cfg_negative_prompt", "negative_prompt", default=""))
+    kw["samplers_sequence"] = str(
+        pick("samplers_sequence", "samplers", default="kfypmt"))
     kw["mirostat"] = int(pick("mirostat", default=0))
     kw["mirostat_tau"] = float(pick("mirostat_tau", "mirostatent", default=5.0))
     kw["mirostat_eta"] = float(pick("mirostat_eta", "mirostatlr", default=0.1))

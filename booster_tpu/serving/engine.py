@@ -758,6 +758,15 @@ class Engine:
                                               jnp.float32)
         self.gcache = dataclasses.replace(
             self.gcache, lengths=self.gcache.lengths.at[slot].set(0))
+        if not ids:
+            # empty negative prompt (add_bos=False vocabs can tokenize ""
+            # to []): treat as cfg-off for the slot — disable the row's
+            # guidance mix entirely rather than mixing with stale logits
+            self._guidance_logits = self._guidance_logits.at[slot].set(0.0)
+            self._slot_cfg[slot] = False
+            self.vp = dataclasses.replace(
+                self.vp, cfg_scale=self.vp.cfg_scale.at[slot].set(1.0))
+            return
         rem = list(ids)
         while rem:
             take = min(len(rem), chunk)

@@ -41,6 +41,12 @@ class Job:
     sampling: Optional[SamplingParams] = None
     grammar: str = ""  # GBNF text; constrained decoding when set
     max_tokens: int = 0  # 0 → pod default
+    # stop sequences (OpenAI `stop` / llama.cpp antiprompt analog): output
+    # is truncated at the first occurrence and the job finishes
+    stop: tuple[str, ...] = ()
+    # effective RNG seed used for this job (reference getSeed,
+    # /root/reference/cpp/bridge.cpp:825-835); -1 until resolved
+    seed: int = -1
     status: str = STATUS_QUEUED
     created_at: float = dataclasses.field(default_factory=time.time)
     started_at: float = 0.0
@@ -55,6 +61,8 @@ class Job:
     _done: asyncio.Event = dataclasses.field(default_factory=asyncio.Event)
     _prompt_ids: list[int] = dataclasses.field(default_factory=list)
     _shifted: bool = False  # in-cache context shift happened (KV ≠ token list)
+    _raw_output: str = ""  # pre-stop-truncation text (stop jobs only)
+    _stop_hit: bool = False  # a stop sequence completed in the output
 
     @property
     def n_generated(self) -> int:
@@ -144,6 +152,7 @@ class Scheduler:
         max_tokens: int = 0,
         full_prompt: str = "",
         grammar: str = "",
+        stop: tuple[str, ...] = (),
     ) -> Job:
         """PlaceJob (server.go:921): register + enqueue."""
         if self._shutdown:
@@ -159,6 +168,7 @@ class Scheduler:
             grammar=grammar,
             max_tokens=max_tokens or self.default_max_tokens,
             full_prompt=full_prompt,
+            stop=tuple(s for s in stop if s),
         )
         self.jobs[job_id] = job
         self.queue.append(job_id)
@@ -351,6 +361,11 @@ class Scheduler:
                     # batched CFG rides a dense guidance cache; paged
                     # engines keep the exact dedicated path
                     return True
+                if sp.cfg_scale != 1.0 and self.spec is not None:
+                    # speculative rounds apply no guidance forward; CFG
+                    # jobs keep the exact dedicated path when a draft
+                    # model is configured
+                    return True
                 # the batched chain hard-codes the default filter order; a
                 # custom ordered sampler queue (sampler_queue,
                 # common/sampling.cpp:220) runs on the exact path
@@ -423,6 +438,7 @@ class Scheduler:
                     job.detok = self.engine.tokenizer.stream()
                     sp = (job.sampling or self.default_sampling).normalized()
                     seed = sp.seed if sp.seed >= 0 else (hash(job.id) & 0x7FFFFFFF)
+                    job.seed = seed
                     self.engine.reset_slot(slot, sp, seed,
                                            max_predict=job.max_tokens)
                     if self.spec is not None:
@@ -558,10 +574,13 @@ class Scheduler:
             job.started_at = time.time()
             job.detok = self.engine.tokenizer.stream()
             sp = (job.sampling or self.default_sampling).normalized()
+            job.seed = (sp.seed if sp.seed >= 0
+                        else (hash(job.id) & 0x7FFFFFFF))
+            sp = dataclasses.replace(sp, seed=job.seed)
 
             def on_token(t: int) -> None:
                 job.token_ids.append(t)
-                job.output += job.detok.push(t)
+                self._push_text(job, job.detok.push(t))
                 self._total_generated += 1
 
             use_spec = self.draft_engine is not None and not (
@@ -575,17 +594,20 @@ class Scheduler:
                     return generate_speculative(
                         self.engine, self.draft_engine, ids,
                         max_new_tokens=job.max_tokens, sampling=sp,
-                        stop_check=lambda: job.cancelled, on_token=on_token,
+                        stop_check=lambda: job.cancelled or job._stop_hit,
+                        on_token=on_token,
                     )
                 return self.engine.generate(
                     ids, sp, max_new_tokens=job.max_tokens,
-                    stop_check=lambda: job.cancelled, on_token=on_token,
+                    stop_check=lambda: job.cancelled or job._stop_hit,
+                    on_token=on_token,
                 )
 
             try:
                 result = await loop.run_in_executor(None, run_gen)
-                job.output += job.detok.flush()
-                job.finish_reason = result.finish_reason
+                self._push_text(job, job.detok.flush())
+                job.finish_reason = ("stop" if job._stop_hit
+                                     else result.finish_reason)
             except Exception as e:
                 job.finish_reason = "error"
                 job.output = job.output or f"error: {e}"
@@ -625,10 +647,13 @@ class Scheduler:
         job.started_at = time.time()
         job.detok = self.engine.tokenizer.stream()
         sp = (job.sampling or self.default_sampling).normalized()
+        job.seed = (sp.seed if sp.seed >= 0
+                    else (hash(job.id) & 0x7FFFFFFF))
+        sp = dataclasses.replace(sp, seed=job.seed)
 
         def on_token(t: int) -> None:
             job.token_ids.append(t)
-            job.output += job.detok.push(t)
+            self._push_text(job, job.detok.push(t))
             self._total_generated += 1
 
         try:
@@ -636,11 +661,13 @@ class Scheduler:
                 None,
                 lambda: self.engine.generate_grammar(
                     ids, job.grammar, sp, max_new_tokens=job.max_tokens,
-                    stop_check=lambda: job.cancelled, on_token=on_token,
+                    stop_check=lambda: job.cancelled or job._stop_hit,
+                    on_token=on_token,
                 ),
             )
-            job.output += job.detok.flush()
-            job.finish_reason = result.finish_reason
+            self._push_text(job, job.detok.flush())
+            job.finish_reason = ("stop" if job._stop_hit
+                                 else result.finish_reason)
         except Exception as e:  # grammar parse errors etc.
             job.finish_reason = "error"
             job.output = job.output or f"error: {e}"
@@ -650,13 +677,47 @@ class Scheduler:
         self._total_jobs += 1
         job._done.set()
 
+    @staticmethod
+    def _push_text(job: Job, text: str) -> None:
+        """Append detokenized text to job.output, honoring stop sequences
+        (OpenAI `stop`; reference antiprompt analog).  Output is truncated
+        at the first stop occurrence; a partial stop-string suffix is
+        withheld from the streaming view until disambiguated."""
+        if not job.stop:
+            job.output += text
+            return
+        if job._stop_hit or not text:
+            return
+        prev = len(job._raw_output)
+        raw = job._raw_output + text
+        job._raw_output = raw
+        maxlen = max(len(s) for s in job.stop)
+        start = max(0, prev - maxlen + 1)
+        best = -1
+        for s in job.stop:
+            idx = raw.find(s, start)
+            if idx != -1 and (best < 0 or idx < best):
+                best = idx
+        if best >= 0:
+            job._stop_hit = True
+            job.output = raw[:best]
+            return
+        # withhold the longest tail that is still a prefix of a stop string
+        hold = 0
+        for s in job.stop:
+            for k in range(min(len(s) - 1, len(raw)), hold, -1):
+                if raw.endswith(s[:k]):
+                    hold = k
+                    break
+        job.output = raw[: len(raw) - hold] if hold else raw
+
     def _append_token(self, job: Job, token: int) -> None:
-        if len(job.token_ids) >= job.max_tokens:
+        if len(job.token_ids) >= job.max_tokens or job._stop_hit:
             return
         if not job.token_ids and job.started_at:
             self._ttfts.append(time.time() - job.started_at)
         job.token_ids.append(token)
-        job.output += job.detok.push(token)
+        self._push_text(job, job.detok.push(token))
         self._total_generated += 1
         self._token_times.append((time.time(), 1))
 
@@ -675,7 +736,7 @@ class Scheduler:
         reason = None
         if job.cancelled:
             reason = "cancelled"
-        elif hit_eog:
+        elif hit_eog or job._stop_hit:
             reason = "stop"
         elif len(job.token_ids) >= job.max_tokens or out_of_space:
             reason = "length"
@@ -683,7 +744,7 @@ class Scheduler:
             return
         if hit_eog and job.token_ids and vocab.is_eog(job.token_ids[-1]):
             job.token_ids.pop()  # don't surface the EOG token itself
-        job.output += job.detok.flush()
+        self._push_text(job, job.detok.flush())
         job.finish_reason = reason
         job.status = STATUS_STOPPED if reason == "cancelled" else STATUS_FINISHED
         job.finished_at = time.time()

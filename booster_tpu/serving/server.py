@@ -72,7 +72,54 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
             "finish_reason": job.finish_reason,
             "prompt_tokens": job.n_prompt_tokens,
             "completion_tokens": job.n_generated,
+            # effective RNG seed — lets a sampled generation be reproduced
+            # from the job record (reference getSeed, bridge.cpp:825-835)
+            "seed": job.seed,
         }
+
+    def _stop_list(body: dict) -> tuple[str, ...]:
+        stop = body.get("stop")
+        if stop is None:
+            return ()
+        if isinstance(stop, str):
+            return (stop,) if stop else ()
+        return tuple(str(s) for s in stop if s)
+
+    # standard OpenAI sampling fields → SamplingParams (presence/frequency
+    # penalties included — the reference treats them first-class,
+    # llama-sampling.cpp repetition impl)
+    _OPENAI_FIELDS = ("temperature", "top_p", "top_k", "seed",
+                      "presence_penalty", "frequency_penalty",
+                      "repetition_penalty", "min_p", "typical_p")
+
+    def _openai_sampling(body: dict) -> Optional[SamplingParams]:
+        present = {k: body[k] for k in _OPENAI_FIELDS if body.get(k) is not None}
+        return _sampling_from_dict(present) if present else None
+
+    # Ollama `options` (api/generate, api/chat): modelfile-parameter names
+    _OLLAMA_FIELDS = ("temperature", "top_k", "top_p", "min_p", "seed",
+                      "repeat_penalty", "repeat_last_n", "presence_penalty",
+                      "frequency_penalty", "tfs_z", "typical_p", "mirostat",
+                      "mirostat_tau", "mirostat_eta", "penalize_newline")
+    _OLLAMA_ALIASES = {"repeat_penalty": "penalty_repeat",
+                       "repeat_last_n": "penalty_last_n",
+                       "penalize_newline": "penalize_nl"}
+
+    def _ollama_request(body: dict) -> dict:
+        """options → (sampling, max_tokens, stop) kwargs for place_job."""
+        opts = body.get("options") or {}
+        present = {
+            _OLLAMA_ALIASES.get(k, k): opts[k]
+            for k in _OLLAMA_FIELDS if opts.get(k) is not None
+        }
+        kw: dict = {
+            "sampling": _sampling_from_dict(present) if present else None,
+            "stop": _stop_list(opts) or _stop_list(body),
+        }
+        n = opts.get("num_predict")
+        if n is not None and int(n) > 0:
+            kw["max_tokens"] = int(n)
+        return kw
 
     # -- Booster async jobs API ---------------------------------------------
 
@@ -105,6 +152,7 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
                 sampling=sampling,
                 max_tokens=int(body.get("max_tokens", 0) or 0),
                 grammar=str(body.get("grammar", "") or ""),
+                stop=_stop_list(body),
             )
         except RuntimeError:
             return web.json_response({"error": "shutting down"}, status=503)
@@ -132,10 +180,7 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
         if not messages:
             return web.json_response({"error": "messages required"}, status=400)
         full_prompt = _chat_to_prompt(scheduler, messages)
-        sampling = _sampling_from_dict(
-            {k: body[k] for k in ("temperature", "top_p", "top_k", "seed")
-             if k in body}
-        ) if any(k in body for k in ("temperature", "top_p", "top_k", "seed")) else None
+        sampling = _openai_sampling(body)
         grammar = ""
         rf = body.get("response_format") or {}
         if rf.get("type") == "json_schema":
@@ -153,6 +198,7 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
             sampling=sampling,
             max_tokens=int(body.get("max_tokens", 0) or 0),
             grammar=grammar,
+            stop=_stop_list(body),
         )
         created = int(time.time())
         if body.get("stream"):
@@ -227,13 +273,11 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
             prompt = prompt[0] if prompt else ""
         if not prompt:
             return web.json_response({"error": "prompt required"}, status=400)
-        sampling = _sampling_from_dict(
-            {k: body[k] for k in ("temperature", "top_p", "top_k", "seed")
-             if k in body}
-        ) if any(k in body for k in ("temperature", "top_p", "top_k", "seed")) else None
+        sampling = _openai_sampling(body)
         job = scheduler.place_job(
             prompt="", full_prompt=str(prompt), sampling=sampling,
             max_tokens=int(body.get("max_tokens", 0) or 0),
+            stop=_stop_list(body),
         )
         try:
             await scheduler.wait_job(job.id, timeout=scheduler.deadline_s)
@@ -271,7 +315,8 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
             return web.json_response({"error": "invalid JSON"}, status=400)
         messages = body.get("messages") or []
         full_prompt = _chat_to_prompt(scheduler, messages)
-        job = scheduler.place_job(prompt="", full_prompt=full_prompt)
+        job = scheduler.place_job(prompt="", full_prompt=full_prompt,
+                                  **_ollama_request(body))
         stream = body.get("stream", True)
 
         if not stream:
@@ -327,6 +372,7 @@ def make_app(scheduler: Scheduler, config: Optional[ServerConfig] = None,
         job = scheduler.place_job(
             prompt="" if raw else prompt,
             full_prompt=prompt if raw else "",
+            **_ollama_request(body),
         )
         if not body.get("stream", True):
             await scheduler.wait_job(job.id, timeout=scheduler.deadline_s)

@@ -153,3 +153,48 @@ def test_batched_decode_stacked_deferred_matches_xla(tmp_path, kv_quant):
         assert fused_toks[s] == xla_toks[s], f"slot {s} diverged"
     np.testing.assert_array_equal(fused_len, xla_len)
     assert fused_len[1] == 0 and fused_len[3] == 0  # inactive slots untouched
+
+
+def test_fused_prefill_model_integration_matches_xla(tmp_path):
+    """Model-level parity for the T>1 fused-prefill flash kernel over a
+    quantized cache (models/llama.py fused_prefill gate): a multi-chunk
+    prefill + short decode through Engine produces the same tokens with the
+    fused kernel (INTERPRET on CPU) as via the plain XLA attention path
+    (BT_FUSED_PREFILL=0) — exercising pos0=offsets wiring, chunk offsets,
+    and Dv slicing in _layer, not just the kernel unit test."""
+    import os
+
+    import jax
+
+    import booster_tpu.ops.pallas_attention as pa
+    import booster_tpu.ops.pallas_kv as pk
+
+    path = str(tmp_path / "fp.gguf")
+    make_model(path, vocab_size=512, hidden=128, layers=2, heads=2,
+               kv_heads=2, weight_scale=0.3)
+    model = load_model(path)
+    # a prompt long enough to cross several 16-token prefill chunks
+    prompt = list(np.random.default_rng(7).integers(3, 500, size=41))
+
+    def run(fused: bool):
+        pa.INTERPRET = pk.INTERPRET = True  # decode path identical in both
+        if not fused:
+            os.environ["BT_FUSED_PREFILL"] = "0"
+        jax.clear_caches()  # env/INTERPRET aren't in the jit key
+        try:
+            eng = Engine(model, max_batch=2, max_seq=128,
+                         kv_quantized=True, decode_chunk=4)
+            eng.init_batch_state()
+            eng.reset_slot(0, SamplingParams(temp=0.0), seed=0)
+            first = eng.prefill_slots({0: prompt}, chunk=16)
+            toks, _ = eng.decode_slots(first, n_steps=4)
+            return first[0], toks[0]
+        finally:
+            pa.INTERPRET = pk.INTERPRET = False
+            os.environ.pop("BT_FUSED_PREFILL", None)
+            jax.clear_caches()
+
+    f_first, f_toks = run(True)
+    x_first, x_toks = run(False)
+    assert f_first == x_first
+    assert f_toks == x_toks
