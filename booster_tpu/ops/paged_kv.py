@@ -72,12 +72,17 @@ class PagedKVCache:
         page_size: int = 256,
         n_pages: int = 0,  # 0 → batch * ceil(max_len / page_size)
     ) -> "PagedKVCache":
+        from booster_tpu.ops.kv_cache import pad_head_dim
+
         P = page_size
         maxp = -(-max_len // P)
         np_total = n_pages or batch * maxp
         dv = head_dim_v or head_dim
-        k_shape = (n_layers, np_total, n_kv_heads, P, head_dim)
-        v_shape = (n_layers, np_total, n_kv_heads, P, dv)
+        # lane-padded storage like the dense cache (pad_head_dim: zero extra
+        # HBM — the minor dim is tile-padded to 128 anyway — and the logical
+        # shape matches the physical tiling, so no per-layer relayouts)
+        k_shape = (n_layers, np_total, n_kv_heads, P, pad_head_dim(head_dim))
+        v_shape = (n_layers, np_total, n_kv_heads, P, pad_head_dim(dv))
         table = jnp.zeros((batch, maxp), jnp.int32)
         if quantized:
             return cls(
@@ -103,6 +108,14 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _pad_last(new: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Zero-pad the last dim to the (lane-padded) pool storage width."""
+    d = new.shape[-1]
+    if d == width:
+        return new
+    return jnp.pad(new, ((0, 0),) * (new.ndim - 1) + ((0, width - d),))
+
+
 def append_paged_layer(
     pool_k: jnp.ndarray,  # [Np, Hkv, P, D] one layer's pool slice
     pool_v: jnp.ndarray,
@@ -122,6 +135,8 @@ def append_paged_layer(
     """
     from booster_tpu.ops.kv_cache import _quantize_kv
 
+    new_k = _pad_last(new_k, pool_k.shape[-1])
+    new_v = _pad_last(new_v, pool_v.shape[-1])
     B, T, Hkv, D = new_k.shape
     P = pool_k.shape[2]
     pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B,T]
@@ -148,6 +163,55 @@ def append_paged_layer(
 
     pool_k = pool_k.at[b_idx, h_idx, o_idx].set(new_k.astype(pool_k.dtype))
     pool_v = pool_v.at[b_idx, h_idx, o_idx].set(new_v.astype(pool_v.dtype))
+    return pool_k, pool_v, None, None
+
+
+def paged_append_all_layers(
+    pool_k: jnp.ndarray,  # [L, Np, Hkv, P, D] the whole stacked pool
+    pool_v: jnp.ndarray,
+    new_k: jnp.ndarray,  # [L, B, Hkv, D] one decode token per slot, all layers
+    new_v: jnp.ndarray,
+    offsets: jnp.ndarray,  # [B] logical write positions (slot lengths)
+    table: jnp.ndarray,  # [B, MAXP]
+    pool_ks: Optional[jnp.ndarray] = None,  # [L, Np, Hkv, P, 1]
+    pool_vs: Optional[jnp.ndarray] = None,
+):
+    """Deferred decode append for the paged pool: ONE scatter lands every
+    layer's new row (the paged sibling of ops/pallas_kv.kv_append_all_layers
+    — per-layer scatters inside the scan both serialize with attention and
+    force XLA to materialize per-layer pool slices).
+
+    Positions past the table range divert to physical page 0 (the reserved
+    scratch page), exactly like append_paged_layer."""
+    from booster_tpu.ops.kv_cache import _quantize_kv
+
+    new_k = _pad_last(new_k, pool_k.shape[-1])
+    new_v = _pad_last(new_v, pool_v.shape[-1])
+    L, B, Hkv, D = new_k.shape
+    P = pool_k.shape[3]
+    logical_raw = offsets // P
+    logical = jnp.minimum(logical_raw, table.shape[1] - 1)
+    phys = jnp.take_along_axis(table, logical[:, None], axis=1)[:, 0]  # [B]
+    phys = jnp.where(logical_raw < table.shape[1], phys, 0)
+    o = offsets % P
+    l_idx = jnp.arange(L, dtype=jnp.int32)[:, None, None]  # [L, 1, 1]
+    b_idx = phys[None, :, None]
+    h_idx = jnp.arange(Hkv, dtype=jnp.int32)[None, None, :]
+    o_idx = o[None, :, None]
+
+    if pool_ks is not None:
+        qk, sk = _quantize_kv(new_k)  # [L, B, Hkv, D], [L, B, Hkv, 1]
+        qv, sv = _quantize_kv(new_v)
+        pool_k = pool_k.at[l_idx, b_idx, h_idx, o_idx].set(qk)
+        pool_v = pool_v.at[l_idx, b_idx, h_idx, o_idx].set(qv)
+        pool_ks = pool_ks.at[l_idx, b_idx, h_idx, o_idx].set(sk)
+        pool_vs = pool_vs.at[l_idx, b_idx, h_idx, o_idx].set(sv)
+        return pool_k, pool_v, pool_ks, pool_vs
+
+    pool_k = pool_k.at[l_idx, b_idx, h_idx, o_idx].set(
+        new_k.astype(pool_k.dtype))
+    pool_v = pool_v.at[l_idx, b_idx, h_idx, o_idx].set(
+        new_v.astype(pool_v.dtype))
     return pool_k, pool_v, None, None
 
 

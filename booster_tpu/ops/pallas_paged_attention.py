@@ -130,14 +130,18 @@ def paged_decode_attention(
 
     Numerics match the dense masked-softmax path over gather_layer views
     (tests/test_paged_kv.py, interpret mode)."""
-    B, T, H, D = q.shape
+    B, T, H, Dq = q.shape
     assert T == 1
-    Np, Hkv, P, _ = pool_k.shape
+    Np, Hkv, P, D = pool_k.shape  # D = lane-padded storage width
     MAXP = table.shape[1]
     G = H // Hkv
     quantized = pool_ks is not None
 
     qb = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    if Dq < D:
+        # padded pool lanes hold exact zeros; zero-padded q keeps scores
+        # identical and PV writes zeros that are sliced off below
+        qb = jnp.pad(qb, ((0, 0), (0, 0), (0, 0), (0, D - Dq)))
     qb = qb.reshape(B, 1, Hkv, G, D).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, G, D)
 
     bt = _BT
@@ -218,4 +222,264 @@ def paged_decode_attention(
     )(table, lens, *args)
 
     out = out.reshape(B, Hkv, G, 1, Dv).transpose(0, 3, 1, 2, 4).reshape(B, 1, H, Dv)
+    if Dq < Dv:  # slice the padded lanes back off (they hold zeros)
+        out = out[..., :Dq]
+    return out.astype(q.dtype)
+
+
+def _paged_attn_kernel_stacked(
+    lay_ref,  # [1] i32 (scalar prefetch: layer into the stacked pool)
+    tbl_ref,  # [B, MAXP] i32 (scalar prefetch)
+    lens_ref,  # [B] i32 (scalar prefetch)
+    *refs,
+    bt: int,
+    p: int,
+    softcap: float,
+    quantized: bool,
+    has_self: bool,
+):
+    # refs: q, k*bt, v*bt, (ks*bt, vs*bt)?, (sk, sv, selfok)?, win,
+    #       out, m, l, acc
+    q_ref = refs[0]
+    k_refs = refs[1 : 1 + bt]
+    v_refs = refs[1 + bt : 1 + 2 * bt]
+    at = 1 + 2 * bt
+    ks_refs = vs_refs = None
+    if quantized:
+        ks_refs = refs[at : at + bt]
+        vs_refs = refs[at + bt : at + 2 * bt]
+        at += 2 * bt
+    sk_ref = sv_ref = selfok_ref = None
+    if has_self:
+        sk_ref, sv_ref, selfok_ref = refs[at : at + 3]
+        at += 3
+    win_ref, out_ref, m_ref, l_ref, acc_ref = refs[at : at + 5]
+
+    s_idx = pl.program_id(2)
+    ns = pl.num_programs(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    col0 = s_idx * p
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)  # [1, P]
+    win = win_ref[0, 0]
+
+    row0 = pl.program_id(0) * bt
+    for b in range(bt):  # static unroll: constant ref indices
+        len_b = lens_ref[row0 + b]
+        ok_b = selfok_ref[b, 0] if has_self else 0
+
+        @pl.when(col0 < len_b)
+        def _(b=b, len_b=len_b, ok_b=ok_b):
+            qb = q_ref[b, 0]  # [G, D] bf16
+            kq = k_refs[b][0, 0, 0].astype(jnp.bfloat16)  # [P, D]
+            s = jax.lax.dot_general(
+                qb, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, P]
+            if quantized:
+                s = s * ks_refs[b][0, 0, 0]
+            if softcap > 0.0:
+                s = softcap * jnp.tanh(s / softcap)
+            # with a live self token the current position is len_b
+            valid = (col < len_b) & (col >= len_b - win + ok_b)
+            s = jnp.where(valid, s, _NEG)
+
+            m_prev = m_ref[b]
+            l_prev = l_ref[b]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            pr = jnp.exp(s - m_new)  # [G, P]
+            l_new = l_prev * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+            if quantized:
+                pr = pr * vs_refs[b][0, 0, 0]
+            vq = v_refs[b][0, 0, 0].astype(jnp.bfloat16)  # [P, D]
+            pv = jax.lax.dot_general(
+                pr.astype(jnp.bfloat16), vq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[b] = m_new
+            l_ref[b] = l_new
+            acc_ref[b] = acc_ref[b] * alpha + pv
+
+        @pl.when(s_idx == ns - 1)
+        def _(b=b, ok_b=ok_b):
+            m_b, l_b, acc_b = m_ref[b], l_ref[b], acc_ref[b]
+            if has_self:
+                # deferred append: fold the new token's (always-causal) self
+                # term in, mirroring the storage quantization so numerics
+                # match the append-then-attend path (pallas_attention.py)
+                def mirror(x):  # [1, D] f32 -> storage round-trip
+                    if not quantized:
+                        return x.astype(jnp.bfloat16).astype(jnp.float32)
+                    sc = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+                    qv = jnp.round(x / jnp.maximum(sc, 1e-12))
+                    return qv * sc
+
+                skb = mirror(sk_ref[b, 0].astype(jnp.float32))  # [1, D]
+                svb = mirror(sv_ref[b, 0].astype(jnp.float32))
+                qb = q_ref[b, 0]  # [G, D]
+                s_self = jax.lax.dot_general(
+                    qb.astype(jnp.float32), skb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G, 1]
+                if softcap > 0.0:
+                    s_self = softcap * jnp.tanh(s_self / softcap)
+                s_self = jnp.where(ok_b > 0, s_self, _NEG)
+                m2 = jnp.maximum(m_b, s_self)
+                alpha = jnp.exp(m_b - m2)
+                p_self = jnp.exp(s_self - m2)  # [G, 1]
+                l_b = l_b * alpha + p_self
+                acc_b = acc_b * alpha + p_self * svb
+            out_ref[b, 0] = acc_b / jnp.maximum(l_b, 1e-30)
+
+
+def paged_decode_attention_stacked(
+    q: jnp.ndarray,  # [B, 1, H, D] (already roped), any float dtype
+    pool_k: jnp.ndarray,  # [L, Np, Hkv, P, D] int8 or bf16 (whole pool)
+    pool_v: jnp.ndarray,
+    pool_ks,  # [L, Np, Hkv, P, 1] f32 or None
+    pool_vs,
+    table: jnp.ndarray,  # [B, MAXP] i32
+    layer,  # traced i32 scalar: layer into the stacked pool
+    kv_valid_len: jnp.ndarray,  # [B] i32
+    scale: float,
+    logit_softcap: float = 0.0,
+    window=None,  # traced i32 scalar or None
+    self_kv=None,  # (k [B,Hkv,D], v [B,Hkv,D], ok [B]) deferred append
+) -> jnp.ndarray:
+    """Stacked-pool variant of paged_decode_attention: the WHOLE pool passes
+    through the layer scan as carry and the kernel selects the layer via a
+    scalar-prefetched index map — XLA never materializes a per-layer pool
+    slice (which it otherwise does before every pallas_call; the same
+    copy-per-layer trap the dense path fixed in round 3, tools/slice_probe).
+    The deferred-append self term mirrors pallas_attention.py."""
+    B, T, H, Dq = q.shape
+    assert T == 1
+    L, Np, Hkv, P, D = pool_k.shape  # D = lane-padded storage width
+    MAXP = table.shape[1]
+    G = H // Hkv
+    quantized = pool_ks is not None
+    has_self = self_kv is not None
+
+    qb = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    if Dq < D:
+        # padded pool lanes hold exact zeros; zero-padded q keeps scores
+        # identical and PV writes zeros that are sliced off below
+        qb = jnp.pad(qb, ((0, 0), (0, 0), (0, 0), (0, D - Dq)))
+    qb = qb.reshape(B, 1, Hkv, G, D).transpose(0, 2, 3, 1, 4).reshape(
+        B, Hkv, G, D)
+
+    bt = _BT
+    while B % bt:
+        bt //= 2
+    bt = max(bt, 1)
+    grid = (B // bt, Hkv, MAXP)
+
+    lens = kv_valid_len.astype(jnp.int32)
+    lay = jnp.asarray(layer, jnp.int32).reshape(1)
+    win = (jnp.asarray(window, jnp.int32) if window is not None
+           else jnp.int32(MAXP * P + 1)).reshape(1, 1)
+
+    def pool_spec(r, dim):
+        return pl.BlockSpec(
+            (1, 1, 1, P, dim),
+            functools.partial(
+                lambda i, j, k, lay, tbl, ln, r=r:
+                    (lay[0], tbl[i * bt + r, k], j, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    def scale_spec(r):
+        return pl.BlockSpec(
+            (1, 1, 1, 1, P),
+            functools.partial(
+                lambda i, j, k, lay, tbl, ln, r=r:
+                    (lay[0], tbl[i * bt + r, k], j, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    Dv = pool_v.shape[-1]
+    in_specs = [
+        pl.BlockSpec((bt, 1, G, D),
+                     lambda i, j, k, lay, tbl, ln: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    in_specs += [pool_spec(r, D) for r in range(bt)]
+    in_specs += [pool_spec(r, Dv) for r in range(bt)]
+    args = [qb] + [pool_k] * bt + [pool_v] * bt
+    if quantized:
+        ks = pool_ks.reshape(L, Np, Hkv, 1, P)  # free reshape (trailing 1)
+        vs = pool_vs.reshape(L, Np, Hkv, 1, P)
+        in_specs += [scale_spec(r) for r in range(bt)]
+        in_specs += [scale_spec(r) for r in range(bt)]
+        args += [ks] * bt + [vs] * bt
+    if has_self:
+        sk, sv, ok = self_kv
+
+        def _padd(a, width):  # [B, Hkv, d] → [B, Hkv, 1, width]
+            if a.shape[-1] < width:
+                a = jnp.pad(a, ((0, 0),) * (a.ndim - 1)
+                            + ((0, width - a.shape[-1]),))
+            return a.astype(jnp.bfloat16).reshape(B, Hkv, 1, width)
+
+        skb = _padd(sk, D)
+        svb = _padd(sv, Dv)
+        in_specs += [
+            pl.BlockSpec((bt, 1, 1, D),
+                         lambda i, j, k, lay, tbl, ln: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, 1, Dv),
+                         lambda i, j, k, lay, tbl, ln: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i, j, k, lay, tbl, ln: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        args += [skb, svb, ok.astype(jnp.int32).reshape(B, 1)]
+    in_specs += [
+        pl.BlockSpec((1, 1), lambda i, j, k, lay, tbl, ln: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args += [win]
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, 1, G, Dv),
+                               lambda i, j, k, lay, tbl, ln: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bt, G, 1), jnp.float32),
+            pltpu.VMEM((bt, G, 1), jnp.float32),
+            pltpu.VMEM((bt, G, Dv), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_attn_kernel_stacked, bt=bt, p=P,
+                          softcap=logit_softcap, quantized=quantized,
+                          has_self=has_self),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * MAXP * P * D,
+            bytes_accessed=(2 * B * Hkv * MAXP * P * D
+                            * pool_k.dtype.itemsize
+                            + (8 * B * Hkv * MAXP * P if quantized else 0)),
+            transcendentals=B * H * MAXP * P,
+        ),
+        interpret=INTERPRET,
+    )(lay, table, lens, *args)
+
+    out = out.reshape(B, Hkv, G, 1, Dv).transpose(0, 3, 1, 2, 4).reshape(
+        B, 1, H, Dv)
+    if Dq < Dv:  # slice the padded lanes back off (they hold zeros)
+        out = out[..., :Dq]
     return out.astype(q.dtype)

@@ -33,6 +33,36 @@ from booster_tpu.sampling.samplers import (
 
 NEG_INF = -jnp.inf
 
+import os as _os
+
+_APPROX_TOPK = _os.environ.get("BT_APPROX_TOPK", "1") != "0"
+
+
+def topk_shortlist(lg: jnp.ndarray, K: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-K shortlist (descending values + indices), computed fast.
+
+    `jax.lax.top_k` over [64, 32k] costs ~1.12 ms on a v5e while
+    `approx_max_k` at recall 0.95 costs ~0.15 ms (tools/step_breakdown.py).
+    This takes the approx result and *verifies* it is the exact set: with
+    vmin the shortlist's smallest value, the set is exact (up to value-ties
+    at vmin, which are interchangeable) iff the number of strictly-greater
+    logits equals the shortlist slots not holding vmin.  On the rare miss,
+    fall back to the exact sort for the whole batch.  BT_APPROX_TOPK=0
+    reverts to plain top_k."""
+    if not _APPROX_TOPK or lg.shape[-1] <= K:
+        return jax.lax.top_k(lg, K)
+    # rt=0.95 misses ~1% of the set → the all-rows check fails nearly every
+    # step and the exact fallback always runs (paying both); at 0.99 the
+    # measured set-recall is 1.0 at [64, 32k] so the fallback is rare
+    av, ai = jax.lax.approx_max_k(lg, K, recall_target=0.99)
+    vmin = av[:, -1:]
+    n_greater = jnp.sum(lg > vmin, axis=-1)
+    n_ties = jnp.sum(av == vmin, axis=-1)
+    ok = jnp.all(n_greater <= K - n_ties)
+    return jax.lax.cond(
+        ok, lambda: (av, ai), lambda: tuple(jax.lax.top_k(lg, K))
+    )
+
 
 @dataclass
 class VectorSampling:
@@ -148,7 +178,7 @@ def chain_cutoff(lg: jnp.ndarray, vp: VectorSampling) -> jnp.ndarray:
     distributions).  Disabled filters contribute a -inf cutoff."""
     B, V = lg.shape
     K = min(256, V)
-    sorted_lg, _ = jax.lax.top_k(lg, K)  # [B, K] descending
+    sorted_lg, _ = topk_shortlist(lg, K)  # [B, K] descending
     probs = jax.nn.softmax(sorted_lg, axis=-1)  # shortlist-renormalized
     cum = jnp.cumsum(probs, axis=-1)
 
@@ -254,7 +284,7 @@ def chain_filter(
     lg = logits
     B, V = lg.shape
     K = min(256, V)
-    sorted_lg, sorted_idx = jax.lax.top_k(lg, K)
+    sorted_lg, sorted_idx = topk_shortlist(lg, K)
     keep = _chain_keep(sorted_lg, vp, features)
     keep_v = jnp.zeros((B, V), bool).at[
         jnp.arange(B)[:, None], sorted_idx].set(keep)
@@ -361,7 +391,7 @@ def sample_vectorized(
         # space — no [B, V] scatter, no [B, V] categorical (the sampler was
         # ~2.4 ms/step at B=64 V=32k, tools/step_breakdown.py)
         K = min(256, lg.shape[-1])
-        sorted_lg, sorted_idx = jax.lax.top_k(lg, K)
+        sorted_lg, sorted_idx = topk_shortlist(lg, K)
         keep = _chain_keep(sorted_lg, vp, features)
         slg = jnp.where(keep, sorted_lg, NEG_INF)
         t = effective_temp(slg, vp, features)

@@ -166,3 +166,52 @@ def test_scheduler_paged(model_path):
         assert jp.token_ids == jd.token_ids
     stats = paged_eng.page_alloc.stats()
     assert stats["hashed"] > 0  # prefixes were published for dedup
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_stacked_decode_matches_dense(tmp_path_factory, quantized):
+    """The stacked paged decode path (whole pool as scan carry, layer via
+    scalar prefetch, deferred all-layer append + in-kernel self term —
+    ops/pallas_paged_attention.paged_decode_attention_stacked) produces the
+    same tokens as the dense stacked path and as the paged XLA path.
+    Requires page_size % 128 == 0 and head_dim % 128 == 0, so a 1-head
+    model (head_dim 128) with 128-token pages."""
+    import os
+
+    import jax
+
+    import booster_tpu.models.llama as llama_mod
+    import booster_tpu.ops.pallas_attention as pa
+    import booster_tpu.ops.pallas_kv as pk
+    import booster_tpu.ops.pallas_paged_attention as ppa
+
+    d = tmp_path_factory.mktemp("paged_stk")
+    path = str(d / "stk.gguf")
+    make_model(path, vocab_size=512, hidden=128, layers=2, heads=1,
+               kv_heads=1, seed=0, weight_scale=0.3)
+    model = load_model(path)
+    texts = ["hello world", "one two three"]
+
+    def run(paged: bool, interpret: bool):
+        pa.INTERPRET = pk.INTERPRET = ppa.INTERPRET = interpret
+        jax.clear_caches()  # INTERPRET isn't part of the jit key
+        try:
+            eng = Engine(model, max_batch=2, max_seq=256,
+                         kv_quantized=quantized, paged=paged, page_size=128)
+            if paged and interpret:
+                # the gate must actually engage for this test to mean much
+                assert llama_mod._use_stacked_decode(
+                    model.cfg, 1, 256, 128, page_size=128)
+            prompts = {s: eng.tokenizer.encode(t)
+                       for s, t in enumerate(texts)}
+            return _batched_generate(eng, prompts, n_steps=10)
+        finally:
+            pa.INTERPRET = pk.INTERPRET = ppa.INTERPRET = False
+            jax.clear_caches()
+
+    stacked_paged = run(paged=True, interpret=True)
+    stacked_dense = run(paged=False, interpret=True)
+    xla_paged = run(paged=True, interpret=False)
+    for s in (0, 1):
+        assert stacked_paged[s] == stacked_dense[s], f"slot {s} vs dense"
+        assert stacked_paged[s] == xla_paged[s], f"slot {s} vs XLA paged"

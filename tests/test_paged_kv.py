@@ -62,12 +62,12 @@ def test_append_matches_dense(quantized):
             pk, pv, new_k, new_v, offsets, table, pks, pvs)
         dk, dv, dks, dvs = update_layer(dk, dv, new_k, new_v, offsets, dks, dvs)
 
-    # dense storage is lane-padded (kv_cache.pad_head_dim); the paged pool
-    # stores raw D — compare the logical lanes
+    # both storages are lane-padded (kv_cache.pad_head_dim); compare the
+    # logical lanes AND the pad lanes (exact zeros in both)
     np.testing.assert_array_equal(np.asarray(gather_layer(pk, table)),
-                                  np.asarray(dk[..., :D]))
+                                  np.asarray(dk))
     np.testing.assert_array_equal(np.asarray(gather_layer(pv, table)),
-                                  np.asarray(dv[..., :D]))
+                                  np.asarray(dv))
     if quantized:
         np.testing.assert_array_equal(
             np.asarray(gather_layer(pks, table)), np.asarray(dks))
@@ -85,7 +85,7 @@ def test_append_crosses_page_boundary():
     pk, pv, _, _ = append_paged_layer(
         paged.k[0], paged.v[0], new_k, new_v,
         jnp.zeros(B, jnp.int32), table)
-    got = np.asarray(gather_layer(pk, table))[0, :, :T]  # [Hkv, T, D]
+    got = np.asarray(gather_layer(pk, table))[0, :, :T, :D]  # [Hkv, T, D]
     want = np.asarray(new_k.astype(jnp.bfloat16)).transpose(0, 2, 1, 3)[0]
     np.testing.assert_array_equal(got, want)
 

@@ -26,7 +26,7 @@ def run(paged: bool, n_streams=64, n_tokens=128, kv_quant=True):
     build_model(path, False)
     model = load_model(path, weights="bf16")
     engine = Engine(model, max_batch=n_streams, max_seq=512,
-                    kv_quantized=kv_quant and not paged,
+                    kv_quantized=kv_quant,
                     paged=paged, page_size=128, decode_chunk=32)
     engine.init_batch_state()
     prompts = {}
@@ -57,7 +57,7 @@ def main():
     print(f"dense int8 KV 64 streams: {dense:.1f} tok/s aggregate",
           flush=True)
     paged = run(True)
-    print(f"paged (bf16 pool, P=128) 64 streams: {paged:.1f} tok/s aggregate",
+    print(f"paged (int8 pool, P=128) 64 streams: {paged:.1f} tok/s aggregate",
           flush=True)
     print(f"paged/dense = {paged / dense:.2f}", flush=True)
 
