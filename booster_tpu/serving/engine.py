@@ -332,6 +332,30 @@ def _decode_chunk_vec(params, cfg: ModelConfig, cache: KVCache, last_tok,
     return toks.T, emitted.T, cache, gcache, state
 
 
+@partial(jax.jit, static_argnames=("cfg", "features", "nl_token"),
+         donate_argnames=("cache", "state"))
+def _masked_step_vec(params, cfg: ModelConfig, cache: KVCache, last_tok,
+                     state: SamplerState, vp, active, logit_mask,
+                     features=(), janus_tables=None, nl_token: int = -1):
+    """One batched decode step with per-row logit feasibility masks: the
+    grammar-violation redo for slots riding the continuous batch (the
+    reference resamples from the grammar-feasible set per pod,
+    common/sampling.cpp:430 — here all violating slots redo in ONE
+    dispatch).  Rows with active=False neither append KV nor advance
+    sampler state; their mask rows stay all-True so the shared softmax
+    never sees an all--inf row."""
+    from booster_tpu.sampling.vector import sample_vectorized
+
+    logits, cache = forward(params, cfg, last_tok, cache, last_only=True,
+                            n_valid=active.astype(jnp.int32))
+    lg = jnp.where(logit_mask, logits[:, -1, :], -jnp.inf)
+    tok, state = sample_vectorized(
+        lg, state, vp, mask=active,
+        features=features, janus_tables=janus_tables, nl_token=nl_token,
+    )
+    return tok, cache, state
+
+
 class Engine:
     """Owns compiled step functions + the KV cache for B slots."""
 
@@ -845,6 +869,49 @@ class Engine:
             list(last_tokens), n_steps=n_steps, last_tokens=last_tokens
         )
         return self.decode_slots_finish(handle)
+
+    def masked_decode_slots(
+        self, fixes: dict[int, tuple[int, int, np.ndarray]]
+    ) -> dict[int, int]:
+        """Grammar-violation redo for batched slots: rewind each slot's
+        cache to its last grammar-valid position and redo ONE decode step
+        under its [V] feasibility mask — all fixing slots in one dispatch.
+
+        `fixes`: {slot: (new_len, prev_token, mask)} where `new_len` is the
+        cache length before the rejected token's KV write, `prev_token` the
+        last accepted token (re-forwarded at position new_len, exactly as
+        the dedicated path's _masked_decode_step), and `mask` a [V] bool
+        feasibility array.  Returns the corrected token per slot and chains
+        it into the device-resident last-token row so the next batched
+        chunk continues from it."""
+        B = self.max_batch
+        V = self.cfg.n_vocab
+        lengths = self.cache.lengths
+        active = np.zeros(B, bool)
+        prev = np.zeros((B, 1), np.int32)
+        mask = np.ones((B, V), bool)
+        for s, (new_len, prev_tok, m) in fixes.items():
+            lengths = lengths.at[s].set(new_len)
+            self.slot_lengths[s] = new_len
+            self.ensure_slot_pages(s, new_len + 1)
+            active[s] = True
+            prev[s, 0] = prev_tok
+            mask[s] = m
+        self.cache = dataclasses.replace(self.cache, lengths=lengths)
+        active_dev = jnp.asarray(active)
+        feats = self._vector_features()
+        tok, self.cache, self.state = _masked_step_vec(
+            self.params, self.cfg, self.cache, jnp.asarray(prev), self.state,
+            self.vp, active_dev, jnp.asarray(mask),
+            features=feats, janus_tables=self._vector_janus_tables(feats),
+            nl_token=self.nl_token,
+        )
+        for s in fixes:
+            self.slot_lengths[s] += 1
+        self._last_dev = jnp.where(active_dev[:, None], tok[:, None],
+                                   self._last_dev)
+        tok_np = np.asarray(tok)
+        return {s: int(tok_np[s]) for s in fixes}
 
     def shift_slot(self, slot: int, n_keep: int = 0,
                    n_discard: Optional[int] = None) -> int:

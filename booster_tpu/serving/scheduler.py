@@ -63,6 +63,11 @@ class Job:
     _shifted: bool = False  # in-cache context shift happened (KV ≠ token list)
     _raw_output: str = ""  # pre-stop-truncation text (stop jobs only)
     _stop_hit: bool = False  # a stop sequence completed in the output
+    # batched grammar decoding: the job's pushdown automaton (rides the
+    # continuous batch; reference runs grammar per pod concurrently,
+    # common/sampling.cpp:430, bridge.cpp:100-110)
+    _grammar: object = None
+    _gfix: bool = False  # last chunk violated: rewind + masked redo pending
 
     @property
     def n_generated(self) -> int:
@@ -347,16 +352,26 @@ class Scheduler:
                 j.finish_reason = "deadline"
                 j._done.set()
 
-            # grammar jobs run on the dedicated generate path (host automaton
-            # between steps); janus + mirostat ride the vectorized batch
-            # sampler like everything else (the reference runs Janus on every
-            # request concurrently, bridge.cpp:586-599).  With a draft model
-            # the batch runs speculative rounds, which skip janus/mirostat —
-            # those jobs fall back to the dedicated single-sequence path.
+            # grammar jobs ride the continuous batch (host automaton between
+            # chunks + batched rewind/masked redo on violation — the
+            # reference runs grammar on every pod concurrently,
+            # common/sampling.cpp:430); janus + mirostat ride the vectorized
+            # batch sampler like everything else (bridge.cpp:586-599).  With
+            # a draft model the batch runs speculative rounds, which the
+            # grammar rewind protocol doesn't compose with — those jobs fall
+            # back to the dedicated single-sequence path.
             def needs_dedicated(j: Job) -> bool:
                 sp = j.sampling or self.default_sampling
                 if j.grammar:
-                    return True
+                    # combos the batch can't express keep the exact
+                    # dedicated path: speculative rounds, CFG guidance
+                    # (its gcache would need the same rewind), recurrent
+                    # caches (no rewind), custom sampler order
+                    if (self.spec is not None or sp.cfg_scale != 1.0
+                            or self.engine.cfg.arch == "mamba"):
+                        return True
+                    return (sp.samplers_sequence
+                            != SamplingParams.samplers_sequence)
                 if sp.cfg_scale != 1.0 and self.engine.paged:
                     # batched CFG rides a dense guidance cache; paged
                     # engines keep the exact dedicated path
@@ -369,8 +384,6 @@ class Scheduler:
                 # the batched chain hard-codes the default filter order; a
                 # custom ordered sampler queue (sampler_queue,
                 # common/sampling.cpp:220) runs on the exact path
-                from booster_tpu.sampling.params import SamplingParams
-
                 # janus/mirostat/penalty jobs ride the batch even with a
                 # draft configured: spec_batch samples them exactly from
                 # the verify forward's position-0 logits (one token/round)
@@ -432,6 +445,23 @@ class Scheduler:
                         self.free_slots.append(slot)
                         rejected.append(slot)
                         continue
+                    if job.grammar:
+                        try:
+                            from booster_tpu.grammar import (GrammarSampler,
+                                                             parse_gbnf)
+
+                            job._grammar = GrammarSampler(
+                                parse_gbnf(job.grammar),
+                                self.engine.tokenizer)
+                        except Exception as e:  # noqa: BLE001 — bad GBNF
+                            job.finish_reason = "error"
+                            job.output = f"error: {e}"
+                            job.status = STATUS_STOPPED
+                            job.finished_at = time.time()
+                            job._done.set()
+                            self.free_slots.append(slot)
+                            rejected.append(slot)
+                            continue
                     job.n_prompt_tokens = len(ids)
                     job.status = STATUS_PROCESSING
                     job.started_at = time.time()
@@ -495,8 +525,15 @@ class Scheduler:
                 first = await loop.run_in_executor(None, _admit_prefill)
                 for slot, job in admits.items():
                     self.running[slot] = job
-                    self._append_token(job, first[slot])
-                    self._maybe_finish(slot, job, first_token=True)
+                    if job._grammar is not None:
+                        # the batched prefill samples unconstrained; the
+                        # automaton validates the first token here (the
+                        # dedicated path masks prefill logits instead —
+                        # same outcome via the rewind/redo machinery)
+                        self._grammar_walk(slot, job, [first[slot]])
+                    else:
+                        self._append_token(job, first[slot])
+                        self._maybe_finish(slot, job, first_token=True)
                 did_work = True
 
             # batched context shift: slots running out of cache keep
@@ -508,7 +545,17 @@ class Scheduler:
                     s for s in self.running
                     if int(self.engine.slot_lengths[s]) + advance
                     >= self.engine.max_seq - 1
+                    and self.running[s]._grammar is None
                 ]
+                # grammar slots can't shift (the rewind protocol assumes an
+                # unshifted cache; the dedicated path also stops at the
+                # context edge) — they finish with "length" instead
+                for s in list(self.running):
+                    job = self.running[s]
+                    if (job._grammar is not None
+                            and int(self.engine.slot_lengths[s]) + advance
+                            >= self.engine.max_seq - 1):
+                        self._finish_out_of_band(s, job, "length")
                 if need_shift and pending is not None:
                     await self._consume(loop, pending)
                     pending = None
@@ -518,6 +565,23 @@ class Scheduler:
                         if self.spec is not None:
                             self.spec.shift_draft(s, self.n_keep, n_disc)
                         self.running[s]._shifted = True
+
+            # grammar-violation fixes: the dispatch-ahead chunk chained from
+            # a rejected token, so drain it (its tokens for the violating
+            # slot are discarded by _consume), then rewind + redo all
+            # violating slots under their feasibility masks in ONE dispatch
+            while True:
+                gslots = [s for s, j in self.running.items()
+                          if j._grammar is not None and j._gfix]
+                if not gslots:
+                    break
+                if pending is not None:
+                    await self._consume(loop, pending)
+                    pending = None
+                    continue  # the drain may have flagged more slots
+                await loop.run_in_executor(
+                    None, self._apply_grammar_fixes, gslots)
+                did_work = True
 
             # batched decode chunk for running slots (dispatch-ahead)
             if self.running:
@@ -553,11 +617,103 @@ class Scheduler:
         for slot, job in snapshot.items():
             if job.status not in (STATUS_PROCESSING,):
                 continue  # finished/cancelled while this chunk was in flight
+            if job._grammar is not None:
+                if job._gfix:
+                    continue  # chunk chained from a rejected token: discard
+                self._grammar_walk(slot, job, toks.get(slot, []))
+                continue
             for t in toks.get(slot, []):
                 self._append_token(job, t)
                 if len(job.token_ids) >= job.max_tokens:
                     break
             self._maybe_finish(slot, job, eog=eog.get(slot, False))
+
+    def _grammar_walk(self, slot: int, job: Job, row: list[int]) -> None:
+        """Advance a grammar job's automaton over a decode chunk's tokens,
+        appending the grammar-valid prefix; the first violation flags the
+        slot for a batched rewind + masked redo (_apply_grammar_fixes).
+        Token-for-token the same accept/violate decisions as the dedicated
+        path (engine.generate_grammar push/token_allowed loop)."""
+        gs = job._grammar
+        vocab = self.engine.tokenizer.vocab
+        for t in row:
+            if not gs.token_allowed(t):
+                job._gfix = True
+                return
+            if vocab.is_eog(t):
+                self._append_token(job, t)
+                self._maybe_finish(slot, job, eog=True)
+                return
+            gs.accept(t)
+            self._append_token(job, t)
+            if len(job.token_ids) >= job.max_tokens or job._stop_hit:
+                break
+        self._maybe_finish(slot, job)
+
+    def _apply_grammar_fixes(self, slots: list[int]) -> None:
+        """Rewind + masked redo for slots whose last chunk violated the
+        grammar: re-seed each slot's penalty/janus history to the accepted
+        tokens (the rejected ones must be forgotten), then redo one decode
+        step per slot under its [V] feasibility mask — all slots in one
+        dispatch (engine.masked_decode_slots)."""
+        from booster_tpu.sampling.samplers import seed_prompt_row
+
+        V = self.engine.cfg.n_vocab
+        vocab = self.engine.tokenizer.vocab
+        fixes: dict[int, tuple[int, int, object]] = {}
+        for slot in slots:
+            job = self.running.get(slot)
+            if job is None or job.status != STATUS_PROCESSING:
+                continue
+            gs = job._grammar
+            m = gs.mask(V)
+            if not m.any():
+                job._gfix = False
+                self._finish_out_of_band(
+                    slot, job, "stop" if gs.can_stop else "error")
+                continue
+            g = len(job.token_ids)
+            new_len = len(job._prompt_ids) + g - 1
+            prev = job.token_ids[-1] if g else job._prompt_ids[-1]
+            self.engine.state = seed_prompt_row(
+                self.engine.state, slot, job._prompt_ids + job.token_ids)
+            fixes[slot] = (new_len, prev, m)
+        if not fixes:
+            return
+        corrected = self.engine.masked_decode_slots(fixes)
+        for slot, t in corrected.items():
+            job = self.running.get(slot)
+            if job is None:
+                continue
+            job._gfix = False
+            gs = job._grammar
+            if not gs.token_allowed(t):
+                # the masked sample is still infeasible (piece-level vs
+                # token-level corner): mirror the dedicated path's outcome
+                self._finish_out_of_band(
+                    slot, job, "stop" if gs.can_stop else "error")
+                continue
+            if vocab.is_eog(t):
+                self._append_token(job, t)
+                self._maybe_finish(slot, job, eog=True)
+                continue
+            gs.accept(t)
+            self._append_token(job, t)
+            self._maybe_finish(slot, job)
+
+    def _finish_out_of_band(self, slot: int, job: Job, reason: str) -> None:
+        """Finish a running job for a reason _maybe_finish can't derive from
+        token state (grammar dead-end / exhausted-context grammar job)."""
+        self._push_text(job, job.detok.flush())
+        job.finish_reason = reason
+        job.status = STATUS_FINISHED
+        job.finished_at = time.time()
+        self._save_session(job)
+        if slot in self.running:
+            del self.running[slot]
+            self.free_slots.append(slot)
+        self._total_jobs += 1
+        job._done.set()
 
     async def _run_dedicated_job(self, job: Job) -> None:
         """Janus / mirostat jobs: exact single-sequence semantics via
@@ -620,11 +776,14 @@ class Scheduler:
             job._done.set()
 
     async def _run_grammar_job(self, job: Job) -> None:
+        # fallback path for grammar combos the batch can't express
+        # (speculative rounds / CFG / mamba / custom sampler order —
+        # see needs_dedicated); plain grammar jobs ride the batched slots
         loop = asyncio.get_event_loop()
-        # each grammar job allocates a private full [B, max_seq] dense cache
-        # (engine.generate_grammar); unbounded concurrency would put N+1
-        # full caches in HBM — bound it (the reference can't exceed its
-        # fixed pod count, bridge.cpp:100-110)
+        # each dedicated grammar job allocates a private full [B, max_seq]
+        # dense cache (engine.generate_grammar); unbounded concurrency would
+        # put N+1 full caches in HBM — bound it (the reference can't exceed
+        # its fixed pod count, bridge.cpp:100-110)
         if not hasattr(self, "_grammar_sem"):
             import os
 

@@ -106,9 +106,11 @@ def test_concurrent_cfg_jobs_share_batch(tmp_path_factory):
     run_with_client(tmp_path_factory, fn, max_batch=8)
 
 
-def test_grammar_concurrency_bounded(tmp_path_factory, monkeypatch):
-    """N concurrent grammar jobs allocate at most SEM private caches at a
-    time (r2: every job allocated a full [B, max_seq] cache, unbounded)."""
+def test_grammar_needs_no_private_caches(tmp_path_factory, monkeypatch):
+    """Grammar jobs ride the continuous batch (round 4): the dedicated
+    generate_grammar path — with its private full [B, max_seq] cache per
+    job — is never taken for plain grammar jobs (tests/test_grammar_batch.py
+    covers the batched semantics; this pins the resource claim)."""
     monkeypatch.setenv("BT_GRAMMAR_CONCURRENCY", "2")
     peak = {"live": 0, "max": 0}
 
@@ -141,6 +143,6 @@ def test_grammar_concurrency_bounded(tmp_path_factory, monkeypatch):
                     break
                 await asyncio.sleep(0.05)
             assert body["status"] in ("finished", "stopped"), body
-        assert peak["max"] <= 2, peak
+        assert peak["max"] == 0, peak
 
     run_with_client(tmp_path_factory, fn, max_batch=4)
