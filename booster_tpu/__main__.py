@@ -71,6 +71,14 @@ def main(argv=None) -> int:
     from booster_tpu.serving.config import PodSpec
     from booster_tpu.serving.scheduler import Scheduler
 
+    if args.weights == "i8c" and not getattr(args, "allow_lossy", False):
+        log.error(
+            "--weights i8c is LOSSY (per-channel int8 requantization; "
+            "synthetic-harness NLL delta ~3x q8_0's — tools/quant_quality.py"
+            "); pass --allow-lossy to acknowledge, or use the exact repacks "
+            "--weights bf16|i8|auto"
+        )
+        return 2
     log.info(f"loading model {model_spec.path} on {jax.default_backend()}")
     device_put = None
     if args.tp and args.tp > 1:

@@ -244,8 +244,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "weights wider in HBM for decode speed. "
                          "bf16/i8 are exact; i8c is per-channel int8 "
                          "(LOSSY, mmq-style: one mixed bf16*int8 MXU dot, "
-                         "fastest large-batch form at 1 byte/weight). "
-                         "auto = bf16 when the model comfortably fits")
+                         "fastest large-batch form at 1 byte/weight — "
+                         "synthetic-model NLL delta ~3x q8_0's; requires "
+                         "--allow-lossy). auto = bf16 when the model "
+                         "comfortably fits")
+    ap.add_argument("--allow-lossy", action="store_true", dest="allow_lossy",
+                    help="acknowledge that --weights i8c changes model "
+                         "outputs (per-channel requantization; measured "
+                         "ranking q8_0 < i8c < q4_0 on the synthetic ppl "
+                         "harness, tools/quant_quality.py — real-checkpoint "
+                         "numbers need --model mode there)")
     ap.add_argument("--paged-kv", action="store_true",
                     help="paged KV cache (page pool + per-slot tables, "
                          "cross-slot shared-prefix page dedup)")

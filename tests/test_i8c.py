@@ -6,6 +6,7 @@ qlinear, and the end-to-end logit delta vs the exact dequantized model
 (the quantization loss this mode trades for speed — quantified the same
 way int8 KV was)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -121,3 +122,54 @@ def test_i8c_model_logit_delta(tmp_path):
     assert int(np.argmax(exact)) == int(np.argmax(i8c))
     denom = np.abs(exact).mean()
     assert np.abs(i8c - exact).mean() / denom < 0.05
+
+
+def test_i8c_cli_requires_lossy_ack(tmp_path):
+    """--weights i8c without --allow-lossy is refused with an explanation
+    (VERDICT r4: lossy modes must be flag-acknowledged); with the flag the
+    run proceeds."""
+    from booster_tpu.__main__ import main
+    from tools.make_test_model import make_model
+
+    p = str(tmp_path / "t.gguf")
+    make_model(p, vocab_size=512, hidden=128, layers=2)
+    rc = main(["--model", p, "--prompt", "hi", "--weights", "i8c",
+               "--silent", "--predict", "2"])
+    assert rc == 2
+    rc = main(["--model", p, "--prompt", "hi", "--weights", "i8c",
+               "--allow-lossy", "--silent", "--predict", "2"])
+    assert rc == 0
+
+
+def test_quant_quality_real_checkpoint_mode(tmp_path, capsys):
+    """tools/quant_quality.py --model: requantize a real (here: tiny F16)
+    GGUF to q8_0/q4_K/q4_0 and report ppl deltas on a text corpus — the
+    BASELINE metric-3 pipeline, runnable the moment a checkpoint exists."""
+    import json as _json
+    import sys as _sys
+
+    from tools.make_test_model import make_model
+    from tools.quant_quality import main as qq_main
+    from booster_tpu.gguf import GGMLType
+
+    src = str(tmp_path / "f16.gguf")
+    make_model(src, vocab_size=512, hidden=128, layers=2,
+               quant=GGMLType.F16, seed=0)
+    text = str(tmp_path / "corpus.txt")
+    with open(text, "w") as f:
+        f.write("the hello world and to of in " * 40)
+    for n in ("q8_0", "q4_k", "q4_0"):
+        p = f"/tmp/qq_real_{n}.gguf"
+        if os.path.exists(p):
+            os.remove(p)
+    argv = _sys.argv
+    _sys.argv = ["qq", "--model", src, "--text", text,
+                 "--ctx", "32", "--tokens", "256"]
+    try:
+        qq_main()
+    finally:
+        _sys.argv = argv
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "real"
+    assert {"q8_0", "q8_0+i8c", "q4_k", "q4_0"} <= set(out["deltas"])
+    assert out["f16_ppl"] > 1.0

@@ -38,6 +38,12 @@ VARIANTS = {
     "mlp": ("mlp", False),        # minus gate/up/down matmuls
     "append": ("append", False),  # minus the deferred all-layer append
     "all": ("attn,mlp,append", False),  # qkv/wo matmuls + norms + glue only
+    # pairwise removals: r4 found single-component sums (~15.2 ms) well
+    # short of the full step (~20 ms) — these triangulate which pair
+    # carries the ~4.8 ms interaction term
+    "attn+mlp": ("attn,mlp", False),      # append + glue remain
+    "attn+append": ("attn,append", False),  # mlp + glue remain
+    "mlp+append": ("mlp,append", False),    # attn + glue remain
 }
 
 
