@@ -555,6 +555,225 @@ def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
                           grid_spec=gs, **common)(lay, x3, w.qw, s3)
 
 
+# --------------------------------------------------------------------------
+# Fused gate-up-act epilogue (K-major): one kernel computes
+#   out = act(x @ Wg^T) * (x @ Wu^T)            (bf16 out)
+# from the loader's fused [.., K, 2ff] gateup payload — the gate and up
+# column blocks ride as two views of the SAME array with offset index maps.
+# Removes the [M, 2ff] intermediate entirely: pallas_calls are opaque to
+# XLA, so the unfused path writes gu to HBM, reads it for act·mul, and
+# writes the product again (~11 MB/layer at the 7B B=64 bench shape).
+# Bit-exact with the unfused path: same sub-tile accumulation order, same
+# f32 act·mul, same bf16 rounding point (qlinear casts the down-proj input
+# to bf16 anyway).  Reference analog: the fused gated-FFN epilogues the
+# CUDA backend gets from operator fusion (ggml-cuda unary+mul fusion).
+# --------------------------------------------------------------------------
+
+
+def _gateup_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
+                      accg_ref, accu_ref, *, group: int, bk: int, bn: int,
+                      act: str, stacked: bool = False):
+    """x [BM, BK] bf16, qg/qu [BK, BN] i8 (two offset views of the fused
+    payload), sg/su [1, BK/G, BN] scale views, out [BM, BN] bf16,
+    accg/accu [BM, BN] f32 VMEM scratch accumulators."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        accg_ref[:] = jnp.zeros_like(accg_ref)
+        accu_ref[:] = jnp.zeros_like(accu_ref)
+
+    def qw(ref, sl):
+        return ref[0, sl, :] if stacked else ref[sl, :]
+
+    def sc(ref, gsl):
+        return ref[0, 0, gsl, :] if stacked else ref[0, gsl, :]
+
+    sub = min(_SUB, bk)
+    ag = jnp.zeros_like(accg_ref)
+    au = jnp.zeros_like(accu_ref)
+    for j in range(-(-bk // sub)):
+        w_sub = min(sub, bk - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
+        gsl = slice(j * sub // group, (j * sub + w_sub) // group)
+        wg = qw(qg_ref, sl).astype(jnp.bfloat16) * _expand_scales_sub(
+            sc(sg_ref, gsl), group, bn).astype(jnp.bfloat16)
+        wu = qw(qu_ref, sl).astype(jnp.bfloat16) * _expand_scales_sub(
+            sc(su_ref, gsl), group, bn).astype(jnp.bfloat16)
+        xs = x_ref[:, sl]
+        ag += jax.lax.dot_general(xs, wg, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        au += jax.lax.dot_general(xs, wu, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    accg_ref[:] += ag
+    accu_ref[:] += au
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        # match the unfused path: f32 accumulators round to bf16 (qlinear's
+        # astype(x.dtype)), act runs on the bf16 values (silu/relu) or
+        # widens them (gelu, _act), product cast to bf16 at the down-proj
+        # input — bit-exact with qlinear + _act + mul
+        gb = accg_ref[:].astype(jnp.bfloat16)
+        ub = accu_ref[:].astype(jnp.bfloat16)
+        if act == "gelu":
+            # _act widens the (bf16-rounded) gate to f32 for gelu
+            r = jax.nn.gelu(gb.astype(jnp.float32),
+                            approximate=True).astype(jnp.bfloat16) * ub
+        elif act == "relu":
+            r = jnp.maximum(gb, 0) * ub
+        else:
+            r = jax.nn.silu(gb) * ub
+        out_ref[:] = r.astype(out_ref.dtype)
+
+
+def _pick_tiles_gateup(ff: int, pk: int, m: int, srows: int, group: int,
+                       s_item: int) -> tuple[int, int, int]:
+    """Tile picker for the two-payload epilogue kernel: the VMEM model
+    doubles the weight/scale blocks and adds the two f32 accumulators."""
+    bm = m if m <= 256 else 256
+    limit = 13 * 2**20 + 2**19
+    s_sub = 8 if s_item == 4 else 16
+
+    def vmem_est(bn: int, bk: int) -> int:
+        sub = min(_SUB, bk)
+        depth = min(-(-bk // sub), 2)
+        blocks = 2 * (2 * bm * bk + 2 * bn * bk + 2 * bm * bn
+                      + 2 * srows * (bk // group) * s_item * bn)
+        acc = 2 * 4 * bm * bn
+        temps = depth * 2 * 9 * sub * bn
+        return blocks + acc + temps
+
+    best = None
+    for bk in _BK_CANDS:
+        if bk > pk or pk % bk:
+            continue
+        if bk != pk and (bk % group or (bk // group) % s_sub or bk % 32):
+            continue
+        for bn in _BN_CANDS:
+            if bn > ff or ff % bn:
+                continue
+            if 2 * bn * bk > _BUDGET * 2:
+                continue
+            if vmem_est(bn, bk) > limit:
+                continue
+            steps = (ff // bn) * (pk // bk)
+            key = (steps, -bn * bk)
+            if best is None or key < best[0]:
+                best = (key, bn, bk)
+        if pk == bk and best is not None:
+            break
+    if best is None:
+        return bm, 0, 0  # caller falls back to the unfused path
+    return bm, best[1], best[2]
+
+
+def qmm_gateup(x: jnp.ndarray, w: QTensor, act: str) -> Optional[jnp.ndarray]:
+    """act(x @ Wg^T) * (x @ Wu^T) from a fused [2ff, K] gateup QTensor.
+    Returns None when the shape/kind is unsupported (caller runs the
+    unfused qlinear + act·mul path)."""
+    K = x.shape[-1]
+    if w.kind != "i8t" or w.scales is None or not w.transposed:
+        return None
+    N2 = w.shape[0]
+    if N2 % 2 or K != w.shape[1]:
+        return None
+    ff = N2 // 2
+    G = w.group
+    s3, has_mins = kernel_scales(w)  # [(L,) R, K/G, 2ff]
+    if has_mins:
+        return None  # affine formats keep the unfused path (rare for ffn)
+    rows = s3.shape[-3]
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    if K % (2 * G) or K % 32 or (K // G) % (8 if s3.dtype.itemsize == 4 else 16):
+        return None
+    if ff % 128:
+        return None
+    BM, BN, BK = _pick_tiles_gateup(ff, K, M, rows, G, s3.dtype.itemsize)
+    if BN == 0:
+        return None
+    x2 = x.reshape(M, K)
+    Mp = M if M <= 256 else ((M + 255) // 256) * 256
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    grid = (Mp // BM, ff // BN, K // BK)
+    stacked = w.layer is not None
+    nblk = ff // BN
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((Mp, ff), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N2 * K,
+            bytes_accessed=(N2 * K + N2 * (K // G) * s3.dtype.itemsize
+                            + Mp * K * 2 + Mp * ff * 2),
+            transcendentals=Mp * ff,
+        ),
+        interpret=INTERPRET,
+    )
+    scratch = [pltpu.VMEM((BM, BN), jnp.float32),
+               pltpu.VMEM((BM, BN), jnp.float32)]
+    kern = functools.partial(_gateup_i8_kernel, group=G, bk=BK, bn=BN,
+                             act=act, stacked=stacked)
+    xb = x2.astype(jnp.bfloat16)
+    if not stacked:
+        y = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BM, BK), lambda m, n, k: (m, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BK, BN), lambda m, n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BK, BN), lambda m, n, k: (k, n + nblk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK // G, BN), lambda m, n, k: (0, k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK // G, BN),
+                             lambda m, n, k: (0, k, n + nblk),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+            **common,
+        )(xb, w.qw, w.qw, s3, s3)
+    else:
+        lay = jnp.asarray(w.layer, jnp.int32).reshape(1)
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BM, BK), lambda m, n, k, l: (m, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK, BN), lambda m, n, k, l: (l[0], k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK, BN),
+                             lambda m, n, k, l: (l[0], k, n + nblk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, BK // G, BN),
+                             lambda m, n, k, l: (l[0], 0, k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, BK // G, BN),
+                             lambda m, n, k, l: (l[0], 0, k, n + nblk),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, BN), lambda m, n, k, l: (m, n),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        )
+        y = pl.pallas_call(lambda lay_ref, *refs: kern(*refs),
+                           grid_spec=gs, **common)(lay, xb, w.qw, w.qw,
+                                                    s3, s3)
+    if Mp != M:
+        y = y[:M]
+    return y.reshape(*lead, ff)
+
+
 def _i8c_kernel(x_ref, qw_ref, out_ref, *, stacked: bool = False):
     """x_ref [BM, BK] bf16, qw_ref [BK, BN] i8 — ONE mixed bf16×int8 MXU
     dot, no dequant pass (the MXU consumes i8 natively; tools/cast_probe).

@@ -2,6 +2,7 @@
 
 import sys
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -198,3 +199,57 @@ def test_fused_prefill_model_integration_matches_xla(tmp_path):
     x_first, x_toks = run(False)
     assert f_first == x_first
     assert f_toks == x_toks
+
+
+def test_fused_gateup_model_integration_matches_unfused(tmp_path):
+    """Model-level parity for the fused gate-up-act epilogue kernel
+    (pallas_qmm.qmm_gateup, models/llama.py mlp branch): prefill + decode
+    through Engine produce identical tokens with BT_FUSED_GATEUP on and
+    off (the kernel is bit-exact by construction), on a native-q8 K-major
+    model where the fused path actually engages."""
+    import os
+
+    import jax
+
+    import booster_tpu.ops.pallas_attention as pa
+    import booster_tpu.ops.pallas_kv as pk
+    import booster_tpu.ops.pallas_qmm as pq
+    from booster_tpu.gguf import GGMLType
+
+    path = str(tmp_path / "gu.gguf")
+    make_model(path, vocab_size=512, hidden=512, layers=2, heads=4,
+               kv_heads=2, ff=256, quant=GGMLType.Q8_0, weight_scale=0.3)
+    model = load_model(path, weights="native")
+    # the fused path must actually engage on this shape
+    gu = model.params["layers"]["w_gateup"]
+    import dataclasses as _dc
+
+    pq.INTERPRET = True
+    try:
+        probe = pq.qmm_gateup(
+            jnp.ones((1, 512), jnp.bfloat16), _dc.replace(gu, layer=0),
+            "silu")
+    finally:
+        pq.INTERPRET = False
+    assert probe is not None, "fused gateup did not engage; test is vacuous"
+
+    def run(fused: bool):
+        pa.INTERPRET = pk.INTERPRET = pq.INTERPRET = True
+        if not fused:
+            os.environ["BT_FUSED_GATEUP"] = "0"
+        jax.clear_caches()
+        try:
+            eng = Engine(model, max_batch=2, max_seq=128, decode_chunk=4)
+            eng.init_batch_state()
+            eng.reset_slot(0, SamplingParams(temp=0.0), seed=0)
+            first = eng.prefill_slots({0: eng.tokenizer.encode("hello world test")})
+            toks, _ = eng.decode_slots(first, n_steps=6)
+            return first[0], toks[0]
+        finally:
+            pa.INTERPRET = pk.INTERPRET = pq.INTERPRET = False
+            os.environ.pop("BT_FUSED_GATEUP", None)
+            jax.clear_caches()
+
+    f_first, f_toks = run(True)
+    x_first, x_toks = run(False)
+    assert (f_first, f_toks) == (x_first, x_toks)

@@ -251,3 +251,69 @@ def test_stacked_layer_view_in_scan():
             x, transpose_qtensor(prepare_kernel_scales(qts[i])).astype_device()))
         np.testing.assert_allclose(np.asarray(ys[i]), want, atol=1e-6,
                                    rtol=1e-6)
+
+
+def _gateup_unfused(x, qt, act="silu"):
+    gu = pq.qmm(x, qt)
+    ff = gu.shape[-1] // 2
+    gu = gu.astype(jnp.bfloat16)  # qlinear's astype(x.dtype) with bf16 h
+    if act == "gelu":
+        g = jax.nn.gelu(gu[..., :ff].astype(jnp.float32),
+                        approximate=True).astype(jnp.bfloat16)
+    else:
+        g = jax.nn.silu(gu[..., :ff])
+    return np.asarray(g * gu[..., ff:])
+
+
+@pytest.mark.parametrize("act", ["silu", "gelu"])
+@pytest.mark.parametrize("M", [1, 8])
+def test_gateup_epilogue_bit_exact(act, M):
+    """qmm_gateup (fused act·mul epilogue) == qlinear + _act + mul,
+    bit for bit: same sub-tile accumulation order, same bf16 rounding."""
+    from booster_tpu.quant.qtensor import (prepare_kernel_scales,
+                                           transpose_qtensor)
+
+    ff, K = 256, 512
+    w = RNG.standard_normal((2 * ff, K)).astype(np.float32) * 0.1
+    qt = transpose_qtensor(
+        repack_gguf_tensor(quantize(w, GGMLType.Q8_0), GGMLType.Q8_0,
+                           (2 * ff, K))).astype_device()
+    x = jnp.asarray(RNG.standard_normal((M, K)).astype(np.float32) * 0.2,
+                    jnp.bfloat16)
+    got = pq.qmm_gateup(x, qt, act)
+    assert got is not None and got.dtype == jnp.bfloat16
+    want = _gateup_unfused(x, qt, act)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_gateup_epilogue_stacked_layer_view():
+    """The stacked [L, ...] gateup payload with a traced layer index feeds
+    the fused kernel whole (scalar-prefetch select, no per-layer slice)."""
+    from booster_tpu.models.loader import _stack_qtensors
+    from booster_tpu.quant.qtensor import (prepare_kernel_scales,
+                                           transpose_qtensor)
+
+    ff, K, L = 128, 512, 3
+    qts = []
+    ws = []
+    for _ in range(L):
+        w = RNG.standard_normal((2 * ff, K)).astype(np.float32) * 0.1
+        ws.append(w)
+        qts.append(repack_gguf_tensor(quantize(w, GGMLType.Q8_0),
+                                      GGMLType.Q8_0, (2 * ff, K)))
+    stacked = transpose_qtensor(_stack_qtensors(qts)).astype_device()
+    x = jnp.asarray(RNG.standard_normal((4, K)).astype(np.float32) * 0.2,
+                    jnp.bfloat16)
+
+    def body(c, i):
+        import dataclasses
+        lq = dataclasses.replace(stacked, layer=i)
+        return c, pq.qmm_gateup(x, lq, "silu")
+
+    _, ys = jax.lax.scan(body, 0, jnp.arange(L))
+    for i in range(L):
+        single = transpose_qtensor(
+            repack_gguf_tensor(quantize(ws[i], GGMLType.Q8_0), GGMLType.Q8_0,
+                               (2 * ff, K))).astype_device()
+        want = _gateup_unfused(x, single, "silu")
+        np.testing.assert_array_equal(np.asarray(ys[i]), want)

@@ -58,6 +58,7 @@ def make_model(
     quant: GGMLType = GGMLType.Q4_0,
     seed: int = 0,
     weight_scale: float = 0.05,
+    head_dim: int = 0,  # 0 → hidden // heads; else explicit (gemma-style)
 ) -> str:
     rng = np.random.default_rng(seed)
     tokens, scores, types = build_vocab(vocab_size)
@@ -73,7 +74,10 @@ def make_model(
     w.add("llama.attention.head_count_kv", kv_heads)
     w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
     w.add("llama.rope.freq_base", 10000.0)
-    w.add("llama.rope.dimension_count", hidden // heads)
+    w.add("llama.rope.dimension_count", head_dim or hidden // heads)
+    if head_dim and head_dim != hidden // heads:
+        w.add("llama.attention.key_length", head_dim)
+        w.add("llama.attention.value_length", head_dim)
     w.add("llama.vocab_size", vocab_size)
     w.add("tokenizer.ggml.model", "llama")
     w.add("tokenizer.ggml.tokens", tokens)
@@ -91,7 +95,7 @@ def make_model(
         w.add_tensor(name, quantize(arr, qt), arr.shape, qt)
 
     s = weight_scale
-    head_dim = hidden // heads
+    head_dim = head_dim or hidden // heads
     add("token_embd.weight", rng.standard_normal((vocab_size, hidden)).astype(np.float32) * s)
     add("output_norm.weight", np.ones(hidden, np.float32))
     add("output.weight", rng.standard_normal((vocab_size, hidden)).astype(np.float32) * s)

@@ -46,6 +46,18 @@ VARIANTS = {
     "mlp+append": ("mlp,append", False),    # attn + glue remain
 }
 
+# env-flip variants: the r4 pairwise run localized a ~4.1 ms attn×mlp
+# interaction (both present cost more than their in-situ sums) — these
+# swap the attention implementation to find whether a specific pallas
+# kernel carries the coupling
+ENV_VARIANTS = {
+    "xla_attn": {"BT_FUSED_ATTN": "0"},      # XLA attention, pallas mlp
+    "unmerged": {"BT_ATTN_MERGED": "0"},     # per-b attention dots
+    "nodefer": {"BT_DEFER_KV": "0"},         # per-layer append
+    "nostackc": {"BT_STACKED": "0"},         # no stacked-cache carry
+    "nogateup": {"BT_FUSED_GATEUP": "0"},    # unfused act·mul (r4 kernel off)
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -55,13 +67,18 @@ def main():
     ap.add_argument("--lens", type=int, default=140)
     ap.add_argument("--variants", default="full,sampler,attn,mlp,append,all")
     ap.add_argument("--iters", default="64,192")
+    ap.add_argument("--kv-quant", type=int, default=1, dest="kv_quant",
+                    help="0 = bf16 KV (the config-1 single-stream setup)")
     args = ap.parse_args()
     iters = tuple(int(v) for v in args.iters.split(","))
 
     if not os.path.exists(args.model):
-        from bench import build_config_model
+        from bench import build_config_model, build_model
 
-        build_config_model(3)
+        if args.model == "/tmp/bench_tinyllama_q4_0.gguf":
+            build_model(args.model, False)
+        else:
+            build_config_model(3)
 
     import booster_tpu.models.llama as llama_mod
     from booster_tpu.models import load_model
@@ -75,9 +92,11 @@ def main():
 
     t0 = _t.time()
     model = load_model(args.model,
-                       weights=os.environ.get("BENCH_WEIGHTS", "auto"))
+                       weights=os.environ.get("BENCH_WEIGHTS", "auto"),
+                       batch_hint=args.batch)
     B = args.batch
-    eng = Engine(model, max_batch=B, max_seq=args.seq, kv_quantized=True,
+    eng = Engine(model, max_batch=B, max_seq=args.seq,
+                 kv_quantized=bool(args.kv_quant),
                  decode_chunk=8)
     eng.init_batch_state()
     cfg = eng.cfg
@@ -96,8 +115,15 @@ def main():
     results = {}
 
     for name in args.variants.split(","):
-        ablate, use_sampler = VARIANTS[name]
+        env = {}
+        if name in ENV_VARIANTS:
+            env = ENV_VARIANTS[name]
+            ablate, use_sampler = "", False
+        else:
+            ablate, use_sampler = VARIANTS[name]
         llama_mod.set_ablate(ablate)
+        for k, v in env.items():
+            os.environ[k] = v
         jax.clear_caches()
 
         def step(carry, params, vp, use_sampler=use_sampler):
@@ -115,6 +141,8 @@ def main():
 
         dt = timeit(f"step[{name}]", step, (base_cache, tok, state),
                     eng.params, vp, iters=iters)
+        for k in env:
+            os.environ.pop(k, None)
         if dt:
             results[name] = dt * 1e3
             print(f"step[{name:8s}]: {dt*1e3:7.3f} ms  "
