@@ -572,9 +572,10 @@ def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
 
 def _gateup_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
                       accg_ref, accu_ref, *, group: int, bk: int, bn: int,
-                      act: str, stacked: bool = False):
+                      act: str, has_mins: bool = False,
+                      stacked: bool = False):
     """x [BM, BK] bf16, qg/qu [BK, BN] i8 (two offset views of the fused
-    payload), sg/su [1, BK/G, BN] scale views, out [BM, BN] bf16,
+    payload), sg/su [1, R, BK/G, BN] scale(+min) views, out [BM, BN] bf16,
     accg/accu [BM, BN] f32 VMEM scratch accumulators."""
     k = pl.program_id(2)
 
@@ -586,8 +587,8 @@ def _gateup_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
     def qw(ref, sl):
         return ref[0, sl, :] if stacked else ref[sl, :]
 
-    def sc(ref, gsl):
-        return ref[0, 0, gsl, :] if stacked else ref[0, gsl, :]
+    def sc(ref, r, gsl):
+        return ref[0, r, gsl, :] if stacked else ref[r, gsl, :]
 
     sub = min(_SUB, bk)
     ag = jnp.zeros_like(accg_ref)
@@ -596,15 +597,19 @@ def _gateup_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
         w_sub = min(sub, bk - j * sub)
         sl = slice(j * sub, j * sub + w_sub)
         gsl = slice(j * sub // group, (j * sub + w_sub) // group)
-        wg = qw(qg_ref, sl).astype(jnp.bfloat16) * _expand_scales_sub(
-            sc(sg_ref, gsl), group, bn).astype(jnp.bfloat16)
-        wu = qw(qu_ref, sl).astype(jnp.bfloat16) * _expand_scales_sub(
-            sc(su_ref, gsl), group, bn).astype(jnp.bfloat16)
         xs = x_ref[:, sl]
-        ag += jax.lax.dot_general(xs, wg, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        au += jax.lax.dot_general(xs, wu, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        for qref, sref, acc in ((qg_ref, sg_ref, 0), (qu_ref, su_ref, 1)):
+            w = qw(qref, sl).astype(jnp.bfloat16) * _expand_scales_sub(
+                sc(sref, 0, gsl), group, bn).astype(jnp.bfloat16)
+            if has_mins:
+                w -= _expand_scales_sub(sc(sref, 1, gsl), group,
+                                        bn).astype(jnp.bfloat16)
+            d = jax.lax.dot_general(xs, w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if acc == 0:
+                ag += d
+            else:
+                au += d
     accg_ref[:] += ag
     accu_ref[:] += au
 
@@ -627,8 +632,71 @@ def _gateup_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
         out_ref[:] = r.astype(out_ref.dtype)
 
 
+def _gateup_i4_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
+                      accg_ref, accu_ref, *, group: int, bkh: int, bn: int,
+                      act: str, has_mins: bool, zero: int,
+                      stacked: bool = False):
+    """i4 twin of _gateup_i8_kernel: payload views carry lo/hi nibble
+    halves on K (x [BM, 2, BKH]); affine formats fold w_eff = q·s − m like
+    _tqmm_i4_kernel."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        accg_ref[:] = jnp.zeros_like(accg_ref)
+        accu_ref[:] = jnp.zeros_like(accu_ref)
+
+    def qw(ref, sl):
+        return ref[0, sl, :] if stacked else ref[sl, :]
+
+    def sc(ref, r, gsl):
+        return ref[0, r, gsl, :] if stacked else ref[r, gsl, :]
+
+    sub = min(_SUB, bkh)
+    accs = [jnp.zeros_like(accg_ref), jnp.zeros_like(accu_ref)]
+    for j in range(-(-bkh // sub)):
+        w_sub = min(sub, bkh - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
+        gsl = slice(j * sub // group, (j * sub + w_sub) // group)
+        for i, (qref, sref) in enumerate(((qg_ref, sg_ref), (qu_ref, su_ref))):
+            q = qw(qref, sl).astype(jnp.int32)
+            lo = ((q & 0x0F) - zero).astype(jnp.bfloat16)
+            hi = ((q >> 4) - zero).astype(jnp.bfloat16)
+            w_lo = lo * _expand_scales_sub(sc(sref, 0, gsl), group,
+                                           bn).astype(jnp.bfloat16)
+            w_hi = hi * _expand_scales_sub(sc(sref, 1, gsl), group,
+                                           bn).astype(jnp.bfloat16)
+            if has_mins:
+                w_lo -= _expand_scales_sub(sc(sref, 2, gsl), group,
+                                           bn).astype(jnp.bfloat16)
+                w_hi -= _expand_scales_sub(sc(sref, 3, gsl), group,
+                                           bn).astype(jnp.bfloat16)
+            accs[i] += jax.lax.dot_general(
+                x_ref[:, 0, sl], w_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accs[i] += jax.lax.dot_general(
+                x_ref[:, 1, sl], w_hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    accg_ref[:] += accs[0]
+    accu_ref[:] += accs[1]
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        gb = accg_ref[:].astype(jnp.bfloat16)
+        ub = accu_ref[:].astype(jnp.bfloat16)
+        if act == "gelu":
+            r = jax.nn.gelu(gb.astype(jnp.float32),
+                            approximate=True).astype(jnp.bfloat16) * ub
+        elif act == "relu":
+            r = jnp.maximum(gb, 0) * ub
+        else:
+            r = jax.nn.silu(gb) * ub
+        out_ref[:] = r.astype(out_ref.dtype)
+
+
 def _pick_tiles_gateup(ff: int, pk: int, m: int, srows: int, group: int,
-                       s_item: int) -> tuple[int, int, int]:
+                       s_item: int, x_mult: int,
+                       deq_bytes: int) -> tuple[int, int, int]:
     """Tile picker for the two-payload epilogue kernel: the VMEM model
     doubles the weight/scale blocks and adds the two f32 accumulators."""
     bm = m if m <= 256 else 256
@@ -638,10 +706,10 @@ def _pick_tiles_gateup(ff: int, pk: int, m: int, srows: int, group: int,
     def vmem_est(bn: int, bk: int) -> int:
         sub = min(_SUB, bk)
         depth = min(-(-bk // sub), 2)
-        blocks = 2 * (2 * bm * bk + 2 * bn * bk + 2 * bm * bn
+        blocks = 2 * (x_mult * bm * bk + 2 * bn * bk + 2 * bm * bn
                       + 2 * srows * (bk // group) * s_item * bn)
         acc = 2 * 4 * bm * bn
-        temps = depth * 2 * 9 * sub * bn
+        temps = depth * 2 * deq_bytes * sub * bn
         return blocks + acc + temps
 
     best = None
@@ -673,33 +741,33 @@ def qmm_gateup(x: jnp.ndarray, w: QTensor, act: str) -> Optional[jnp.ndarray]:
     Returns None when the shape/kind is unsupported (caller runs the
     unfused qlinear + act·mul path)."""
     K = x.shape[-1]
-    if w.kind != "i8t" or w.scales is None or not w.transposed:
+    if w.kind not in ("i8t", "i4t") or w.scales is None or not w.transposed:
         return None
     N2 = w.shape[0]
     if N2 % 2 or K != w.shape[1]:
         return None
     ff = N2 // 2
     G = w.group
-    s3, has_mins = kernel_scales(w)  # [(L,) R, K/G, 2ff]
-    if has_mins:
-        return None  # affine formats keep the unfused path (rare for ffn)
+    is4 = w.kind == "i4t"
+    pk = K // 2 if is4 else K
+    s3, has_mins = kernel_scales(w)  # [(L,) R, pk/G, 2ff]
     rows = s3.shape[-3]
     lead = x.shape[:-1]
     M = 1
     for d in lead:
         M *= d
-    if K % (2 * G) or K % 32 or (K // G) % (8 if s3.dtype.itemsize == 4 else 16):
+    s_sub = 8 if s3.dtype.itemsize == 4 else 16
+    if K % (2 * G) or pk % 32 or (pk // G) % s_sub or ff % 128:
         return None
-    if ff % 128:
-        return None
-    BM, BN, BK = _pick_tiles_gateup(ff, K, M, rows, G, s3.dtype.itemsize)
+    BM, BN, BK = _pick_tiles_gateup(ff, pk, M, rows, G, s3.dtype.itemsize,
+                                    4 if is4 else 2, 16 if is4 else 9)
     if BN == 0:
         return None
     x2 = x.reshape(M, K)
     Mp = M if M <= 256 else ((M + 255) // 256) * 256
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-    grid = (Mp // BM, ff // BN, K // BK)
+    grid = (Mp // BM, ff // BN, pk // BK)
     stacked = w.layer is not None
     nblk = ff // BN
     common = dict(
@@ -709,31 +777,40 @@ def qmm_gateup(x: jnp.ndarray, w: QTensor, act: str) -> Optional[jnp.ndarray]:
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N2 * K,
-            bytes_accessed=(N2 * K + N2 * (K // G) * s3.dtype.itemsize
-                            + Mp * K * 2 + Mp * ff * 2),
+            bytes_accessed=(N2 * pk + N2 * (pk // G) * rows
+                            * s3.dtype.itemsize + Mp * K * 2 + Mp * ff * 2),
             transcendentals=Mp * ff,
         ),
         interpret=INTERPRET,
     )
     scratch = [pltpu.VMEM((BM, BN), jnp.float32),
                pltpu.VMEM((BM, BN), jnp.float32)]
-    kern = functools.partial(_gateup_i8_kernel, group=G, bk=BK, bn=BN,
-                             act=act, stacked=stacked)
-    xb = x2.astype(jnp.bfloat16)
+    if is4:
+        kern = functools.partial(_gateup_i4_kernel, group=G, bkh=BK, bn=BN,
+                                 act=act, has_mins=has_mins, zero=w.zero,
+                                 stacked=stacked)
+        xb = x2.reshape(Mp, 2, K // 2).astype(jnp.bfloat16)
+        x_spec = ((BM, 2, BK), (lambda m, n, k: (m, 0, k)),
+                  (lambda m, n, k, l: (m, 0, k)))
+    else:
+        kern = functools.partial(_gateup_i8_kernel, group=G, bk=BK, bn=BN,
+                                 act=act, has_mins=has_mins, stacked=stacked)
+        xb = x2.astype(jnp.bfloat16)
+        x_spec = ((BM, BK), (lambda m, n, k: (m, k)),
+                  (lambda m, n, k, l: (m, k)))
     if not stacked:
         y = pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((BM, BK), lambda m, n, k: (m, k),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(x_spec[0], x_spec[1], memory_space=pltpu.VMEM),
                 pl.BlockSpec((BK, BN), lambda m, n, k: (k, n),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((BK, BN), lambda m, n, k: (k, n + nblk),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BK // G, BN), lambda m, n, k: (0, k, n),
+                pl.BlockSpec((rows, BK // G, BN), lambda m, n, k: (0, k, n),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BK // G, BN),
+                pl.BlockSpec((rows, BK // G, BN),
                              lambda m, n, k: (0, k, n + nblk),
                              memory_space=pltpu.VMEM),
             ],
@@ -748,8 +825,7 @@ def qmm_gateup(x: jnp.ndarray, w: QTensor, act: str) -> Optional[jnp.ndarray]:
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((BM, BK), lambda m, n, k, l: (m, k),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(x_spec[0], x_spec[2], memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BK, BN), lambda m, n, k, l: (l[0], k, n),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BK, BN),

@@ -265,18 +265,21 @@ def _gateup_unfused(x, qt, act="silu"):
     return np.asarray(g * gu[..., ff:])
 
 
+@pytest.mark.parametrize("fmt", [GGMLType.Q8_0, GGMLType.Q4_0,
+                                 GGMLType.Q4_K, GGMLType.Q5_K])
 @pytest.mark.parametrize("act", ["silu", "gelu"])
 @pytest.mark.parametrize("M", [1, 8])
-def test_gateup_epilogue_bit_exact(act, M):
+def test_gateup_epilogue_bit_exact(fmt, act, M):
     """qmm_gateup (fused act·mul epilogue) == qlinear + _act + mul,
-    bit for bit: same sub-tile accumulation order, same bf16 rounding."""
+    bit for bit: same sub-tile accumulation order, same bf16 rounding —
+    across i8t (q8_0/q5_K incl. affine mins) and i4t (q4_0/q4_K)."""
     from booster_tpu.quant.qtensor import (prepare_kernel_scales,
                                            transpose_qtensor)
 
     ff, K = 256, 512
     w = RNG.standard_normal((2 * ff, K)).astype(np.float32) * 0.1
     qt = transpose_qtensor(
-        repack_gguf_tensor(quantize(w, GGMLType.Q8_0), GGMLType.Q8_0,
+        repack_gguf_tensor(quantize(w, fmt), fmt,
                            (2 * ff, K))).astype_device()
     x = jnp.asarray(RNG.standard_normal((M, K)).astype(np.float32) * 0.2,
                     jnp.bfloat16)
