@@ -136,7 +136,12 @@ def _norm(x: jnp.ndarray, lp: dict, key: str, cfg: ModelConfig) -> jnp.ndarray:
 def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     if kind == "gelu":
         return jax.nn.gelu(x.astype(jnp.float32), approximate=True).astype(x.dtype)
-    return jax.nn.silu(x)
+    # silu decomposed with the sigmoid in f32, rounded to x.dtype before the
+    # product — the exact formulation the fused gate-up-act kernel uses
+    # (Mosaic cannot lower a bf16 logistic; see pallas_qmm._gateup_i8_kernel),
+    # kept identical here so fused and unfused paths stay bit-equal
+    sg = jax.lax.logistic(x.astype(jnp.float32)).astype(x.dtype)
+    return x * sg
 
 
 def moe_route(router_logits: jnp.ndarray, cfg: ModelConfig):

@@ -628,7 +628,13 @@ def _gateup_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
         elif act == "relu":
             r = jnp.maximum(gb, 0) * ub
         else:
-            r = jax.nn.silu(gb) * ub
+            # silu with the sigmoid computed in f32: Mosaic's bf16 logistic
+            # lowering emits an f32->bf16 vector.broadcast that fails MLIR
+            # verification (found on-chip, tools/gateup_repro.py); XLA also
+            # evaluates the transcendental in f32, so rounding the sigmoid
+            # to bf16 before the product matches the unfused path bit-exactly
+            sg = jax.lax.logistic(gb.astype(jnp.float32)).astype(jnp.bfloat16)
+            r = (gb * sg) * ub
         out_ref[:] = r.astype(out_ref.dtype)
 
 
@@ -690,7 +696,13 @@ def _gateup_i4_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
         elif act == "relu":
             r = jnp.maximum(gb, 0) * ub
         else:
-            r = jax.nn.silu(gb) * ub
+            # silu with the sigmoid computed in f32: Mosaic's bf16 logistic
+            # lowering emits an f32->bf16 vector.broadcast that fails MLIR
+            # verification (found on-chip, tools/gateup_repro.py); XLA also
+            # evaluates the transcendental in f32, so rounding the sigmoid
+            # to bf16 before the product matches the unfused path bit-exactly
+            sg = jax.lax.logistic(gb.astype(jnp.float32)).astype(jnp.bfloat16)
+            r = (gb * sg) * ub
         out_ref[:] = r.astype(out_ref.dtype)
 
 

@@ -261,7 +261,10 @@ def _gateup_unfused(x, qt, act="silu"):
         g = jax.nn.gelu(gu[..., :ff].astype(jnp.float32),
                         approximate=True).astype(jnp.bfloat16)
     else:
-        g = jax.nn.silu(gu[..., :ff])
+        # models.llama._act's decomposition (sigmoid in f32, rounded before
+        # the product — the form Mosaic can lower; see _gateup_i8_kernel)
+        gb = gu[..., :ff]
+        g = gb * jax.lax.logistic(gb.astype(jnp.float32)).astype(jnp.bfloat16)
     return np.asarray(g * gu[..., ff:])
 
 

@@ -20,7 +20,7 @@ def engines(tmp_path_factory):
     tpath = str(d / "target.gguf")
     dpath = str(d / "draft.gguf")
     # sharper weights → decisive argmax (bf16 rounding can't flip near-ties)
-    make_model(tpath, vocab_size=512, hidden=128, layers=2, seed=0, weight_scale=0.3)
+    make_model(tpath, vocab_size=512, hidden=128, layers=2, seed=0, weight_scale=0.5)
     # different draft (different weights): exercises the rejection path
     make_model(dpath, vocab_size=512, hidden=64, layers=1, seed=7, weight_scale=0.3)
     target = Engine(load_model(tpath), max_batch=1, max_seq=256)

@@ -68,6 +68,8 @@ def main():
     ap.add_argument("--bn", type=int, default=1024)
     ap.add_argument("--bk", type=int, default=2048)
     ap.add_argument("--sub", type=int, default=256)
+    ap.add_argument("--variants", default="v0,v1,v3,v6,v7",
+                    help="comma list (v0,v1,v2,v3,v4,v5,v6,v7)")
     args = ap.parse_args()
     M, N, K, BN, BK, SUB = args.m, args.n, args.k, args.bn, args.bk, args.sub
     BM = M
@@ -206,18 +208,18 @@ def main():
     sg_spec = pl.BlockSpec((BK // G, BN), lambda m, n, k: (k, n),
                            memory_space=pltpu.VMEM)
 
-    runs = [
-        ("v0 mixed i8 dot  ", v0_kern, (), (), x),
-        ("v1 cast only     ", v1_kern, (), (), x),
-        ("v3 + expansion   ", v3_kern, (sg_spec,), (s_small,), x),
-        ("v6 group mix dots", v6_kern, (sg_spec,), (s_small,), x),
-        ("v7 g128 mix dots ", v7_kern, (sg_spec,), (s_small,), x),
-    ]
-    if os.environ.get("QG_ALL") == "1":
-        xq = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
-        runs += [("v2 + preexp scale", v2_kern, (s_spec,), (s_big,), x),
-                 ("v5 lead-dim bcast", v5_kern, (sg_spec,), (s_small,), x),
-                 ("v4 group int dots", v4_kern, (sg_spec,), (s_small,), xq)]
+    xq = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
+    all_runs = {
+        "v0": ("v0 mixed i8 dot  ", v0_kern, (), (), x),
+        "v1": ("v1 cast only     ", v1_kern, (), (), x),
+        "v2": ("v2 + preexp scale", v2_kern, (s_spec,), (s_big,), x),
+        "v3": ("v3 + expansion   ", v3_kern, (sg_spec,), (s_small,), x),
+        "v4": ("v4 group int dots", v4_kern, (sg_spec,), (s_small,), xq),
+        "v5": ("v5 lead-dim bcast", v5_kern, (sg_spec,), (s_small,), x),
+        "v6": ("v6 group mix dots", v6_kern, (sg_spec,), (s_small,), x),
+        "v7": ("v7 g128 mix dots ", v7_kern, (sg_spec,), (s_small,), x),
+    }
+    runs = [all_runs[v] for v in args.variants.split(",")]
 
     for name, kern, especs, eargs, xin in runs:
         try:
