@@ -718,6 +718,37 @@ def forward(
             Lg = jax.tree.leaves(g)[0].shape[0]
             gq, g_rest = _split_stacked_q(g)
 
+            if defer:
+                # deferred append: the scan never WRITES the cache, so the
+                # pool arrays ride as closed-over loop invariants instead of
+                # carry — a pass-through carry makes XLA ping-pong two
+                # full-size pool buffers per step (~2 GB of pure copy at the
+                # 7B B=64 bench shape; tools/hlo_copies.py)
+                def body_inv(x, scanned, gq=gq, off_g=off,
+                             kf=kf, vf=vf, ksf=ksf, vsf=vsf):
+                    lp_rest, layer_idx = scanned
+                    lp = dict(lp_rest)
+                    for k_, v_ in gq.items():
+                        lp[k_] = dataclasses.replace(v_, layer=layer_idx - off_g)
+                    x, upd = _layer(
+                        x, lp, layer_idx, kf, vf, ksf, vsf,
+                        positions, rope_cos, rope_sin, None, None,
+                        offsets, attn_lens, cfg,
+                        table=cache.table if paged else None,
+                        stacked_layer=layer_idx, attn_prep=attn_prep,
+                        defer_append=True, self_ok=self_ok,
+                    )
+                    _, _, _, _, kn, vn = upd
+                    return x, (kn, vn)
+
+                x, ys = jax.lax.scan(
+                    body_inv, x,
+                    (g_rest, jnp.arange(off, off + Lg, dtype=jnp.int32)),
+                )
+                news.append(ys)
+                off += Lg
+                continue
+
             def body_st(carry, scanned, gq=gq, off_g=off):
                 x, kf, vf, ksf, vsf = carry
                 lp_rest, layer_idx = scanned
@@ -730,20 +761,15 @@ def forward(
                     offsets, attn_lens, cfg,
                     table=cache.table if paged else None,
                     stacked_layer=layer_idx, attn_prep=attn_prep,
-                    defer_append=defer, self_ok=self_ok,
+                    defer_append=False, self_ok=self_ok,
                 )
-                if defer:
-                    kf, vf, ksf, vsf, kn, vn = upd
-                    return (x, kf, vf, ksf, vsf), (kn, vn)
                 kf, vf, ksf, vsf = upd
                 return (x, kf, vf, ksf, vsf), None
 
-            (x, kf, vf, ksf, vsf), ys = jax.lax.scan(
+            (x, kf, vf, ksf, vsf), _ = jax.lax.scan(
                 body_st, (x, kf, vf, ksf, vsf),
                 (g_rest, jnp.arange(off, off + Lg, dtype=jnp.int32)),
             )
-            if defer:
-                news.append(ys)
             off += Lg
         if defer and "append" not in _ABLATE:
             k_new = jnp.concatenate([n[0] for n in news], axis=0)
