@@ -550,22 +550,34 @@ def _layer(
     elif "mlp" in _ABLATE:
         ffn_out = h  # measurement-only bypass
     elif "w_gateup" in lp:  # fused gate+up (loader folds rows)
-        mid = None
-        if _os_mod.environ.get("BT_FUSED_GATEUP", "1") != "0":
-            from booster_tpu.ops import pallas_qmm
-            from booster_tpu.ops.linear import use_pallas
+        from booster_tpu.ops import pallas_qmm
+        from booster_tpu.ops.linear import use_pallas
 
-            if use_pallas() or pallas_qmm.INTERPRET:
-                # act·mul epilogue inside the kernel: kills the [*, 2ff]
-                # intermediate's HBM round trip (pallas_qmm.qmm_gateup;
-                # bit-exact with the unfused path, returns None when the
-                # kind/shape is unsupported)
-                mid = pallas_qmm.qmm_gateup(h, lp["w_gateup"], cfg.act)
-        if mid is None:
-            gu = qlinear(h, lp["w_gateup"])
-            ff = gu.shape[-1] // 2
-            mid = _act(gu[..., :ff], cfg.act) * gu[..., ff:]
-        ffn_out = _lin(mid, lp, "w_down", lp.get("b_down"))
+        pall = use_pallas() or pallas_qmm.INTERPRET
+        ffn_out = mid = None
+        if (pall and _os_mod.environ.get("BT_FUSED_MLP", "1") != "0"
+                and "b_down" not in lp and "lora_a_w_down" not in lp
+                and "w_down_scale" not in lp
+                and isinstance(lp.get("w_down"), QTensor)):
+            # whole-MLP kernel: gate+up+act·mul+down in ONE pallas_call —
+            # each launch carries a fixed cost that dominated the B=64
+            # decode step (pallas_qmm.qmm_mlp; bit-exact, None = fall back)
+            y = pallas_qmm.qmm_mlp(h, lp["w_gateup"], lp["w_down"], cfg.act)
+            if y is not None:
+                ffn_out = y.astype(h.dtype)
+        if ffn_out is None and pall and _os_mod.environ.get(
+                "BT_FUSED_GATEUP", "1") != "0":
+            # act·mul epilogue inside the kernel: kills the [*, 2ff]
+            # intermediate's HBM round trip (pallas_qmm.qmm_gateup;
+            # bit-exact with the unfused path, returns None when the
+            # kind/shape is unsupported)
+            mid = pallas_qmm.qmm_gateup(h, lp["w_gateup"], cfg.act)
+        if ffn_out is None:
+            if mid is None:
+                gu = qlinear(h, lp["w_gateup"])
+                ff = gu.shape[-1] // 2
+                mid = _act(gu[..., :ff], cfg.act) * gu[..., ff:]
+            ffn_out = _lin(mid, lp, "w_down", lp.get("b_down"))
     elif "w_gate" in lp:
         gate = _lin(h, lp, "w_gate", lp.get("b_gate"))
         up = _lin(h, lp, "w_up", lp.get("b_up"))

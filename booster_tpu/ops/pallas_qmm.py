@@ -862,6 +862,297 @@ def qmm_gateup(x: jnp.ndarray, w: QTensor, act: str) -> Optional[jnp.ndarray]:
     return y.reshape(*lead, ff)
 
 
+# --------------------------------------------------------------------------
+# Fully-fused MLP kernel (K-major i8):
+#   out = (act(x @ Wg^T) * (x @ Wu^T)) @ Wd^T         ([.., C] float32)
+# One pallas_call per layer replaces gateup + down — beyond the mid
+# tensor's HBM round trip, each pallas launch carries a fixed prologue/
+# epilogue cost that dominated the config-3 step (the step ran at ~460
+# effective GB/s while every kernel streamed at ~620; merging the gateup
+# pair alone was measured −1.31 ms/step where byte accounting predicted
+# −0.3).  The grid is (M tiles, ff tiles): x rides whole-K with a constant
+# index map (fetched once), gate/up accumulate f32 over in-kernel K
+# sub-tiles, the act·mul epilogue produces the mid tile in registers, and
+# the down projection accumulates into a [BM, C] f32 scratch written at
+# the last ff step.  Bit-exact with the unfused path: same sub-tile
+# accumulation orders, same bf16 rounding points.
+#
+# The down scale plane (bf16, [R, ff/G, C]) has only BF/G = 8 sublanes per
+# ff tile — half a bf16 sublane tile — so its block covers TWO ff steps
+# (index map f//2) and the kernel selects the (f % 2) half in VMEM.
+# --------------------------------------------------------------------------
+
+
+def _mlp_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, qd_ref, sd_ref,
+                   out_ref, acco_ref, *, group: int, bf: int, kk: int,
+                   act: str, has_mins: bool, d_has_mins: bool, c: int,
+                   pair: bool, stacked: bool = False):
+    """x [BM, K] bf16 (whole-K, constant index), qg/qu [(1,) K, BF] i8
+    views of the fused gateup payload, sg/su [(1,) R, K/G, BF] scale(+min)
+    views, qd [(1,) BF, C] i8 down payload tile, sd [(1,) R2, 16|BF/G, C]
+    down scales (paired over two ff steps when `pair`), out [BM, C] f32,
+    acco [BM, C] f32 VMEM scratch."""
+    f = pl.program_id(1)
+
+    @pl.when(f == 0)
+    def _():
+        acco_ref[:] = jnp.zeros_like(acco_ref)
+
+    def qw(ref, sl):
+        return ref[0, sl, :] if stacked else ref[sl, :]
+
+    def sc(ref, r, gsl):
+        return ref[0, r, gsl, :] if stacked else ref[r, gsl, :]
+
+    # gate/up: full-K contraction in sub-tiles (same order as the gateup
+    # kernel at BK = K, so mid is bit-identical)
+    sub = min(_SUB, kk)
+    ag = jnp.zeros((x_ref.shape[0], bf), jnp.float32)
+    au = jnp.zeros((x_ref.shape[0], bf), jnp.float32)
+    for j in range(-(-kk // sub)):
+        w_sub = min(sub, kk - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
+        gsl = slice(j * sub // group, (j * sub + w_sub) // group)
+        xs = x_ref[:, sl]
+        for i, (qref, sref) in enumerate(((qg_ref, sg_ref), (qu_ref, su_ref))):
+            w = qw(qref, sl).astype(jnp.bfloat16) * _expand_scales_sub(
+                sc(sref, 0, gsl), group, bf).astype(jnp.bfloat16)
+            if has_mins:
+                w -= _expand_scales_sub(sc(sref, 1, gsl), group,
+                                        bf).astype(jnp.bfloat16)
+            d = jax.lax.dot_general(xs, w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if i == 0:
+                ag += d
+            else:
+                au += d
+
+    gb = ag.astype(jnp.bfloat16)
+    ub = au.astype(jnp.bfloat16)
+    if act == "gelu":
+        mid = jax.nn.gelu(gb.astype(jnp.float32),
+                          approximate=True).astype(jnp.bfloat16) * ub
+    elif act == "relu":
+        mid = jnp.maximum(gb, 0) * ub
+    else:
+        # f32 sigmoid (Mosaic cannot lower a bf16 logistic), rounded before
+        # the product — identical to models.llama._act
+        sg_ = jax.lax.logistic(gb.astype(jnp.float32)).astype(jnp.bfloat16)
+        mid = (gb * sg_) * ub
+
+    # down projection: mid [BM, BF] @ dequant(qd [BF, C]) accumulated into
+    # the f32 scratch in sequential BF-chunk order — the same 256-chunk
+    # K-order the unfused _tqmm_i8 uses, so the f32 sum is bit-identical.
+    # The C axis is chunked so the dequant temporaries stay bounded at
+    # large C (a [sub, 4096] bf16 tile + its f32 expanded scales would be
+    # ~5 MB per live iteration otherwise).
+    sub2 = min(_SUB, bf)
+    cc = min(512, c)
+    half = bf // group  # paired block: rows [0, half) even f, [half, 2half) odd
+
+    def dscale(r, g0, ng, csl):
+        if not pair:
+            return sc(sd_ref, r, slice(g0, g0 + ng))[:, csl]
+        # both halves load statically; select on the traced f parity
+        # (a traced slice start would not lower through Mosaic)
+        lo = sc(sd_ref, r, slice(g0, g0 + ng))[:, csl]
+        hi = sc(sd_ref, r, slice(half + g0, half + g0 + ng))[:, csl]
+        return jnp.where((f % 2) == 0, lo, hi)
+
+    for j in range(-(-bf // sub2)):
+        w_sub = min(sub2, bf - j * sub2)
+        dsl = slice(j * sub2, j * sub2 + w_sub)
+        g0, ng = j * sub2 // group, w_sub // group
+        for j2 in range(-(-c // cc)):
+            csl = slice(j2 * cc, min((j2 + 1) * cc, c))
+            w_c = csl.stop - csl.start
+            dq = qd_ref[(0, dsl, csl) if stacked else (dsl, csl)].astype(
+                jnp.bfloat16) * _expand_scales_sub(
+                dscale(0, g0, ng, csl), group, w_c).astype(jnp.bfloat16)
+            if d_has_mins:
+                dq -= _expand_scales_sub(
+                    dscale(1, g0, ng, csl), group, w_c).astype(jnp.bfloat16)
+            acco_ref[:, csl] += jax.lax.dot_general(
+                mid[:, dsl], dq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(f == pl.num_programs(1) - 1)
+    def _():
+        # qlinear's astype(x.dtype): the caller would cast the f32 down
+        # output to bf16 anyway — rounding here keeps the out block half
+        # the VMEM and stays bit-equal with the unfused path
+        out_ref[:] = acco_ref[:].astype(out_ref.dtype)
+
+
+def _pick_bf_mlp(ff: int, kk: int, c: int, m: int, rows: int, d_rows: int,
+                 group: int, s_item: int) -> int:
+    """ff tile for the fused MLP kernel under the scoped-VMEM model.
+    Returns 0 when nothing fits (caller falls back to gateup + down)."""
+    bm = m if m <= 256 else 256
+    limit = 13 * 2**20 + 2**19
+    for bf in (512, 256):
+        if ff % bf or bf % group:
+            continue
+        s_sub = 8 if s_item == 4 else 16
+        pair = (bf // group) % s_sub != 0
+        if pair and ((bf // group) * 2 % s_sub or (ff // bf) % 2):
+            continue
+        sub = min(_SUB, kk)
+        sub2 = min(_SUB, bf)
+        cc = min(512, c)
+        blocks = 2 * (
+            2 * bm * kk                      # x whole-K bf16
+            + 2 * kk * bf                    # qg + qu
+            + bf * c                         # qd
+            + 2 * rows * (kk // group) * s_item * bf   # sg + su
+            + d_rows * (bf // group) * (2 if pair else 1) * s_item * c
+            + 2 * bm * c                     # out bf16
+        )
+        acc = 4 * bm * c + 2 * 4 * bm * bf   # acco scratch + ag/au values
+        temps = (2 * 9 * sub * bf            # gate/up dequant (2 live iters)
+                 + 2 * 9 * sub2 * cc)        # down dequant (C-chunked)
+        if blocks + acc + temps <= limit:
+            return bf
+    return 0
+
+
+def qmm_mlp(x: jnp.ndarray, w_gu: QTensor, w_down: QTensor,
+            act: str) -> Optional[jnp.ndarray]:
+    """Fully-fused gated MLP from the fused [2ff, K] gateup QTensor and the
+    [C, ff] down QTensor (both K-major i8).  Returns [.., C] float32, or
+    None when the kinds/shapes are unsupported."""
+    K = x.shape[-1]
+    if w_gu.kind != "i8t" or w_down.kind != "i8t":
+        return None
+    if w_gu.scales is None or w_down.scales is None:
+        return None
+    if not (w_gu.transposed and w_down.transposed):
+        return None
+    if (w_gu.layer is None) != (w_down.layer is None):
+        return None
+    if not (_stack_ok(w_gu) and _stack_ok(w_down)):
+        return None
+    N2, Kg = w_gu.shape
+    C, ffd = w_down.shape
+    if N2 % 2 or Kg != K:
+        return None
+    ff = N2 // 2
+    if ffd != ff:
+        return None
+    G = w_gu.group
+    if w_down.group != G:
+        return None
+    sgu, has_mins = kernel_scales(w_gu)    # [(L,) R, K/G, 2ff]
+    sd, d_has_mins = kernel_scales(w_down)  # [(L,) R2, ff/G, C]
+    rows, d_rows = sgu.shape[-3], sd.shape[-3]
+    s_item = sgu.dtype.itemsize
+    if sd.dtype.itemsize != s_item:
+        return None
+    s_sub = 8 if s_item == 4 else 16
+    if (K % 32 or (K // G) % s_sub or ff % 128 or C % 128
+            or K % (2 * G)):
+        return None
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    BF = _pick_bf_mlp(ff, K, C, M, rows, d_rows, G, s_item)
+    if BF == 0:
+        return None
+    pair = (BF // G) % s_sub != 0
+    sd_rows = (BF // G) * (2 if pair else 1)
+
+    x2 = x.reshape(M, K)
+    BM = M if M <= 256 else 256
+    Mp = M if M <= 256 else ((M + 255) // 256) * 256
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    grid = (Mp // BM, ff // BF)
+    stacked = w_gu.layer is not None
+    nblk = ff // BF
+    kern = functools.partial(
+        _mlp_i8_kernel, group=G, bf=BF, kk=K, act=act, has_mins=has_mins,
+        d_has_mins=d_has_mins, c=C, pair=pair, stacked=stacked)
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((Mp, C), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N2 * K + 2 * Mp * ff * C,
+            bytes_accessed=(N2 * K + ff * C
+                            + (N2 * (K // G) + C * (ff // G)) * s_item
+                            + Mp * K * 2 + Mp * C * 4),
+            transcendentals=Mp * ff,
+        ),
+        interpret=INTERPRET,
+    )
+    scratch = [pltpu.VMEM((BM, C), jnp.float32)]
+    xb = x2.astype(jnp.bfloat16)
+    sdiv = 2 if pair else 1
+    if not stacked:
+        y = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BM, K), lambda m, f: (m, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, BF), lambda m, f: (0, f),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, BF), lambda m, f: (0, f + nblk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, K // G, BF), lambda m, f: (0, 0, f),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, K // G, BF),
+                             lambda m, f: (0, 0, f + nblk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BF, C), lambda m, f: (f, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_rows, sd_rows, C),
+                             lambda m, f, sdiv=sdiv: (0, f // sdiv, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, C), lambda m, f: (m, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+            **common,
+        )(xb, w_gu.qw, w_gu.qw, sgu, sgu, w_down.qw, sd)
+    else:
+        lay = jnp.asarray(w_gu.layer, jnp.int32).reshape(1)
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BM, K), lambda m, f, l: (m, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, BF), lambda m, f, l: (l[0], 0, f),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, BF), lambda m, f, l: (l[0], 0, f + nblk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, K // G, BF),
+                             lambda m, f, l: (l[0], 0, 0, f),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, K // G, BF),
+                             lambda m, f, l: (l[0], 0, 0, f + nblk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BF, C), lambda m, f, l: (l[0], f, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_rows, sd_rows, C),
+                             lambda m, f, l, sdiv=sdiv: (l[0], 0, f // sdiv, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, C), lambda m, f, l: (m, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        )
+        y = pl.pallas_call(lambda lay_ref, *refs: kern(*refs),
+                           grid_spec=gs, **common)(lay, xb, w_gu.qw, w_gu.qw,
+                                                   sgu, sgu, w_down.qw, sd)
+    if Mp != M:
+        y = y[:M]
+    return y.reshape(*lead, C)
+
+
 def _i8c_kernel(x_ref, qw_ref, out_ref, *, stacked: bool = False):
     """x_ref [BM, BK] bf16, qw_ref [BK, BN] i8 — ONE mixed bf16×int8 MXU
     dot, no dequant pass (the MXU consumes i8 natively; tools/cast_probe).

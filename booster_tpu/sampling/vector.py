@@ -369,7 +369,7 @@ def sample_vectorized(
                 jnp.where(vp.penalize_nl, lg[:, nl_token], raw[:, nl_token])
             )
 
-    greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    greedy_tok = None  # derived from the shortlist below when possible
 
     # sequential filter queue on a top-K shortlist instead of full-vocab
     # sorts (64×V sorts dominated the batched decode step).  Exact for
@@ -386,6 +386,7 @@ def sample_vectorized(
         sampled = jax.vmap(lambda kk, l: jax.random.categorical(kk, l))(
             step_key, filtered / t
         ).astype(jnp.int32)
+        greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
     else:
         # every slot's support fits the shortlist: sample in shortlist
         # space — no [B, V] scatter, no [B, V] categorical (the sampler was
@@ -399,6 +400,12 @@ def sample_vectorized(
             step_key, slg / t)
         sampled = jnp.take_along_axis(
             sorted_idx, pos[:, None], axis=1)[:, 0].astype(jnp.int32)
+        # greedy from the (exact, verified) shortlist: one less full-vocab
+        # pass; argmax tie-break = smallest vocab index among value-ties
+        is_top = sorted_lg == sorted_lg[:, :1]
+        greedy_tok = jnp.min(
+            jnp.where(is_top, sorted_idx, lg.shape[-1]), axis=-1
+        ).astype(jnp.int32)
     tokens = jnp.where(vp.temp <= 0, greedy_tok, sampled)
     mu = state.mirostat_mu
 

@@ -256,3 +256,57 @@ def test_fused_gateup_model_integration_matches_unfused(tmp_path):
     f_first, f_toks = run(True)
     x_first, x_toks = run(False)
     assert (f_first, f_toks) == (x_first, x_toks)
+
+
+def test_fused_mlp_model_integration_matches_unfused(tmp_path):
+    """Model-level parity for the whole-MLP kernel (pallas_qmm.qmm_mlp):
+    prefill + decode through Engine produce identical tokens with
+    BT_FUSED_MLP on and off, on a native-q8 K-major model whose shape the
+    fused path actually engages (ff % 512 == 0, (K/G) % 16 == 0)."""
+    import os
+
+    import jax
+
+    import booster_tpu.ops.pallas_attention as pa
+    import booster_tpu.ops.pallas_kv as pk
+    import booster_tpu.ops.pallas_qmm as pq
+    from booster_tpu.gguf import GGMLType
+
+    path = str(tmp_path / "mlp.gguf")
+    make_model(path, vocab_size=512, hidden=512, layers=2, heads=4,
+               kv_heads=2, ff=512, quant=GGMLType.Q8_0, weight_scale=0.3)
+    model = load_model(path, weights="native")
+    import dataclasses as _dc
+
+    gu = model.params["layers"]["w_gateup"]
+    dn = model.params["layers"]["w_down"]
+    pq.INTERPRET = True
+    try:
+        probe = pq.qmm_mlp(
+            jnp.ones((1, 512), jnp.bfloat16), _dc.replace(gu, layer=0),
+            _dc.replace(dn, layer=0), "silu")
+    finally:
+        pq.INTERPRET = False
+    assert probe is not None, "fused MLP did not engage; test is vacuous"
+
+    def run(fused: bool):
+        pa.INTERPRET = pk.INTERPRET = pq.INTERPRET = True
+        if not fused:
+            os.environ["BT_FUSED_MLP"] = "0"
+        jax.clear_caches()
+        try:
+            eng = Engine(model, max_batch=2, max_seq=128, decode_chunk=4)
+            eng.init_batch_state()
+            eng.reset_slot(0, SamplingParams(temp=0.0), seed=0)
+            first = eng.prefill_slots({0: eng.tokenizer.encode("hello world test")})
+            toks, _ = eng.decode_slots(first, n_steps=6)
+            return first[0], toks[0]
+        finally:
+            pa.INTERPRET = pk.INTERPRET = pq.INTERPRET = False
+            os.environ.pop("BT_FUSED_MLP", None)
+            jax.clear_caches()
+
+    f_first, f_toks = run(True)
+    x_first, x_toks = run(False)
+    assert f_toks  # non-empty
+    assert (f_first, f_toks) == (x_first, x_toks)

@@ -323,3 +323,88 @@ def test_gateup_epilogue_stacked_layer_view():
                                (2 * ff, K))).astype_device()
         want = _gateup_unfused(x, single, "silu")
         np.testing.assert_array_equal(np.asarray(ys[i]), want)
+
+
+def _mlp_unfused(x, qt_gu, qt_down, act="silu"):
+    """Reference: qmm_gateup-equivalent mid, then the unfused down qmm,
+    rounded to bf16 (qlinear's astype(x.dtype) — the model's cast point)."""
+    mid = jnp.asarray(_gateup_unfused(x, qt_gu, act), jnp.bfloat16)
+    return np.asarray(pq.qmm(mid, qt_down).astype(jnp.bfloat16).astype(jnp.float32))
+
+
+def _mk_t(w, fmt):
+    from booster_tpu.quant.qtensor import transpose_qtensor
+
+    return transpose_qtensor(
+        repack_gguf_tensor(quantize(w, fmt), fmt, w.shape)).astype_device()
+
+
+@pytest.mark.parametrize("act", ["silu", "gelu"])
+@pytest.mark.parametrize("M", [1, 8])
+def test_mlp_fused_bit_exact(act, M):
+    """qmm_mlp (whole-MLP kernel) == qmm_gateup + unfused down, bit for
+    bit: same sub-tile accumulation orders, same bf16 rounding points."""
+    ff, K, C = 512, 512, 256
+    w_gu = RNG.standard_normal((2 * ff, K)).astype(np.float32) * 0.1
+    w_d = RNG.standard_normal((C, ff)).astype(np.float32) * 0.1
+    qt_gu = _mk_t(w_gu, GGMLType.Q8_0)
+    qt_d = _mk_t(w_d, GGMLType.Q8_0)
+    x = jnp.asarray(RNG.standard_normal((M, K)).astype(np.float32) * 0.2,
+                    jnp.bfloat16)
+    got = pq.qmm_mlp(x, qt_gu, qt_d, act)
+    assert got is not None and got.dtype == jnp.bfloat16
+    want = _mlp_unfused(x, qt_gu, qt_d, act)
+    np.testing.assert_array_equal(np.asarray(got, np.float32), want)
+
+
+def test_mlp_fused_paired_scale_block(monkeypatch):
+    """BF < 16 groups: the down scale block covers TWO ff steps (bf16
+    sublane tiling) and the kernel selects the f%2 half — exact."""
+    monkeypatch.setattr(pq, "_pick_bf_mlp", lambda *a, **k: 256)
+    ff, K, C = 1024, 512, 256
+    w_gu = RNG.standard_normal((2 * ff, K)).astype(np.float32) * 0.1
+    w_d = RNG.standard_normal((C, ff)).astype(np.float32) * 0.1
+    qt_gu = _mk_t(w_gu, GGMLType.Q8_0)
+    qt_d = _mk_t(w_d, GGMLType.Q8_0)
+    x = jnp.asarray(RNG.standard_normal((4, K)).astype(np.float32) * 0.2,
+                    jnp.bfloat16)
+    got = pq.qmm_mlp(x, qt_gu, qt_d, "silu")
+    assert got is not None
+    want = _mlp_unfused(x, qt_gu, qt_d, "silu")
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_mlp_fused_stacked_layer_view():
+    """Stacked [L, ...] gateup+down payloads with a traced layer index feed
+    the whole-MLP kernel (scalar-prefetch select, no per-layer slice)."""
+    from booster_tpu.models.loader import _stack_qtensors
+    from booster_tpu.quant.qtensor import transpose_qtensor
+
+    ff, K, C, L = 512, 512, 256, 3
+    gus, ds, wgs, wds = [], [], [], []
+    for _ in range(L):
+        wg = RNG.standard_normal((2 * ff, K)).astype(np.float32) * 0.1
+        wd = RNG.standard_normal((C, ff)).astype(np.float32) * 0.1
+        wgs.append(wg)
+        wds.append(wd)
+        gus.append(repack_gguf_tensor(quantize(wg, GGMLType.Q8_0),
+                                      GGMLType.Q8_0, (2 * ff, K)))
+        ds.append(repack_gguf_tensor(quantize(wd, GGMLType.Q8_0),
+                                     GGMLType.Q8_0, (C, ff)))
+    st_gu = transpose_qtensor(_stack_qtensors(gus)).astype_device()
+    st_d = transpose_qtensor(_stack_qtensors(ds)).astype_device()
+    x = jnp.asarray(RNG.standard_normal((4, K)).astype(np.float32) * 0.2,
+                    jnp.bfloat16)
+
+    def body(c, i):
+        import dataclasses
+        lgu = dataclasses.replace(st_gu, layer=i)
+        ld = dataclasses.replace(st_d, layer=i)
+        return c, pq.qmm_mlp(x, lgu, ld, "silu")
+
+    _, ys = jax.lax.scan(body, 0, jnp.arange(L))
+    for i in range(L):
+        want = _mlp_unfused(x, _mk_t(wgs[i], GGMLType.Q8_0),
+                            _mk_t(wds[i], GGMLType.Q8_0), "silu")
+        np.testing.assert_array_equal(np.asarray(ys[i], np.float32), want)

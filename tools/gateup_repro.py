@@ -29,3 +29,15 @@ x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
 print("backend:", jax.default_backend(), "kind:", qt.kind, flush=True)
 y = qmm_gateup(x, qt, "silu")
 print("result:", None if y is None else np.asarray(y).shape, flush=True)
+
+# whole-MLP kernel repro (same shapes; down [C, ff] with ff = N2 // 2)
+from booster_tpu.ops.pallas_qmm import qmm_mlp
+ff = N2 // 2
+C = int(os.environ.get("RC", str(K)))
+wd = rng.normal(size=(C, ff)).astype(np.float32) * 0.05
+raw_d = quantize(wd, GGMLType.Q8_0)
+qt_d = compact_scales(transpose_qtensor(
+    prepare_kernel_scales(repack_gguf_tensor(raw_d, GGMLType.Q8_0, (C, ff)))))
+qt_d = qt_d.astype_device()
+y2 = qmm_mlp(x, qt, qt_d, "silu")
+print("mlp result:", None if y2 is None else np.asarray(y2).shape, flush=True)
