@@ -398,7 +398,7 @@ def _layer(
                 q, k_slice, v_slice, ks_slice, vs_slice, table,
                 stacked_layer, kv_valid,
                 scale=scale, logit_softcap=cfg.attn_logit_softcap,
-                window=window, self_kv=self_kv,
+                window=window, self_kv=self_kv, prep=attn_prep,
             )
         elif stacked_layer is not None:
             from booster_tpu.ops.pallas_attention import (
@@ -711,19 +711,29 @@ def forward(
         self_ok = adv_vec > 0
         attn_lens = cache.lengths if defer else kv_valid
         attn_prep = None
-        if not paged and not (cfg.sliding_window > 0
-                              and cfg.sliding_window_pattern > 1):
+        if not (cfg.sliding_window > 0 and cfg.sliding_window_pattern > 1):
             # layer-invariant window: hoist the kernel's scalar operands
             # (lens/win/nv) out of the scan — one computation per step
-            from booster_tpu.ops.pallas_attention import decode_prep
+            win_inv = (jnp.int32(cfg.sliding_window)
+                       if cfg.sliding_window > 0 else None)
+            if paged:
+                from booster_tpu.ops.pallas_paged_attention import (
+                    _MERGED_P, paged_decode_prep,
+                )
 
-            attn_prep = decode_prep(
-                attn_lens,
-                jnp.int32(cfg.sliding_window) if cfg.sliding_window > 0
-                else None,
-                B=B, S=S, D=kf.shape[-1], itemsize=kf.dtype.itemsize,
-                G=cfg.n_heads // cfg.n_kv_heads,
-            )
+                P_ = cache.page_size
+                if _MERGED_P and P_ % 128 == 0 and kf.shape[-1] % 128 == 0:
+                    attn_prep = paged_decode_prep(
+                        attn_lens, win_inv, B=B, P=P_,
+                        MAXP=cache.table.shape[1])
+            else:
+                from booster_tpu.ops.pallas_attention import decode_prep
+
+                attn_prep = decode_prep(
+                    attn_lens, win_inv,
+                    B=B, S=S, D=kf.shape[-1], itemsize=kf.dtype.itemsize,
+                    G=cfg.n_heads // cfg.n_kv_heads,
+                )
         off = 0
         news = []
         for g in groups:
@@ -787,10 +797,29 @@ def forward(
             k_new = jnp.concatenate([n[0] for n in news], axis=0)
             v_new = jnp.concatenate([n[1] for n in news], axis=0)
             if paged:
-                from booster_tpu.ops.paged_kv import paged_append_all_layers
+                P_ = kf.shape[3]
+                if (kf.shape[-1] % 128 == 0 and P_ % 128 == 0
+                        and vf.shape[-1] == kf.shape[-1]
+                        and _os_mod.environ.get("BT_FUSED_PAGED_APPEND",
+                                                "1") != "0"):
+                    # fused table-steered append: the XLA pool scatter was
+                    # ~1.0 ms in-situ at the 64-stream bench shape vs
+                    # 0.07 ms for the dense fused append (paged_residual)
+                    from booster_tpu.ops.pallas_kv import (
+                        kv_append_all_layers_paged,
+                    )
 
-                kf, vf, ksf, vsf = paged_append_all_layers(
-                    kf, vf, k_new, v_new, offsets, cache.table, ksf, vsf)
+                    kf, vf, ksf, vsf = kv_append_all_layers_paged(
+                        kf, vf, k_new, v_new, offsets, cache.table,
+                        ksf, vsf)
+                else:
+                    from booster_tpu.ops.paged_kv import (
+                        paged_append_all_layers,
+                    )
+
+                    kf, vf, ksf, vsf = paged_append_all_layers(
+                        kf, vf, k_new, v_new, offsets, cache.table,
+                        ksf, vsf)
             else:
                 from booster_tpu.ops.pallas_kv import kv_append_all_layers
 

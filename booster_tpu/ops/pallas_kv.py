@@ -396,3 +396,194 @@ def kv_append_decode(
     return (k[0], v[0],
             None if ks is None else ks[0],
             None if vs is None else vs[0])
+
+
+# ---------------- paged pool (table-steered) deferred append ----------------
+
+def _rmw_payload_paged(cref, page, o, new_lhd, win_s, sem):
+    """RMW one slot's aligned [L, Hkv, _WIN, D] window inside its write
+    page across ALL layers in a single DMA box (the paged sibling of
+    _rmw_payload_all; the page index comes from the SMEM table)."""
+    off_al = pl.multiple_of((o // _WIN) * _WIN, _WIN)
+    rd = pltpu.make_async_copy(
+        cref.at[:, page, :, pl.ds(off_al, _WIN), :], win_s, sem)
+    rd.start()
+    rd.wait()
+    new_c = new_lhd.astype(win_s.dtype)  # [L, Hkv, D]
+    rel = o - off_al
+    for w in range(_WIN):
+        @pl.when(w >= rel)
+        def _():
+            win_s[:, :, w, :] = new_c
+    wr = pltpu.make_async_copy(
+        win_s, cref.at[:, page, :, pl.ds(off_al, _WIN), :], sem)
+    wr.start()
+    wr.wait()
+
+
+def _rmw_scale_paged(sref, page, o, new_lh1, win_s, sem):
+    """RMW one slot's aligned [L, Hkv, _SWIN] scale window in its page."""
+    off_al = pl.multiple_of((o // _SWIN) * _SWIN, _SWIN)
+    rd = pltpu.make_async_copy(
+        sref.at[:, page, :, pl.ds(off_al, _SWIN)], win_s, sem)
+    rd.start()
+    rd.wait()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _SWIN), 2)
+    keep_new = lane >= (o - off_al)
+    win_s[:] = jnp.where(keep_new, new_lh1, win_s[:])
+    wr = pltpu.make_async_copy(
+        win_s, sref.at[:, page, :, pl.ds(off_al, _SWIN)], sem)
+    wr.start()
+    wr.wait()
+
+
+def _page_target(tbl_ref, off_ref, b, P: int, MAXP: int):
+    """(physical page, in-page offset) for slot b; positions past the table
+    range divert to physical page 0 — the reserved scratch page (same
+    contract as ops/paged_kv.append_paged_layer)."""
+    off = off_ref[b, 0]
+    lp = off // P
+    in_range = lp < MAXP
+    page = jnp.where(in_range, tbl_ref[b, jnp.minimum(lp, MAXP - 1)], 0)
+    o = jnp.where(in_range, off % P, 0)
+    return page, o
+
+
+def _append_all_kernel_paged_quant(
+    tbl_ref,  # [B, MAXP] i32 (SMEM)
+    off_ref,  # [B, 1] i32 (SMEM)
+    knew_ref,  # [L, 1, Hkv, D] f32/bf16 (VMEM block, grid b)
+    vnew_ref,
+    kc_in, vc_in, ks_in, vs_in,  # aliased inputs (ANY)
+    kc_ref, vc_ref,  # [L, Np, Hkv, P, D] i8 (ANY)
+    ks_ref, vs_ref,  # [L, Np, Hkv, P] f32 (ANY)
+    kwin, vwin, kswin, vswin, sem,
+    *,
+    P: int = 0,
+    MAXP: int = 0,
+):
+    b = pl.program_id(0)
+    page, o = _page_target(tbl_ref, off_ref, b, P, MAXP)
+
+    def quantize(new_ref):
+        x = new_ref[:, 0].astype(jnp.float32)  # [L, Hkv, D]
+        scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+        q = jnp.round(x / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
+        return q, scale
+
+    kq, ksc = quantize(knew_ref)
+    vq, vsc = quantize(vnew_ref)
+    _rmw_payload_paged(kc_ref, page, o, kq, kwin, sem)
+    _rmw_payload_paged(vc_ref, page, o, vq, vwin, sem)
+    _rmw_scale_paged(ks_ref, page, o, ksc, kswin, sem)
+    _rmw_scale_paged(vs_ref, page, o, vsc, vswin, sem)
+
+
+def _append_all_kernel_paged_plain(
+    tbl_ref, off_ref, knew_ref, vnew_ref,
+    kc_in, vc_in,
+    kc_ref, vc_ref,
+    kwin, vwin, sem,
+    *,
+    P: int = 0,
+    MAXP: int = 0,
+):
+    b = pl.program_id(0)
+    page, o = _page_target(tbl_ref, off_ref, b, P, MAXP)
+    _rmw_payload_paged(kc_ref, page, o, knew_ref[:, 0], kwin, sem)
+    _rmw_payload_paged(vc_ref, page, o, vnew_ref[:, 0], vwin, sem)
+
+
+def kv_append_all_layers_paged(
+    pool_k,  # [L, Np, Hkv, P, D] whole stacked page pool, D % 128 == 0
+    pool_v,
+    new_k,  # [L, B, Hkv, d] one decode token per slot, all layers
+    new_v,
+    offsets,  # [B] i32 logical write positions (slot lengths)
+    table,  # [B, MAXP] i32
+    pool_ks=None,  # [L, Np, Hkv, P, 1] f32 when quantized
+    pool_vs=None,
+):
+    """Deferred decode append into the paged pool: ONE kernel launch lands
+    every layer's new row through the page table (the Pallas sibling of
+    ops/paged_kv.paged_append_all_layers, whose XLA scatter cost ~1.0 ms
+    in-situ at the 64-stream bench shape vs 0.07 ms for the dense fused
+    append — tools/paged_residual.py r5).  Pools stay in HBM (ANY) and only
+    a [L, Hkv, _WIN, D] aligned window per slot moves.
+
+    Rows past the write offset inside the window are the slot's own future
+    positions (page sharing is full-prefix-page only) and are clobbered,
+    exactly like the dense kernel."""
+    import functools
+
+    L, Np, Hkv, P, D = pool_k.shape
+    assert D % 128 == 0 and P % _SWIN == 0, (
+        "paged fused append needs lane-padded head dims and P % 128 == 0")
+    assert pool_v.shape[-1] == D, "MLA pools use the XLA scatter path"
+    B = offsets.shape[0]
+    MAXP = table.shape[1]
+    quantized = pool_ks is not None
+    kn = _pad_new(new_k, D).reshape(L, B, Hkv, D)
+    vn = _pad_new(new_v, D).reshape(L, B, Hkv, D)
+    off2 = offsets.astype(jnp.int32).reshape(B, 1)
+    tbl2 = table.astype(jnp.int32)
+
+    new_block = pl.BlockSpec((L, 1, Hkv, D), lambda b: (0, b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    off_spec = pl.BlockSpec((B, 1), lambda b: (0, 0),
+                            memory_space=pltpu.SMEM)
+    tbl_spec = pl.BlockSpec((B, MAXP), lambda b: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    if quantized:
+        ks4 = pool_ks.reshape(L, Np, Hkv, P)
+        vs4 = pool_vs.reshape(L, Np, Hkv, P)
+        out = pl.pallas_call(
+            functools.partial(_append_all_kernel_paged_quant, P=P,
+                              MAXP=MAXP),
+            grid=(B,),
+            in_specs=[tbl_spec, off_spec, new_block, new_block,
+                      any_spec, any_spec, any_spec, any_spec],
+            out_specs=(any_spec, any_spec, any_spec, any_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+                jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+                jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
+                jax.ShapeDtypeStruct(vs4.shape, jnp.float32),
+            ),
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+            scratch_shapes=[
+                pltpu.VMEM((L, Hkv, _WIN, D), jnp.int8),
+                pltpu.VMEM((L, Hkv, _WIN, D), jnp.int8),
+                pltpu.VMEM((L, Hkv, _SWIN), jnp.float32),
+                pltpu.VMEM((L, Hkv, _SWIN), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=INTERPRET,
+        )(tbl2, off2, kn, vn, pool_k, pool_v, ks4, vs4)
+        k, v, ks, vs = out
+        return (k, v,
+                ks.reshape(L, Np, Hkv, P, 1), vs.reshape(L, Np, Hkv, P, 1))
+
+    k, v = pl.pallas_call(
+        functools.partial(_append_all_kernel_paged_plain, P=P, MAXP=MAXP),
+        grid=(B,),
+        in_specs=[tbl_spec, off_spec, new_block, new_block,
+                  any_spec, any_spec],
+        out_specs=(any_spec, any_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        scratch_shapes=[
+            pltpu.VMEM((L, Hkv, _WIN, D), pool_k.dtype),
+            pltpu.VMEM((L, Hkv, _WIN, D), pool_v.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=INTERPRET,
+    )(tbl2, off2, kn, vn, pool_k, pool_v)
+    return k, v, None, None

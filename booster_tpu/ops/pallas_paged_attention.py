@@ -36,6 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False  # flipped by tests for CPU interpret mode
 
 _BT = int(_os.environ.get("BT_PAGED_BT", "4"))  # rows per grid step
+# merged variant: all Hkv heads of a (row, page) in ONE DMA and one
+# head-merged block-diagonal dot per row (BT_PAGED_MERGED=0 reverts)
+_BTM = int(_os.environ.get("BT_PAGED_BTM", "8"))
+_MERGED_P = _os.environ.get("BT_PAGED_MERGED", "1") != "0"
 
 _NEG = -1e30
 
@@ -341,6 +345,290 @@ def _paged_attn_kernel_stacked(
             out_ref[b, 0] = acc_b / jnp.maximum(l_b, 1e-30)
 
 
+def _paged_attn_kernel_merged(
+    lay_ref,  # [1] i32 (scalar prefetch)
+    tbl_ref,  # [B, MAXP] i32 (scalar prefetch)
+    lens_ref,  # [B] i32 (scalar prefetch)
+    nv_ref,  # [B // bt] i32 (scalar prefetch: valid pages per row block)
+    *refs,
+    bt: int,
+    p: int,
+    hkv: int,
+    g: int,
+    softcap: float,
+    quantized: bool,
+    has_self: bool,
+):
+    """Head-merged paged decode attention (r5 rework).
+
+    The r4 kernel paid 256 grid steps/layer of 16 KB per-(row, head, page)
+    DMAs and [G, P] micro-dots — 9.3 ms in-situ vs dense's 1.5 ms at the
+    64-stream bench shape (tools/paged_residual.py).  This variant folds the
+    Hkv grid dimension into the DMA block ([1, Hkv, P, D] per row — 4x
+    fewer, 4x bigger DMAs) and computes each row's scores as ONE
+    [Hkv·G, Hkv·P] block-diagonal dot (off-head blocks masked to -inf,
+    exactly the dense merged kernel's trick, pallas_attention.py)."""
+    # refs: q, k*bt, v*bt, (ks*bt, vs*bt)?, (sk, sv, selfok)?, win,
+    #       out, m, l, acc
+    q_ref = refs[0]
+    k_refs = refs[1 : 1 + bt]
+    v_refs = refs[1 + bt : 1 + 2 * bt]
+    at = 1 + 2 * bt
+    ks_refs = vs_refs = None
+    if quantized:
+        ks_refs = refs[at : at + bt]
+        vs_refs = refs[at + bt : at + 2 * bt]
+        at += 2 * bt
+    sk_ref = sv_ref = selfok_ref = None
+    if has_self:
+        sk_ref, sv_ref, selfok_ref = refs[at : at + 3]
+        at += 3
+    win_ref, out_ref, m_ref, l_ref, acc_ref = refs[at : at + 5]
+
+    s_idx = pl.program_id(1)
+    ns = pl.num_programs(1)
+    HG, HP = hkv * g, hkv * p
+    D = q_ref.shape[-1]
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    col0 = s_idx * p
+    win = win_ref[0, 0]
+    i = pl.program_id(0)
+    row0 = i * bt
+
+    # pages past every row's valid length are steered to the last live page
+    # (repeated block index elides the DMA) and skipped here
+    @pl.when(s_idx < nv_ref[i])
+    def _():
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, HP), 1)
+        kh = col // p  # kv head of the merged column
+        pos = col0 + (col - kh * p)  # kv position of the merged column
+        rowh = jax.lax.broadcasted_iota(jnp.int32, (HG, 1), 0) // g
+        diag = kh == rowh  # [HG, HP] block-diagonal head match
+        for r in range(bt):  # static unroll: constant ref indices
+            len_r = lens_ref[row0 + r]
+            ok_r = selfok_ref[row0 + r, 0] if has_self else 0
+
+            @pl.when(col0 < len_r)
+            def _(r=r, len_r=len_r, ok_r=ok_r):
+                qr = q_ref[r]  # [HG, D] bf16
+                kq = k_refs[r][0, 0].reshape(HP, D).astype(jnp.bfloat16)
+                s = jax.lax.dot_general(
+                    qr, kq, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [HG, HP]
+                if quantized:
+                    # [Hkv, P] → [1, HP] sublane→lane merge (P >= 128)
+                    s = s * ks_refs[r][0, 0].reshape(1, HP)
+                if softcap > 0.0:
+                    s = softcap * jnp.tanh(s / softcap)
+                valid = diag & (pos < len_r) & (pos >= len_r - win + ok_r)
+                s = jnp.where(valid, s, _NEG)
+
+                sl = slice(r * HG, (r + 1) * HG)
+                m_prev = m_ref[sl]
+                l_prev = l_ref[sl]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                pr = jnp.exp(s - m_new)  # [HG, HP]; off-head entries 0
+                l_new = l_prev * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+                if quantized:
+                    pr = pr * vs_refs[r][0, 0].reshape(1, HP)
+                vq = v_refs[r][0, 0].reshape(HP, -1).astype(jnp.bfloat16)
+                pv = jax.lax.dot_general(
+                    pr.astype(jnp.bfloat16), vq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [HG, Dv]
+                m_ref[sl] = m_new
+                l_ref[sl] = l_new
+                acc_ref[sl] = acc_ref[sl] * alpha + pv
+
+    @pl.when(s_idx == ns - 1)
+    def _():
+        scol = jax.lax.broadcasted_iota(jnp.int32, (1, hkv), 1)
+        rowh = jax.lax.broadcasted_iota(jnp.int32, (HG, 1), 0) // g
+        for r in range(bt):
+            sl = slice(r * HG, (r + 1) * HG)
+            m_b, l_b, acc_b = m_ref[sl], l_ref[sl], acc_ref[sl]
+            if has_self:
+                # deferred append: fold the new token's (always-causal)
+                # self term in, mirroring the storage quantization
+                def mirror(x):  # [Hkv, D] f32 -> storage round-trip
+                    if not quantized:
+                        return x.astype(jnp.bfloat16).astype(jnp.float32)
+                    sc = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+                    qv = jnp.round(x / jnp.maximum(sc, 1e-12))
+                    return qv * sc
+
+                skr = mirror(sk_ref[r].astype(jnp.float32))  # [Hkv, D]
+                svr = mirror(sv_ref[r].astype(jnp.float32))
+                qr = q_ref[r].astype(jnp.float32)  # [HG, D]
+                s_self = jax.lax.dot_general(
+                    qr, skr, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [HG, Hkv]
+                if softcap > 0.0:
+                    s_self = softcap * jnp.tanh(s_self / softcap)
+                ok_r = selfok_ref[row0 + r, 0]
+                s_self = jnp.where((scol == rowh) & (ok_r > 0), s_self,
+                                   _NEG)
+                m2 = jnp.maximum(m_b,
+                                 jnp.max(s_self, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_b - m2)
+                p_self = jnp.exp(s_self - m2)  # [HG, Hkv]; 1 live col/row
+                l_b = l_b * alpha + jnp.sum(p_self, axis=-1, keepdims=True)
+                acc_b = acc_b * alpha + jax.lax.dot_general(
+                    p_self.astype(jnp.float32), svr,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[r] = acc_b / jnp.maximum(l_b, 1e-30)
+
+
+def paged_decode_prep(
+    kv_valid_len: jnp.ndarray,  # [B] i32
+    window,  # traced i32 scalar or None
+    *,
+    B: int,
+    P: int,
+    MAXP: int,
+):
+    """Layer-invariant operands of the merged paged kernel: (lens, win, nv,
+    bt).  Compute ONCE per forward and pass as `prep` — inside the layer
+    scan these small fusions otherwise re-run every layer (the dense
+    decode_prep rationale, pallas_attention.py)."""
+    bt = _BTM
+    while B % bt:
+        bt //= 2
+    bt = max(bt, 1)
+    nb = B // bt
+    lens = kv_valid_len.astype(jnp.int32)
+    win = (jnp.asarray(window, jnp.int32) if window is not None
+           else jnp.int32(MAXP * P + 1)).reshape(1, 1)
+    # valid pages per row block (ceil of the block's longest row)
+    nv = jnp.clip(-(-jnp.max(lens.reshape(nb, bt), axis=1) // P), 1, MAXP)
+    return lens, win, nv.astype(jnp.int32), bt
+
+
+def _paged_stacked_merged(
+    qb,  # [B, H, D] bf16 pre-scaled, kv-head-major head order
+    pool_k, pool_v, pool_ks, pool_vs, table, lay, lens, win, self_kv,
+    softcap: float,
+    prep=None,
+):
+    L, Np, Hkv, P, D = pool_k.shape
+    Dv = pool_v.shape[-1]
+    B, HG, _ = qb.shape
+    G = HG // Hkv
+    MAXP = table.shape[1]
+    quantized = pool_ks is not None
+    has_self = self_kv is not None
+
+    if prep is None:
+        prep = paged_decode_prep(lens, None, B=B, P=P, MAXP=MAXP)
+        prep = (lens, win, prep[2], prep[3])  # keep the caller's window
+    lens, win, nv, bt = prep
+    nb = B // bt
+    grid = (nb, MAXP)
+
+    def pool_spec(r, dim):
+        return pl.BlockSpec(
+            (1, 1, Hkv, P, dim),
+            functools.partial(
+                lambda i, k, lay, tbl, ln, nv, r=r:
+                    (lay[0], tbl[i * bt + r, jnp.minimum(k, nv[i] - 1)],
+                     0, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    def scale_spec(r):
+        return pl.BlockSpec(
+            (1, 1, Hkv, P),
+            functools.partial(
+                lambda i, k, lay, tbl, ln, nv, r=r:
+                    (lay[0], tbl[i * bt + r, jnp.minimum(k, nv[i] - 1)],
+                     0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        pl.BlockSpec((bt, HG, D), lambda i, k, lay, tbl, ln, nv: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qb] + [pool_k] * bt + [pool_v] * bt
+    in_specs += [pool_spec(r, D) for r in range(bt)]
+    in_specs += [pool_spec(r, Dv) for r in range(bt)]
+    if quantized:
+        ks = pool_ks.reshape(L, Np, Hkv, P)
+        vs = pool_vs.reshape(L, Np, Hkv, P)
+        in_specs += [scale_spec(r) for r in range(bt)]
+        in_specs += [scale_spec(r) for r in range(bt)]
+        args += [ks] * bt + [vs] * bt
+    if has_self:
+        sk, sv, ok = self_kv
+
+        def _padd(a, width):  # [B, Hkv, d] → [B, Hkv, width]
+            if a.shape[-1] < width:
+                a = jnp.pad(a, ((0, 0), (0, 0), (0, width - a.shape[-1])))
+            return a.astype(jnp.bfloat16)
+
+        in_specs += [
+            pl.BlockSpec((bt, Hkv, D),
+                         lambda i, k, lay, tbl, ln, nv: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Hkv, Dv),
+                         lambda i, k, lay, tbl, ln, nv: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i, k, lay, tbl, ln, nv: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        args += [_padd(sk, D), _padd(sv, Dv),
+                 ok.astype(jnp.int32).reshape(B, 1)]
+    in_specs += [
+        pl.BlockSpec((1, 1), lambda i, k, lay, tbl, ln, nv: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args += [win]
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, HG, Dv),
+                               lambda i, k, lay, tbl, ln, nv: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bt * HG, 1), jnp.float32),
+            pltpu.VMEM((bt * HG, 1), jnp.float32),
+            pltpu.VMEM((bt * HG, Dv), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_paged_attn_kernel_merged, bt=bt, p=P, hkv=Hkv,
+                          g=G, softcap=softcap, quantized=quantized,
+                          has_self=has_self),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, HG, Dv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * HG * MAXP * Hkv * P * D,
+            bytes_accessed=(2 * B * Hkv * MAXP * P * D
+                            * pool_k.dtype.itemsize
+                            + (8 * B * Hkv * MAXP * P if quantized else 0)),
+            transcendentals=B * HG * MAXP * Hkv * P,
+        ),
+        interpret=INTERPRET,
+    )(lay, table, lens, nv, *args)
+
+
 def paged_decode_attention_stacked(
     q: jnp.ndarray,  # [B, 1, H, D] (already roped), any float dtype
     pool_k: jnp.ndarray,  # [L, Np, Hkv, P, D] int8 or bf16 (whole pool)
@@ -354,6 +642,7 @@ def paged_decode_attention_stacked(
     logit_softcap: float = 0.0,
     window=None,  # traced i32 scalar or None
     self_kv=None,  # (k [B,Hkv,D], v [B,Hkv,D], ok [B]) deferred append
+    prep=None,  # precomputed paged_decode_prep(...) output (hoisted)
 ) -> jnp.ndarray:
     """Stacked-pool variant of paged_decode_attention: the WHOLE pool passes
     through the layer scan as carry and the kernel selects the layer via a
@@ -374,6 +663,22 @@ def paged_decode_attention_stacked(
         # padded pool lanes hold exact zeros; zero-padded q keeps scores
         # identical and PV writes zeros that are sliced off below
         qb = jnp.pad(qb, ((0, 0), (0, 0), (0, 0), (0, D - Dq)))
+
+    lens = kv_valid_len.astype(jnp.int32)
+    lay = jnp.asarray(layer, jnp.int32).reshape(1)
+    win = (jnp.asarray(window, jnp.int32) if window is not None
+           else jnp.int32(MAXP * P + 1)).reshape(1, 1)
+    Dv_ = pool_v.shape[-1]
+
+    if _MERGED_P and P % 128 == 0 and D % 128 == 0 and Dv_ % 128 == 0:
+        out = _paged_stacked_merged(
+            qb.reshape(B, H, D), pool_k, pool_v, pool_ks, pool_vs, table,
+            lay, lens, win, self_kv, logit_softcap, prep=prep)  # [B,H,Dv]
+        out = out.reshape(B, 1, H, Dv_)
+        if Dq < Dv_:  # slice the padded lanes back off (they hold zeros)
+            out = out[..., :Dq]
+        return out.astype(q.dtype)
+
     qb = qb.reshape(B, 1, Hkv, G, D).transpose(0, 2, 3, 1, 4).reshape(
         B, Hkv, G, D)
 
@@ -382,11 +687,6 @@ def paged_decode_attention_stacked(
         bt //= 2
     bt = max(bt, 1)
     grid = (B // bt, Hkv, MAXP)
-
-    lens = kv_valid_len.astype(jnp.int32)
-    lay = jnp.asarray(layer, jnp.int32).reshape(1)
-    win = (jnp.asarray(window, jnp.int32) if window is not None
-           else jnp.int32(MAXP * P + 1)).reshape(1, 1)
 
     def pool_spec(r, dim):
         return pl.BlockSpec(

@@ -454,6 +454,42 @@ def _s_paged_stacked_self():
     _paged_case(False, True, self_term=True)
 
 
+@smoke("kv_append_paged")
+def _s_kv_append_paged():
+    import booster_tpu.ops.pallas_kv as pk
+    from booster_tpu.ops.kv_cache import _quantize_kv
+
+    L, B, Hkv, P, D, maxp = 2, 4, 2, 128, 128, 2
+    Np = B * maxp
+    table = jnp.asarray(
+        RNG.permutation(Np).astype(np.int32).reshape(B, maxp))
+    kf = jnp.asarray(RNG.normal(size=(L, Np, Hkv, P, D)).astype(np.float32))
+    vf = jnp.asarray(RNG.normal(size=(L, Np, Hkv, P, D)).astype(np.float32))
+    new_k = jnp.asarray(RNG.normal(size=(L, B, Hkv, D)).astype(np.float32))
+    new_v = jnp.asarray(RNG.normal(size=(L, B, Hkv, D)).astype(np.float32))
+    offs = jnp.asarray(np.array([7, 127, 128, 200], np.int32))
+    offs_np = np.asarray(offs)
+    tbl_np = np.asarray(table)
+    for quantized in (False, True):
+        if quantized:
+            k, ks = _quantize_kv(kf)
+            v, vs = _quantize_kv(vf)
+        else:
+            k, v = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+            ks = vs = None
+        got = pk.kv_append_all_layers_paged(
+            k, v, new_k, new_v, offs, table, ks, vs)
+        gk = np.asarray(got[0], np.float32)
+        if quantized:
+            gk = gk * np.asarray(got[2], np.float32)
+        want = np.asarray(_mirror_kv(new_k, quantized))
+        for b in range(B):
+            page = tbl_np[b, offs_np[b] // P]
+            o = offs_np[b] % P
+            _close(gk[:, page, :, o], want[:, b], atol=2e-2, rtol=2e-2,
+                   what=f"paged append quant={quantized} b={b}")
+
+
 # ---------------- moe ----------------
 
 @smoke("moe_grouped")
