@@ -159,6 +159,24 @@ class _Parser:
 
     def _alternates(self, rule_name: str) -> list[Alternate]:
         alts = [[]]
+        # start index of the last SYMBOL in alts[-1]: a quoted literal is
+        # one symbol of several char elements, and repetition operators
+        # apply to the whole symbol (llama.cpp last_sym_start semantics,
+        # common/grammar-parser.cpp parse_sequence)
+        last_start = 0
+
+        def _last_symbol():
+            seq = alts[-1][last_start:]
+            if not seq:
+                self.error("operator with no preceding element")
+            del alts[-1][last_start:]
+            if len(seq) == 1:
+                return seq[0]
+            lit_name = f"{rule_name}_lit{len(self.names)}"
+            lit_id = self.rule_id(lit_name)
+            self.rules[lit_id] = [list(seq)]
+            return ("ref", lit_id)
+
         while True:
             self._ws()
             c = self._peek()
@@ -169,6 +187,7 @@ class _Parser:
                 if self._peek() == "|":
                     self.pos += 1
                     alts.append([])
+                    last_start = 0
                     continue
                 self.pos = save
                 break
@@ -177,8 +196,10 @@ class _Parser:
             if c == "|":
                 self.pos += 1
                 alts.append([])
+                last_start = 0
             elif c == '"':
                 self.pos += 1
+                last_start = len(alts[-1])
                 while self._peek() != '"':
                     if self._peek() == "":
                         self.error("unterminated string")
@@ -186,6 +207,7 @@ class _Parser:
                     alts[-1].append(("char", ((cp, cp),)))
                 self.pos += 1
             elif c == "[":
+                last_start = len(alts[-1])
                 self.pos += 1
                 negate = self._peek() == "^"
                 if negate:
@@ -204,9 +226,11 @@ class _Parser:
                 alts[-1].append(("char_not" if negate else "char", tuple(ranges)))
             elif c == ".":
                 self.pos += 1
+                last_start = len(alts[-1])
                 alts[-1].append(("any",))
             elif c == "(":
                 self.pos += 1
+                last_start = len(alts[-1])
                 sub_name = f"{rule_name}_{len(self.names)}"
                 sub_id = self.rule_id(sub_name)
                 self.rules[sub_id] = self._alternates(sub_name)
@@ -216,13 +240,12 @@ class _Parser:
                 self.pos += 1
                 alts[-1].append(("ref", sub_id))
             elif c.isalnum() or c in "-_":
+                last_start = len(alts[-1])
                 name = self._name()
                 alts[-1].append(("ref", self.rule_id(name)))
             elif c in "*+?":
                 self.pos += 1
-                if not alts[-1]:
-                    self.error(f"{c} with no preceding element")
-                last = alts[-1].pop()
+                last = _last_symbol()
                 rep_name = f"{rule_name}_rep{len(self.names)}"
                 rep_id = self.rule_id(rep_name)
                 if c == "*":
@@ -231,6 +254,7 @@ class _Parser:
                     self.rules[rep_id] = [[last, ("ref", rep_id)], [last]]
                 else:  # ?
                     self.rules[rep_id] = [[last], []]
+                last_start = len(alts[-1])
                 alts[-1].append(("ref", rep_id))
             elif c == "{":
                 # {m,n} bounded repetition
@@ -240,9 +264,7 @@ class _Parser:
                     self.pos += 1
                 spec = self.text[start : self.pos]
                 self.pos += 1
-                if not alts[-1]:
-                    self.error("{} with no preceding element")
-                last = alts[-1].pop()
+                last = _last_symbol()
                 if "," in spec:
                     lo_s, hi_s = spec.split(",", 1)
                     m = int(lo_s) if lo_s else 0
@@ -261,6 +283,7 @@ class _Parser:
                         opt_id = self.rule_id(opt_name)
                         self.rules[opt_id] = [[last], []]
                         seq.append(("ref", opt_id))
+                last_start = len(alts[-1])
                 alts[-1].extend(seq)
             else:
                 self.error(f"unexpected character {c!r}")

@@ -1019,8 +1019,9 @@ def _pick_bf_mlp(ff: int, kk: int, c: int, m: int, rows: int, d_rows: int,
 def qmm_mlp(x: jnp.ndarray, w_gu: QTensor, w_down: QTensor,
             act: str) -> Optional[jnp.ndarray]:
     """Fully-fused gated MLP from the fused [2ff, K] gateup QTensor and the
-    [C, ff] down QTensor (both K-major i8).  Returns [.., C] float32, or
-    None when the kinds/shapes are unsupported."""
+    [C, ff] down QTensor (both K-major i8).  Returns [.., C] bfloat16 (the
+    residual add consumes bf16; keeping the output bf16 halves the streamed
+    output bytes), or None when the kinds/shapes are unsupported."""
     K = x.shape[-1]
     if w_gu.kind != "i8t" or w_down.kind != "i8t":
         return None
@@ -1082,7 +1083,7 @@ def qmm_mlp(x: jnp.ndarray, w_gu: QTensor, w_down: QTensor,
             flops=2 * Mp * N2 * K + 2 * Mp * ff * C,
             bytes_accessed=(N2 * K + ff * C
                             + (N2 * (K // G) + C * (ff // G)) * s_item
-                            + Mp * K * 2 + Mp * C * 4),
+                            + Mp * K * 2 + Mp * C * 2),
             transcendentals=Mp * ff,
         ),
         interpret=INTERPRET,

@@ -401,11 +401,15 @@ def sample_vectorized(
         sampled = jnp.take_along_axis(
             sorted_idx, pos[:, None], axis=1)[:, 0].astype(jnp.int32)
         # greedy from the (exact, verified) shortlist: one less full-vocab
-        # pass; argmax tie-break = smallest vocab index among value-ties
+        # pass; argmax tie-break = smallest vocab index among value-ties.
+        # Degenerate rows (all-NaN logits: is_top all-false) fall back to
+        # the shortlist head instead of min's out-of-range fill value.
         is_top = sorted_lg == sorted_lg[:, :1]
-        greedy_tok = jnp.min(
+        min_tie = jnp.min(
             jnp.where(is_top, sorted_idx, lg.shape[-1]), axis=-1
         ).astype(jnp.int32)
+        greedy_tok = jnp.where(jnp.any(is_top, axis=-1), min_tie,
+                               sorted_idx[:, 0].astype(jnp.int32))
     tokens = jnp.where(vp.temp <= 0, greedy_tok, sampled)
     mu = state.mirostat_mu
 

@@ -68,6 +68,10 @@ class Job:
     # common/sampling.cpp:430, bridge.cpp:100-110)
     _grammar: object = None
     _gfix: bool = False  # last chunk violated: rewind + masked redo pending
+    # rows discarded by in-cache shifts: the rewind protocol reconstructs
+    # cache positions from token counts, which drift by this much after a
+    # shift (the PDA itself is token-history-only, so shifting is safe)
+    _g_disc: int = 0
 
     @property
     def n_generated(self) -> int:
@@ -545,26 +549,23 @@ class Scheduler:
                     s for s in self.running
                     if int(self.engine.slot_lengths[s]) + advance
                     >= self.engine.max_seq - 1
-                    and self.running[s]._grammar is None
                 ]
-                # grammar slots can't shift (the rewind protocol assumes an
-                # unshifted cache; the dedicated path also stops at the
-                # context edge) — they finish with "length" instead
-                for s in list(self.running):
-                    job = self.running[s]
-                    if (job._grammar is not None
-                            and int(self.engine.slot_lengths[s]) + advance
-                            >= self.engine.max_seq - 1):
-                        self._finish_out_of_band(s, job, "length")
                 if need_shift and pending is not None:
                     await self._consume(loop, pending)
                     pending = None
                 for s in need_shift:
                     if s in self.running:  # may have finished in _consume
+                        job = self.running[s]
                         n_disc = self.engine.shift_slot(s, n_keep=self.n_keep)
                         if self.spec is not None:
                             self.spec.shift_draft(s, self.n_keep, n_disc)
-                        self.running[s]._shifted = True
+                        job._shifted = True
+                        if job._grammar is not None:
+                            # grammar jobs shift too (reference infinite
+                            # generation, bridge.cpp:487-507): the PDA is
+                            # token-history-only, only the cache-position
+                            # arithmetic of the rewind protocol must know
+                            job._g_disc += n_disc
 
             # grammar-violation fixes: the dispatch-ahead chunk chained from
             # a rejected token, so drain it (its tokens for the violating
@@ -673,7 +674,7 @@ class Scheduler:
                     slot, job, "stop" if gs.can_stop else "error")
                 continue
             g = len(job.token_ids)
-            new_len = len(job._prompt_ids) + g - 1
+            new_len = len(job._prompt_ids) + g - 1 - job._g_disc
             prev = job.token_ids[-1] if g else job._prompt_ids[-1]
             self.engine.state = seed_prompt_row(
                 self.engine.state, slot, job._prompt_ids + job.token_ids)

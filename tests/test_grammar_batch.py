@@ -200,3 +200,38 @@ def test_grammar_spec_combo_keeps_dedicated_path(tmp_path_factory):
 
     ok, job = asyncio.run(runner())
     assert ok, (job.status, job.finish_reason, job.output)
+
+
+def test_grammar_job_context_shifts(tmp_path_factory):
+    """A grammar job that outgrows max_seq keeps generating via in-cache
+    shifts (reference infinite generation, bridge.cpp:487-507) — r4 finished
+    these with 'length' at the context edge.  The rewind protocol must keep
+    working after the shift: cache positions drift by the discarded rows
+    (Job._g_disc) while the PDA stays token-history-only."""
+    model = get_model(tmp_path_factory)
+
+    async def runner():
+        engine = Engine(model, max_batch=2, max_seq=64, decode_chunk=4)
+        scheduler = Scheduler(
+            engine,
+            prompt_spec=PromptSpec(id="default"),
+            default_sampling=SamplingParams(temp=0.8, top_k=20, seed=3),
+            default_max_tokens=120,  # far beyond max_seq=64
+        )
+        scheduler.start()
+        # can't complete before ~50 reps — forces decoding past max_seq
+        job = scheduler.place_job(prompt="say the thing",
+                                  grammar='root ::= " the"{50,}\n',
+                                  max_tokens=150)
+        await scheduler.wait_job(job.id, timeout=240)
+        await scheduler.shutdown(drain=False)
+        return job
+
+    job = asyncio.run(runner())
+    assert job.status == "finished"
+    # crossed the context edge (shift happened) and kept generating
+    assert job.n_generated + job.n_prompt_tokens > 64
+    assert job._g_disc > 0  # at least one shift touched this grammar job
+    assert job.finish_reason in ("stop", "length")
+    # every token still conforms to the grammar after the shift
+    assert set(job.output.split()) <= {"the"}, job.output

@@ -103,7 +103,6 @@ def main():
     big_lines = []
     for line in txt.splitlines():
         ls = line.strip()
-        m = re.match(r"%?([\w.\-]+)\s*=\s*([a-z0-9]+\[[^=]*?\))?", ls)
         if "=" not in ls:
             continue
         rhs = ls.split("=", 1)[1].strip()
@@ -120,13 +119,12 @@ def main():
                           "dynamic-update-slice", "concatenate", "broadcast"):
                 big_lines.append((b, ls[:220]))
 
-    total_param_copies = 0
     print(f"\ninstructions with output >= {args.min_mb:.0f} MB by opcode:")
     for op, n in by_op.most_common():
         gb = by_op_bytes[op] / 2**30
         print(f"  {op:25s} x{n:3d}  {gb:7.2f} GB total")
-        if op == "copy":
-            total_param_copies = n
+    print(f"\nbig copies: {by_op['copy']} "
+          f"({by_op_bytes['copy'] / 2**30:.2f} GB)")
     print(f"\nsuspect big instructions ({len(big_lines)}):")
     for b, ls in sorted(big_lines, reverse=True)[:24]:
         print(f"  {b/2**20:8.0f} MB  {ls}")
