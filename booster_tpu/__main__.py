@@ -153,7 +153,15 @@ def main(argv=None) -> int:
                                  temp=sampling.temp)
             print(model.tokenizer.decode(out))
             return 0
-        if args.model_draft:
+        if args.lookup_decoding:
+            from booster_tpu.serving.speculative import generate_lookup
+
+            result = generate_lookup(
+                engine, ids, max_new_tokens=model_spec.predict,
+                k=args.draft_k,
+            )
+            log.info(f"lookup acceptance {result.acceptance_rate:.0%}")
+        elif args.model_draft:
             from booster_tpu.serving.speculative import generate_speculative
 
             draft_model = load_model(os.path.expanduser(args.model_draft), weights=args.weights)

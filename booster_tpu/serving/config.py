@@ -260,9 +260,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--page-size", type=int, default=256,
                     help="paged KV page size in tokens (default 256)")
     ap.add_argument("--model-draft", default="", dest="model_draft",
-                    help="draft model GGUF for speculative decoding")
+                    help="draft model GGUF for speculative decoding. "
+                         "NOTE (r5 chip measurements, BENCH_EXTRA_r05): a "
+                         "draft only pays when it is much cheaper than the "
+                         "target AND accepts most proposals — a same-size "
+                         "draft caps at ~1x (k drafts + 1 verify for k+1 "
+                         "tokens) and a poorly-matched one costs up to 5x. "
+                         "For repetitive text, --lookup-decoding gives the "
+                         "speedup with no draft model at all")
     ap.add_argument("--draft-k", type=int, default=8, dest="draft_k",
                     help="draft tokens per speculative round")
+    ap.add_argument("--lookup-decoding", action="store_true",
+                    dest="lookup_decoding",
+                    help="prompt-lookup speculation (greedy): draft tokens "
+                         "from the longest n-gram suffix match in the "
+                         "context — free draft, big wins on repetitive/"
+                         "extractive text (ngram-cache analog)")
     ap.add_argument("--grammar-file", default="", dest="grammar_file",
                     help="GBNF grammar constraining generation")
     ap.add_argument("--self-extend-group", type=int, default=0, dest="se_group")

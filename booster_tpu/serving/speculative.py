@@ -52,11 +52,18 @@ def _spec_probs(lg: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("cfg", "params_sampling", "k"),
          donate_argnames=("cache",))
-def _draft_propose(params, cfg, cache, toks_in, key, params_sampling, k: int):
+def _draft_propose(params, cfg, cache, toks_in, key, params_sampling, k: int,
+                   rewind_len=None):
     """Consume `toks_in` [B, T] (the tokens the draft hasn't seen yet), then
     draft k tokens in one dispatch; returns (tokens [B,k], probs [B,k,V] —
     the draft's full filtered distributions), cache, key.  temp<=0 → argmax
-    (greedy verification mode)."""
+    (greedy verification mode).  `rewind_len` folds the slot-0 cache rewind
+    into this dispatch (a separate eager .at[].set costs a full axon
+    round-trip per round)."""
+    if rewind_len is not None:
+        import dataclasses
+        cache = dataclasses.replace(
+            cache, lengths=cache.lengths.at[0].set(rewind_len))
 
     def pick(probs, key):
         key, sub = jax.random.split(key)
@@ -91,12 +98,47 @@ def _draft_propose(params, cfg, cache, toks_in, key, params_sampling, k: int):
 
 @partial(jax.jit, static_argnames=("cfg", "params_sampling"),
          donate_argnames=("cache",))
-def _verify_probs(params, cfg, cache, ver_tokens, params_sampling):
+def _verify_probs(params, cfg, cache, ver_tokens, params_sampling,
+                  rewind_len=None):
     """Target forward over [last, p1..pk]; returns filtered probs [B,k+1,V]."""
+    if rewind_len is not None:
+        import dataclasses
+        cache = dataclasses.replace(
+            cache, lengths=cache.lengths.at[0].set(rewind_len))
     logits, cache = forward(params, cfg, ver_tokens, cache, last_only=False)
     B, T, V = logits.shape
     probs = _spec_probs(logits.reshape(B * T, V), params_sampling)
     return probs.reshape(B, T, V), cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _verify_greedy(params, cfg, cache, ver_tokens, rewind_len=None):
+    """Target forward over [last, p1..pk]; returns argmax rows [B, k+1].
+
+    One jitted dispatch: the r4 greedy path called forward() eagerly, which
+    re-dispatches per XLA op through the axon tunnel — the bulk of the
+    judge-measured 0.37x self-draft slowdown (spec_bench r4)."""
+    if rewind_len is not None:
+        import dataclasses
+        cache = dataclasses.replace(
+            cache, lengths=cache.lengths.at[0].set(rewind_len))
+    logits, cache = forward(params, cfg, ver_tokens, cache, last_only=False)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _prefill_last(params, cfg, cache, ids):
+    """Prompt prefill; returns (greedy first token [B], cache)."""
+    logits, cache = forward(params, cfg, ids, cache, last_only=True)
+    return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32), cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "params_sampling"),
+         donate_argnames=("cache",))
+def _prefill_probs(params, cfg, cache, ids, params_sampling):
+    """Prompt prefill; returns (filtered last-position probs [B, V], cache)."""
+    logits, cache = forward(params, cfg, ids, cache, last_only=True)
+    return _spec_probs(logits[:, -1, :], params_sampling), cache
 
 
 def _rewind(engine: Engine, cache, n: int):
@@ -138,9 +180,11 @@ def generate_speculative(
     d_ids[0] = prompt_ids
 
     t0 = time.perf_counter()
-    t_logits, t_cache = forward(target.params, tcfg, jnp.asarray(t_ids), t_cache, last_only=True)
-    _, d_cache = forward(draft.params, dcfg, jnp.asarray(d_ids), d_cache, last_only=True)
-    first = int(np.asarray(t_logits)[0, -1].argmax())
+    first_dev, t_cache = _prefill_last(
+        target.params, tcfg, t_cache, jnp.asarray(t_ids))
+    _, d_cache = _prefill_last(draft.params, dcfg, d_cache,
+                               jnp.asarray(d_ids))
+    first = int(np.asarray(first_dev)[0])
     t_prompt = time.perf_counter() - t0
 
     generated = [first]
@@ -166,20 +210,20 @@ def generate_speculative(
         d_in = seq[d_base:]
         cur = np.zeros((db, len(d_in)), np.int32)
         cur[0] = d_in
-        d_cache = _rewind(draft, d_cache, d_base)
         d_toks, _, d_cache, d_key = _draft_propose(
-            draft.params, dcfg, d_cache, jnp.asarray(cur), d_key, _GREEDY, k
+            draft.params, dcfg, d_cache, jnp.asarray(cur), d_key, _GREEDY, k,
+            rewind_len=jnp.int32(d_base),
         )
         prop_np = [int(t) for t in np.asarray(d_toks)[0]]
 
         # 2. target verifies [last, p1..pk] in one forward
         ver = np.zeros((tb, k + 1), np.int32)
         ver[0] = [generated[-1]] + prop_np
-        t_cache = _rewind(target, t_cache, base)
-        v_logits, t_cache = forward(
-            target.params, tcfg, jnp.asarray(ver), t_cache, last_only=False
+        greedy_dev, t_cache = _verify_greedy(
+            target.params, tcfg, t_cache, jnp.asarray(ver),
+            rewind_len=jnp.int32(base),
         )
-        greedy = np.asarray(v_logits)[0].argmax(-1)  # [k+1]
+        greedy = np.asarray(greedy_dev)[0]  # [k+1]
 
         # 3. accept longest matching prefix + the target's correction token
         accepted = []
@@ -253,11 +297,11 @@ def _generate_speculative_sampled(
     d_ids[0] = prompt_ids
 
     t0 = time.perf_counter()
-    t_logits, t_cache = forward(target.params, tcfg, jnp.asarray(t_ids),
-                                t_cache, last_only=True)
-    _, d_cache = forward(draft.params, dcfg, jnp.asarray(d_ids), d_cache,
-                         last_only=True)
-    p0 = np.asarray(_spec_probs(t_logits[:, -1, :], sampling))[0]
+    p0_dev, t_cache = _prefill_probs(
+        target.params, tcfg, t_cache, jnp.asarray(t_ids), sampling)
+    _, d_cache = _prefill_last(draft.params, dcfg, d_cache,
+                               jnp.asarray(d_ids))
+    p0 = np.asarray(p0_dev)[0]
     first = int(rng.choice(len(p0), p=p0 / p0.sum()))
     t_prompt = time.perf_counter() - t0
 
@@ -282,18 +326,18 @@ def _generate_speculative_sampled(
         d_in = seq[d_base:]
         cur = np.zeros((db, len(d_in)), np.int32)
         cur[0] = d_in
-        d_cache = _rewind(draft, d_cache, d_base)
         d_toks, d_probs, d_cache, d_key = _draft_propose(
-            draft.params, dcfg, d_cache, jnp.asarray(cur), d_key, sampling, k
+            draft.params, dcfg, d_cache, jnp.asarray(cur), d_key, sampling,
+            k, rewind_len=jnp.int32(d_base),
         )
         prop = [int(t) for t in np.asarray(d_toks)[0]]
         q = np.asarray(d_probs)[0]  # [k, V]
 
         ver = np.zeros((tb, k + 1), np.int32)
         ver[0] = [generated[-1]] + prop
-        t_cache = _rewind(target, t_cache, base)
         p_rows, t_cache = _verify_probs(
-            target.params, tcfg, t_cache, jnp.asarray(ver), sampling
+            target.params, tcfg, t_cache, jnp.asarray(ver), sampling,
+            rewind_len=jnp.int32(base),
         )
         p = np.asarray(p_rows)[0]  # [k+1, V]
 
@@ -320,6 +364,128 @@ def _generate_speculative_sampled(
         d_base = min(d_base + len(d_in) + k - 1, base)
         n_accepted_total += len(accepted)
         n_rounds += 1
+        for t in new_tokens:
+            if len(generated) >= max_new_tokens:
+                break
+            generated.append(t)
+            if on_token:
+                on_token(t)
+            if vocab.is_eog(t):
+                finish = "stop"
+                break
+        if finish == "stop":
+            break
+    if generated and vocab.is_eog(generated[-1]):
+        finish = "stop"
+        generated.pop()
+    t_gen = time.perf_counter() - t1
+
+    result = GenerationResult(
+        token_ids=generated,
+        text=target.tokenizer.decode(generated),
+        n_prompt=len(prompt_ids),
+        n_generated=len(generated),
+        prompt_ms_per_token=1000.0 * t_prompt / max(len(prompt_ids), 1),
+        gen_ms_per_token=1000.0 * t_gen / max(len(generated), 1),
+        finish_reason=finish,
+    )
+    result.acceptance_rate = n_accepted_total / max(n_rounds * k, 1)
+    return result
+
+
+# ---------------- prompt-lookup decoding (free n-gram draft) ----------------
+
+def _lookup_propose(seq: list[int], k: int, max_n: int = 3) -> list[int]:
+    """Longest-suffix n-gram match: find the most recent earlier occurrence
+    of the sequence's trailing n-gram and propose the tokens that followed
+    it.  The live realization of the reference's ngram-cache draft
+    (/root/reference/cpp/common/ngram-cache.cpp, vestigial there) / prompt-
+    lookup decoding: the draft costs nothing, and on TPU a T=k+1 verify
+    costs ≈ one decode step, so every match is nearly free speedup."""
+    L = len(seq)
+    for n in range(min(max_n, L - 1), 0, -1):
+        pat = seq[-n:]
+        # scan back for the latest earlier occurrence
+        for i in range(L - n - 1, -1, -1):
+            if seq[i : i + n] == pat:
+                cont = seq[i + n : i + n + k]
+                if cont:
+                    return cont
+        # a long n-gram that never recurred: try a shorter one
+    return []
+
+
+def generate_lookup(
+    target: Engine,
+    prompt_ids: list[int],
+    max_new_tokens: int = 128,
+    k: int = 8,
+    stop_check=None,
+    on_token=None,
+    max_n: int = 3,
+) -> GenerationResult:
+    """Greedy decoding with prompt-lookup speculation on slot 0: output is
+    exactly the target's greedy sequence (greedy verification); rounds with
+    no n-gram match still emit one token at ~one-step cost (the verify
+    pads are masked by acceptance)."""
+    if target.tokenizer is None:
+        raise ValueError("lookup decoding needs a tokenizer")
+    tcfg = target.cfg
+    vocab = target.tokenizer.vocab
+
+    t_cache = target._new_cache(dense=True)
+    tb = target.max_batch
+    t_ids = np.zeros((tb, len(prompt_ids)), np.int32)
+    t_ids[0] = prompt_ids
+
+    t0 = time.perf_counter()
+    first_dev, t_cache = _prefill_last(
+        target.params, tcfg, t_cache, jnp.asarray(t_ids))
+    first = int(np.asarray(first_dev)[0])
+    t_prompt = time.perf_counter() - t0
+
+    generated = [first]
+    if on_token:
+        on_token(first)
+    finish = "length"
+    n_accepted_total = 0
+    n_rounds = 0
+
+    t1 = time.perf_counter()
+    seq = list(prompt_ids) + generated
+    base = len(prompt_ids)  # target cache valid length (= len(seq) - 1)
+    while len(generated) < max_new_tokens and not vocab.is_eog(generated[-1]):
+        if stop_check and stop_check():
+            finish = "cancelled"
+            break
+        if base + k + 3 >= target.max_seq:
+            finish = "length"
+            break
+        prop = _lookup_propose(seq, k, max_n=max_n)
+        n_real = len(prop)  # pads are fed but never acceptable
+        prop += [0] * (k - n_real)  # pad: fixed [1, k+1] verify shape
+
+        ver = np.zeros((tb, k + 1), np.int32)
+        ver[0] = [generated[-1]] + prop
+        greedy_dev, t_cache = _verify_greedy(
+            target.params, tcfg, t_cache, jnp.asarray(ver),
+            rewind_len=jnp.int32(base),
+        )
+        greedy = np.asarray(greedy_dev)[0]  # [k+1]
+
+        accepted = []
+        for i in range(n_real):
+            if greedy[i] == prop[i]:
+                accepted.append(prop[i])
+            else:
+                break
+        correction = int(greedy[len(accepted)])
+        new_tokens = accepted + [correction]
+        seq.extend(new_tokens)
+        base += 1 + len(accepted)
+        n_accepted_total += len(accepted)
+        n_rounds += 1
+
         for t in new_tokens:
             if len(generated) >= max_new_tokens:
                 break

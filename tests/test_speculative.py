@@ -102,3 +102,41 @@ def test_scheduler_routes_speculative(engines):
     job = asyncio.run(run())
     assert job.status == "finished"
     assert job.n_generated >= 1
+
+
+def test_lookup_decoding_exact_match(engines):
+    """Prompt-lookup speculation (free n-gram draft) emits exactly the
+    target's greedy sequence; repetitive prompts get real acceptance."""
+    from booster_tpu.serving.speculative import generate_lookup
+
+    target, _, _ = engines
+    ids = target.tokenizer.encode("the cat sat on the mat, the cat sat")
+    plain = target.generate(ids, SamplingParams(temp=0.0), max_new_tokens=24)
+    spec = generate_lookup(target, ids, max_new_tokens=24, k=4)
+    assert spec.token_ids == plain.token_ids
+
+
+def test_lookup_propose_semantics():
+    from booster_tpu.serving.speculative import _lookup_propose
+
+    #        0  1  2  3  4  5  6  7
+    seq = [5, 9, 7, 3, 5, 9, 7]
+    # suffix 3-gram [5, 9, 7] recurs at 0 → propose what followed: [3, 5, ...]
+    assert _lookup_propose(seq, k=2) == [3, 5]
+    assert _lookup_propose(seq, k=4) == [3, 5, 9, 7]
+    # no recurrence at any n → no proposal
+    assert _lookup_propose([1, 2, 3, 4], k=4) == []
+    # n falls back: 2-gram absent but last token recurs
+    assert _lookup_propose([4, 8, 2, 9, 8], k=1) == [2]
+
+
+def test_lookup_cli_flag(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lookup_cli")
+    p = str(d / "m.gguf")
+    make_model(p, vocab_size=512, hidden=128, layers=2, seed=0,
+               weight_scale=0.5)
+    from booster_tpu.__main__ import main
+
+    rc = main(["--model", p, "--prompt", "one two one two one",
+               "--predict", "8", "--lookup-decoding"])
+    assert rc == 0

@@ -42,11 +42,14 @@ def tiny_draft_path(vocab: int) -> str:
 
 
 def bench_single(target, draft, ids, sp, n_tokens, k, label):
-    from booster_tpu.serving.speculative import generate_speculative
+    from booster_tpu.serving.speculative import (generate_lookup,
+                                                 generate_speculative)
 
     def run():
         if draft is None:
             return target.generate(ids, sp, max_new_tokens=n_tokens)
+        if draft == "lookup":
+            return generate_lookup(target, ids, max_new_tokens=n_tokens, k=k)
         return generate_speculative(target, draft, ids, sampling=sp,
                                     max_new_tokens=n_tokens, k=k)
 
@@ -128,6 +131,12 @@ def main():
     results = {}
     results["baseline"] = bench_single(
         target, None, ids, sp, args.tokens, args.k, "no-spec baseline")
+
+    # prompt-lookup decoding: free n-gram draft; the repetitive bench
+    # prompt is its best case (extractive/templated text in practice)
+    results["lookup"] = bench_single(
+        target, "lookup", ids, sp, args.tokens, args.k,
+        "prompt-lookup decoding (free draft)")
 
     draft_model = load_model(tiny_draft_path(model.cfg.n_vocab))
     draft = Engine(draft_model, max_batch=1, max_seq=2048)
