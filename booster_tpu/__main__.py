@@ -154,9 +154,11 @@ def main(argv=None) -> int:
             print(model.tokenizer.decode(out))
             return 0
         if args.lookup_decoding:
-            from booster_tpu.serving.speculative import generate_lookup
+            from booster_tpu.serving.speculative import (
+                generate_lookup_chained,
+            )
 
-            result = generate_lookup(
+            result = generate_lookup_chained(
                 engine, ids, max_new_tokens=model_spec.predict,
                 k=args.draft_k,
             )

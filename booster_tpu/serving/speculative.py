@@ -513,3 +513,185 @@ def generate_lookup(
     )
     result.acceptance_rate = n_accepted_total / max(n_rounds * k, 1)
     return result
+
+
+# ------------- device-chained lookup rounds (no per-round host sync) -------
+
+def _propose_ngram_dev(s, length, k: int, SMAX: int):
+    """On-device longest-suffix n-gram proposal over the token buffer
+    s [SMAX] (valid prefix `length`).  Returns (prop [k], has flag).
+    Proposals drawn past `length` are stale garbage — harmless under greedy
+    verification (accepted only if they EQUAL the target's greedy)."""
+    idx = jnp.arange(SMAX, dtype=jnp.int32)
+
+    def match(n):
+        t = jax.lax.dynamic_slice(
+            s, (jnp.maximum(length - n, 0),), (n,))
+        m = jnp.ones((SMAX,), bool)
+        for j in range(n):
+            m = m & (jnp.roll(s, -j) == t[j])
+        # i + n <= length - 1: at least one following token, and exclude
+        # the suffix occurrence itself
+        m = m & (idx + n <= length - 1) & (length > n)
+        return jnp.max(jnp.where(m, idx, -1))
+
+    i3, i2, i1 = match(3), match(2), match(1)
+    i = jnp.where(i3 >= 0, i3, jnp.where(i2 >= 0, i2, i1))
+    n = jnp.where(i3 >= 0, 3, jnp.where(i2 >= 0, 2, 1))
+    has = i >= 0
+    start = jnp.clip(jnp.where(has, i + n, 0), 0, SMAX - k)
+    prop = jax.lax.dynamic_slice(s, (start,), (k,))
+    return prop, has
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "k", "rounds", "use_oracle"),
+         donate_argnames=("cache", "seq_buf"))
+def _lookup_rounds(params, cfg, cache, seq_buf, seq_len, prompt_len,
+                   oracle_buf, k: int, rounds: int, use_oracle: bool):
+    """Chain `rounds` greedy lookup-speculation rounds in ONE dispatch.
+
+    Per-round host sync costs ~25-30 ms through the axon tunnel — more than
+    the verify forward itself — so rounds ride a lax.scan: on-device n-gram
+    propose → T=k+1 verify → cumprod accept → token-buffer append.  Returns
+    (out [rounds, k+1] emitted tokens (-1 padding), n_new [rounds],
+    seq_buf, seq_len, cache).  With `use_oracle`, proposals come from
+    oracle_buf[gen:gen+k] instead of the n-gram match — the machinery
+    upper bound (acceptance 1 by construction) used by tools/spec_bench."""
+    import dataclasses
+
+    B = cache.lengths.shape[0]
+    SMAX = seq_buf.shape[0]
+    biota = jnp.arange(B, dtype=jnp.int32)
+
+    def round_fn(carry, _):
+        s, length, cache = carry
+        if use_oracle:
+            # oracle[g] is the g-th generated token; g = length - prompt_len
+            gen = jnp.clip(length - prompt_len, 0, SMAX - k)
+            prop = jax.lax.dynamic_slice(oracle_buf, (gen,), (k,))
+            has = jnp.bool_(True)
+        else:
+            prop, has = _propose_ngram_dev(s, length, k, SMAX)
+        last = jax.lax.dynamic_slice(s, (length - 1,), (1,))
+        ver = jnp.concatenate([last, prop])[None, :]
+        ver = jnp.broadcast_to(ver, (B, k + 1))
+        # slot 0 holds the sequence; other slots are parked at 0
+        cache = dataclasses.replace(
+            cache, lengths=jnp.where(biota == 0, length - 1, 0))
+        logits, cache = forward(params, cfg, ver, cache, last_only=False)
+        greedy = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # [k+1]
+        eq = (greedy[:k] == prop) & has
+        n_acc = jnp.cumprod(eq.astype(jnp.int32)).sum()
+        iot = jnp.arange(k + 1, dtype=jnp.int32)
+        corr = greedy[n_acc]
+        prop_pad = jnp.concatenate([prop, prop[:1]])
+        out = jnp.where(iot < n_acc, prop_pad,
+                        jnp.where(iot == n_acc, corr, -1))
+        s = jax.lax.dynamic_update_slice(
+            s, jnp.where(out >= 0, out, 0), (length,))
+        length = length + n_acc + 1
+        return (s, length, cache), (out, n_acc + 1)
+
+    (seq_buf, seq_len, cache), (outs, n_new) = jax.lax.scan(
+        round_fn, (seq_buf, seq_len, cache), None, length=rounds)
+    return outs, n_new, seq_buf, seq_len, cache
+
+
+def generate_lookup_chained(
+    target: Engine,
+    prompt_ids: list[int],
+    max_new_tokens: int = 128,
+    k: int = 8,
+    rounds_per_dispatch: int = 8,
+    stop_check=None,
+    on_token=None,
+    oracle: Optional[list[int]] = None,
+) -> GenerationResult:
+    """generate_lookup with device-chained rounds (one dispatch + one fetch
+    per `rounds_per_dispatch` rounds).  Output is exactly the target's
+    greedy sequence.  `oracle` (tools/spec_bench only) replaces the n-gram
+    draft with a known continuation to measure the acceptance-1 ceiling."""
+    if target.tokenizer is None:
+        raise ValueError("lookup decoding needs a tokenizer")
+    tcfg = target.cfg
+    vocab = target.tokenizer.vocab
+    SMAX = target.max_seq
+
+    t_cache = target._new_cache(dense=True)
+    tb = target.max_batch
+    t_ids = np.zeros((tb, len(prompt_ids)), np.int32)
+    t_ids[0] = prompt_ids
+
+    t0 = time.perf_counter()
+    first_dev, t_cache = _prefill_last(
+        target.params, tcfg, t_cache, jnp.asarray(t_ids))
+    first = int(np.asarray(first_dev)[0])
+    t_prompt = time.perf_counter() - t0
+
+    generated = [first]
+    if on_token:
+        on_token(first)
+    finish = "length"
+    n_accepted_total = 0
+    n_rounds = 0
+
+    P = len(prompt_ids)
+    seq_buf = np.zeros(SMAX, np.int32)
+    seq_buf[: P + 1] = prompt_ids + [first]
+    seq_buf = jnp.asarray(seq_buf)
+    seq_len = jnp.int32(P + 1)
+    ora = np.zeros(SMAX, np.int32)
+    if oracle:
+        ora[: min(len(oracle), SMAX)] = oracle[:SMAX]
+    ora = jnp.asarray(ora)
+
+    t1 = time.perf_counter()
+    cur_len = P + 1
+    R = rounds_per_dispatch
+    while len(generated) < max_new_tokens and not vocab.is_eog(generated[-1]):
+        if stop_check and stop_check():
+            finish = "cancelled"
+            break
+        if cur_len + R * (k + 1) + 2 >= SMAX:
+            finish = "length"
+            break
+        outs, n_new, seq_buf, seq_len, t_cache = _lookup_rounds(
+            target.params, tcfg, t_cache, seq_buf, seq_len,
+            jnp.int32(P), ora, k, R, oracle is not None)
+        outs = np.asarray(outs)
+        n_new_np = np.asarray(n_new)
+        cur_len = int(np.asarray(seq_len))
+        for r in range(R):
+            n_rounds += 1
+            n_accepted_total += int(n_new_np[r]) - 1
+            for t in outs[r, : int(n_new_np[r])]:
+                t = int(t)
+                generated.append(t)
+                if on_token:
+                    on_token(t)
+                if vocab.is_eog(t) or len(generated) >= max_new_tokens:
+                    break
+            if (generated and vocab.is_eog(generated[-1])) \
+                    or len(generated) >= max_new_tokens:
+                break
+        if generated and vocab.is_eog(generated[-1]):
+            finish = "stop"
+            break
+    if generated and vocab.is_eog(generated[-1]):
+        finish = "stop"
+        generated.pop()
+    generated = generated[:max_new_tokens]
+    t_gen = time.perf_counter() - t1
+
+    result = GenerationResult(
+        token_ids=generated,
+        text=target.tokenizer.decode(generated),
+        n_prompt=len(prompt_ids),
+        n_generated=len(generated),
+        prompt_ms_per_token=1000.0 * t_prompt / max(len(prompt_ids), 1),
+        gen_ms_per_token=1000.0 * t_gen / max(len(generated), 1),
+        finish_reason=finish,
+    )
+    result.acceptance_rate = n_accepted_total / max(n_rounds * k, 1)
+    return result

@@ -140,3 +140,21 @@ def test_lookup_cli_flag(tmp_path_factory):
     rc = main(["--model", p, "--prompt", "one two one two one",
                "--predict", "8", "--lookup-decoding"])
     assert rc == 0
+
+
+def test_lookup_chained_exact_match(engines):
+    """Device-chained lookup rounds == plain greedy, n-gram and oracle."""
+    from booster_tpu.serving.speculative import generate_lookup_chained
+
+    target, _, _ = engines
+    ids = target.tokenizer.encode("the cat sat on the mat, the cat sat")
+    plain = target.generate(ids, SamplingParams(temp=0.0), max_new_tokens=24)
+    spec = generate_lookup_chained(target, ids, max_new_tokens=24, k=4,
+                                   rounds_per_dispatch=3)
+    assert spec.token_ids == plain.token_ids
+    orc = generate_lookup_chained(target, ids, max_new_tokens=24, k=4,
+                                  rounds_per_dispatch=3,
+                                  oracle=plain.token_ids)
+    assert orc.token_ids == plain.token_ids
+    # the oracle draft accepts (nearly) everything by construction
+    assert orc.acceptance_rate > 0.8

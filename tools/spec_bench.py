@@ -41,15 +41,16 @@ def tiny_draft_path(vocab: int) -> str:
     return path
 
 
-def bench_single(target, draft, ids, sp, n_tokens, k, label):
-    from booster_tpu.serving.speculative import (generate_lookup,
+def bench_single(target, draft, ids, sp, n_tokens, k, label, oracle=None):
+    from booster_tpu.serving.speculative import (generate_lookup_chained,
                                                  generate_speculative)
 
     def run():
         if draft is None:
             return target.generate(ids, sp, max_new_tokens=n_tokens)
         if draft == "lookup":
-            return generate_lookup(target, ids, max_new_tokens=n_tokens, k=k)
+            return generate_lookup_chained(
+                target, ids, max_new_tokens=n_tokens, k=k, oracle=oracle)
         return generate_speculative(target, draft, ids, sampling=sp,
                                     max_new_tokens=n_tokens, k=k)
 
@@ -132,11 +133,21 @@ def main():
     results["baseline"] = bench_single(
         target, None, ids, sp, args.tokens, args.k, "no-spec baseline")
 
-    # prompt-lookup decoding: free n-gram draft; the repetitive bench
-    # prompt is its best case (extractive/templated text in practice)
+    # prompt-lookup decoding: free n-gram draft, device-chained rounds.
+    # Synthetic random weights generate non-repeating text (acceptance ~0
+    # here) — this leg measures the machinery's WORST case; extractive/
+    # templated text on real checkpoints is its best case.
     results["lookup"] = bench_single(
         target, "lookup", ids, sp, args.tokens, args.k,
-        "prompt-lookup decoding (free draft)")
+        "prompt-lookup, no matches (machinery floor)")
+
+    # acceptance-1 ceiling: propose the target's own recorded greedy
+    # continuation (oracle) through the same chained verifier — what
+    # lookup/spec delivers when the draft is right
+    plain = target.generate(ids, sp, max_new_tokens=args.tokens)
+    results["oracle"] = bench_single(
+        target, "lookup", ids, sp, args.tokens, args.k,
+        "oracle draft (acceptance-1 ceiling)", oracle=plain.token_ids)
 
     draft_model = load_model(tiny_draft_path(model.cfg.n_vocab))
     draft = Engine(draft_model, max_batch=1, max_seq=2048)
