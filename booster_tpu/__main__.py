@@ -158,6 +158,10 @@ def main(argv=None) -> int:
                 generate_lookup_chained,
             )
 
+            if sampling.temp > 0:
+                log.warning(
+                    "--lookup-decoding is greedy-only: temperature/top-k "
+                    "and other sampling settings are ignored")
             result = generate_lookup_chained(
                 engine, ids, max_new_tokens=model_spec.predict,
                 k=args.draft_k,

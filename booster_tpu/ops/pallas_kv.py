@@ -400,43 +400,6 @@ def kv_append_decode(
 
 # ---------------- paged pool (table-steered) deferred append ----------------
 
-def _rmw_payload_paged(cref, page, o, new_lhd, win_s, sem):
-    """RMW one slot's aligned [L, Hkv, _WIN, D] window inside its write
-    page across ALL layers in a single DMA box (the paged sibling of
-    _rmw_payload_all; the page index comes from the SMEM table)."""
-    off_al = pl.multiple_of((o // _WIN) * _WIN, _WIN)
-    rd = pltpu.make_async_copy(
-        cref.at[:, page, :, pl.ds(off_al, _WIN), :], win_s, sem)
-    rd.start()
-    rd.wait()
-    new_c = new_lhd.astype(win_s.dtype)  # [L, Hkv, D]
-    rel = o - off_al
-    for w in range(_WIN):
-        @pl.when(w >= rel)
-        def _():
-            win_s[:, :, w, :] = new_c
-    wr = pltpu.make_async_copy(
-        win_s, cref.at[:, page, :, pl.ds(off_al, _WIN), :], sem)
-    wr.start()
-    wr.wait()
-
-
-def _rmw_scale_paged(sref, page, o, new_lh1, win_s, sem):
-    """RMW one slot's aligned [L, Hkv, _SWIN] scale window in its page."""
-    off_al = pl.multiple_of((o // _SWIN) * _SWIN, _SWIN)
-    rd = pltpu.make_async_copy(
-        sref.at[:, page, :, pl.ds(off_al, _SWIN)], win_s, sem)
-    rd.start()
-    rd.wait()
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _SWIN), 2)
-    keep_new = lane >= (o - off_al)
-    win_s[:] = jnp.where(keep_new, new_lh1, win_s[:])
-    wr = pltpu.make_async_copy(
-        win_s, sref.at[:, page, :, pl.ds(off_al, _SWIN)], sem)
-    wr.start()
-    wr.wait()
-
-
 def _page_target(tbl_ref, off_ref, b, P: int, MAXP: int):
     """(physical page, in-page offset) for slot b; positions past the table
     range divert to physical page 0 — the reserved scratch page (same
@@ -473,10 +436,12 @@ def _append_all_kernel_paged_quant(
 
     kq, ksc = quantize(knew_ref)
     vq, vsc = quantize(vnew_ref)
-    _rmw_payload_paged(kc_ref, page, o, kq, kwin, sem)
-    _rmw_payload_paged(vc_ref, page, o, vq, vwin, sem)
-    _rmw_scale_paged(ks_ref, page, o, ksc, kswin, sem)
-    _rmw_scale_paged(vs_ref, page, o, vsc, vswin, sem)
+    # the dense all-layer RMW helpers index dim 1 generically —
+    # (batch b) there, (physical page) here
+    _rmw_payload_all(kc_ref, page, o, kq, kwin, sem)
+    _rmw_payload_all(vc_ref, page, o, vq, vwin, sem)
+    _rmw_scale_all(ks_ref, page, o, ksc, kswin, sem)
+    _rmw_scale_all(vs_ref, page, o, vsc, vswin, sem)
 
 
 def _append_all_kernel_paged_plain(
@@ -490,8 +455,8 @@ def _append_all_kernel_paged_plain(
 ):
     b = pl.program_id(0)
     page, o = _page_target(tbl_ref, off_ref, b, P, MAXP)
-    _rmw_payload_paged(kc_ref, page, o, knew_ref[:, 0], kwin, sem)
-    _rmw_payload_paged(vc_ref, page, o, vnew_ref[:, 0], vwin, sem)
+    _rmw_payload_all(kc_ref, page, o, knew_ref[:, 0], kwin, sem)
+    _rmw_payload_all(vc_ref, page, o, vnew_ref[:, 0], vwin, sem)
 
 
 def kv_append_all_layers_paged(

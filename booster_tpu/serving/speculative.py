@@ -141,13 +141,6 @@ def _prefill_probs(params, cfg, cache, ids, params_sampling):
     return _spec_probs(logits[:, -1, :], params_sampling), cache
 
 
-def _rewind(engine: Engine, cache, n: int):
-    """Set slot-0 length to n (stale KV beyond n is overwritten later)."""
-    import dataclasses
-
-    return dataclasses.replace(cache, lengths=cache.lengths.at[0].set(n))
-
-
 def generate_speculative(
     target: Engine,
     draft: Engine,
@@ -252,8 +245,8 @@ def generate_speculative(
         if finish == "stop":
             break
     if generated and vocab.is_eog(generated[-1]):
+        # the EOG token stays in token_ids, matching engine.generate
         finish = "stop"
-        generated.pop()
     t_gen = time.perf_counter() - t1
 
     result = GenerationResult(
@@ -376,8 +369,8 @@ def _generate_speculative_sampled(
         if finish == "stop":
             break
     if generated and vocab.is_eog(generated[-1]):
+        # the EOG token stays in token_ids, matching engine.generate
         finish = "stop"
-        generated.pop()
     t_gen = time.perf_counter() - t1
 
     result = GenerationResult(
@@ -424,95 +417,14 @@ def generate_lookup(
     on_token=None,
     max_n: int = 3,
 ) -> GenerationResult:
-    """Greedy decoding with prompt-lookup speculation on slot 0: output is
-    exactly the target's greedy sequence (greedy verification); rounds with
-    no n-gram match still emit one token at ~one-step cost (the verify
-    pads are masked by acceptance)."""
-    if target.tokenizer is None:
-        raise ValueError("lookup decoding needs a tokenizer")
-    tcfg = target.cfg
-    vocab = target.tokenizer.vocab
-
-    t_cache = target._new_cache(dense=True)
-    tb = target.max_batch
-    t_ids = np.zeros((tb, len(prompt_ids)), np.int32)
-    t_ids[0] = prompt_ids
-
-    t0 = time.perf_counter()
-    first_dev, t_cache = _prefill_last(
-        target.params, tcfg, t_cache, jnp.asarray(t_ids))
-    first = int(np.asarray(first_dev)[0])
-    t_prompt = time.perf_counter() - t0
-
-    generated = [first]
-    if on_token:
-        on_token(first)
-    finish = "length"
-    n_accepted_total = 0
-    n_rounds = 0
-
-    t1 = time.perf_counter()
-    seq = list(prompt_ids) + generated
-    base = len(prompt_ids)  # target cache valid length (= len(seq) - 1)
-    while len(generated) < max_new_tokens and not vocab.is_eog(generated[-1]):
-        if stop_check and stop_check():
-            finish = "cancelled"
-            break
-        if base + k + 3 >= target.max_seq:
-            finish = "length"
-            break
-        prop = _lookup_propose(seq, k, max_n=max_n)
-        n_real = len(prop)  # pads are fed but never acceptable
-        prop += [0] * (k - n_real)  # pad: fixed [1, k+1] verify shape
-
-        ver = np.zeros((tb, k + 1), np.int32)
-        ver[0] = [generated[-1]] + prop
-        greedy_dev, t_cache = _verify_greedy(
-            target.params, tcfg, t_cache, jnp.asarray(ver),
-            rewind_len=jnp.int32(base),
-        )
-        greedy = np.asarray(greedy_dev)[0]  # [k+1]
-
-        accepted = []
-        for i in range(n_real):
-            if greedy[i] == prop[i]:
-                accepted.append(prop[i])
-            else:
-                break
-        correction = int(greedy[len(accepted)])
-        new_tokens = accepted + [correction]
-        seq.extend(new_tokens)
-        base += 1 + len(accepted)
-        n_accepted_total += len(accepted)
-        n_rounds += 1
-
-        for t in new_tokens:
-            if len(generated) >= max_new_tokens:
-                break
-            generated.append(t)
-            if on_token:
-                on_token(t)
-            if vocab.is_eog(t):
-                finish = "stop"
-                break
-        if finish == "stop":
-            break
-    if generated and vocab.is_eog(generated[-1]):
-        finish = "stop"
-        generated.pop()
-    t_gen = time.perf_counter() - t1
-
-    result = GenerationResult(
-        token_ids=generated,
-        text=target.tokenizer.decode(generated),
-        n_prompt=len(prompt_ids),
-        n_generated=len(generated),
-        prompt_ms_per_token=1000.0 * t_prompt / max(len(prompt_ids), 1),
-        gen_ms_per_token=1000.0 * t_gen / max(len(generated), 1),
-        finish_reason=finish,
+    """Greedy prompt-lookup speculation, one round per dispatch — a thin
+    wrapper over generate_lookup_chained(rounds_per_dispatch=1) so the two
+    entry points cannot diverge (the chained loop is the production path;
+    max_n is fixed at 3 by the on-device matcher)."""
+    return generate_lookup_chained(
+        target, prompt_ids, max_new_tokens=max_new_tokens, k=k,
+        rounds_per_dispatch=1, stop_check=stop_check, on_token=on_token,
     )
-    result.acceptance_rate = n_accepted_total / max(n_rounds * k, 1)
-    return result
 
 
 # ------------- device-chained lookup rounds (no per-round host sync) -------
@@ -648,12 +560,17 @@ def generate_lookup_chained(
 
     t1 = time.perf_counter()
     cur_len = P + 1
-    R = rounds_per_dispatch
     while len(generated) < max_new_tokens and not vocab.is_eog(generated[-1]):
         if stop_check and stop_check():
             finish = "cancelled"
             break
-        if cur_len + R * (k + 1) + 2 >= SMAX:
+        # shrink the round count near the context edge and the token
+        # budget (a worst-case round consumes k+1 cache rows but may emit
+        # only 1 token) instead of aborting with headroom left
+        R = min(rounds_per_dispatch,
+                (SMAX - 2 - cur_len) // (k + 1),
+                max_new_tokens - len(generated))
+        if R < 1:
             finish = "length"
             break
         outs, n_new, seq_buf, seq_len, t_cache = _lookup_rounds(
@@ -679,8 +596,8 @@ def generate_lookup_chained(
             finish = "stop"
             break
     if generated and vocab.is_eog(generated[-1]):
+        # the EOG token stays in token_ids, matching engine.generate
         finish = "stop"
-        generated.pop()
     generated = generated[:max_new_tokens]
     t_gen = time.perf_counter() - t1
 

@@ -225,3 +225,143 @@ def test_paged_attention_scattered_tables():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-2, rtol=2e-2)
+
+
+# ---------------- merged stacked paged kernel (r5) ----------------
+
+def stacked_paged_case(B, Hkv, G, D, P, maxp, L, seed=0, quantized=False):
+    rng = np.random.default_rng(seed)
+    H = Hkv * G
+    S = P * maxp
+    lay = L - 1
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)).astype(np.float32))
+    tbl = rng.permutation(B * maxp).astype(np.int32).reshape(B, maxp)
+    table = jnp.asarray(tbl)
+    Np = B * maxp
+    kf = rng.normal(size=(L, Np, Hkv, P, D)).astype(np.float32)
+    vf = rng.normal(size=(L, Np, Hkv, P, D)).astype(np.float32)
+    lens = np.minimum(rng.integers(1, S - 1, B), S).astype(np.int32)
+    if quantized:
+        kq, ks = _quantize_kv(jnp.asarray(kf))
+        vq, vs = _quantize_kv(jnp.asarray(vf))
+        pools = (kq, vq, ks, vs)
+        kd = (kq[lay].astype(jnp.float32) * ks[lay]).astype(jnp.bfloat16)
+        vd = (vq[lay].astype(jnp.float32) * vs[lay]).astype(jnp.bfloat16)
+    else:
+        pools = (jnp.asarray(kf, jnp.bfloat16), jnp.asarray(vf, jnp.bfloat16),
+                 None, None)
+        kd, vd = pools[0][lay], pools[1][lay]
+    dk, dv = gather_layer(kd, table), gather_layer(vd, table)
+    return q, pools, table, lay, jnp.asarray(lens), dk, dv
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_stacked_merged_matches_xla(quantized):
+    """The r5 merged kernel (head-folded DMA, block-diagonal dot, nv
+    steering) matches the dense masked softmax for multi-head GQA shapes.
+    P and D are 128-multiples so the merged path engages (not the
+    unrolled fallback)."""
+    assert ppa._MERGED_P
+    B, Hkv, G, D, P, maxp, L = 8, 2, 4, 128, 128, 3, 2
+    q, pools, table, lay, lens, dk, dv = stacked_paged_case(
+        B, Hkv, G, D, P, maxp, L, seed=11, quantized=quantized)
+    scale = 0.125
+    ref = ref_attention(q, dk, dv, lens, scale)
+    out = ppa.paged_decode_attention_stacked(
+        q, *pools, table, jnp.int32(lay), lens, scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_paged_stacked_merged_window_softcap_and_prep():
+    B, Hkv, G, D, P, maxp, L = 4, 2, 2, 128, 128, 2, 2
+    q, pools, table, lay, lens, dk, dv = stacked_paged_case(
+        B, Hkv, G, D, P, maxp, L, seed=5)
+    scale = 0.1
+    win = jnp.int32(96)
+    ref = ref_attention(q, dk, dv, lens, scale, softcap=30.0, window=win)
+    prep = ppa.paged_decode_prep(lens, win, B=B, P=P, MAXP=maxp)
+    out = ppa.paged_decode_attention_stacked(
+        q, *pools, table, jnp.int32(lay), lens, scale,
+        logit_softcap=30.0, window=win, prep=prep)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_paged_stacked_merged_deferred_self():
+    """Deferred-append self term (mirror-quantized) through the merged
+    kernel == append-then-attend over the dense view."""
+    B, Hkv, G, D, P, maxp, L = 4, 2, 2, 128, 128, 2, 2
+    rng = np.random.default_rng(9)
+    q, pools, table, lay, lens, dk, dv = stacked_paged_case(
+        B, Hkv, G, D, P, maxp, L, seed=9, quantized=True)
+    scale = 0.125
+    nk = rng.normal(size=(B, Hkv, D)).astype(np.float32)
+    nv = rng.normal(size=(B, Hkv, D)).astype(np.float32)
+    ok = jnp.ones((B,), jnp.int32)
+
+    def mirror(x):  # storage round-trip (int8 per (row, head))
+        sc = np.max(np.abs(x), axis=-1, keepdims=True) / 127.0
+        return np.round(x / np.maximum(sc, 1e-12)) * sc
+
+    bi = np.arange(B)[:, None, None]
+    hi = np.arange(Hkv)[None, :, None]
+    si = np.asarray(lens)[:, None, None]
+    dk2 = np.asarray(dk, np.float32)
+    dv2 = np.asarray(dv, np.float32)
+    dk2[bi, hi, si] = mirror(nk)[:, :, None][bi, hi, 0]
+    dv2[bi, hi, si] = mirror(nv)[:, :, None][bi, hi, 0]
+    ref = ref_attention(q, jnp.asarray(dk2), jnp.asarray(dv2),
+                        lens + 1, scale)
+    out = ppa.paged_decode_attention_stacked(
+        q, *pools, table, jnp.int32(lay), lens, scale,
+        self_kv=(jnp.asarray(nk), jnp.asarray(nv), ok))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_fused_append_matches_scatter(quantized):
+    """kv_append_all_layers_paged == the XLA scatter path on the valid
+    region (window-clobbered rows past each slot's offset are future
+    positions, never read)."""
+    import booster_tpu.ops.pallas_kv as pk
+    from booster_tpu.ops.paged_kv import paged_append_all_layers
+
+    pk.INTERPRET = True  # scoped: update_layer elsewhere must stay XLA
+    rng = np.random.default_rng(3)
+    L, B, Hkv, P, D, maxp = 2, 4, 2, 128, 128, 2
+    Np = B * maxp
+    table = jnp.asarray(rng.permutation(Np).astype(np.int32).reshape(B, maxp))
+    kf = jnp.asarray(rng.normal(size=(L, Np, Hkv, P, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(L, Np, Hkv, P, D)).astype(np.float32))
+    new_k = jnp.asarray(rng.normal(size=(L, B, Hkv, D)).astype(np.float32))
+    new_v = jnp.asarray(rng.normal(size=(L, B, Hkv, D)).astype(np.float32))
+    offs = jnp.asarray(np.array([0, 7, 130, 255], np.int32))
+    if quantized:
+        k, ks = _quantize_kv(kf)
+        v, vs = _quantize_kv(vf)
+    else:
+        k, v = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+        ks = vs = None
+    try:
+        got = pk.kv_append_all_layers_paged(k, v, new_k, new_v, offs, table,
+                                            ks, vs)
+    finally:
+        pk.INTERPRET = False
+    want = paged_append_all_layers(k, v, new_k, new_v, offs, table, ks, vs)
+    offs_np, tbl_np = np.asarray(offs), np.asarray(table)
+    for b in range(B):
+        page = tbl_np[b, offs_np[b] // P]
+        o = offs_np[b] % P
+        for g, w, name in zip(got, want, ("k", "v", "ks", "vs")):
+            if g is None:
+                assert w is None
+                continue
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32)[:, page, :, o],
+                np.asarray(w, np.float32)[:, page, :, o],
+                atol=1e-5, err_msg=f"{name} b={b}")

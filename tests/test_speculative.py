@@ -158,3 +158,43 @@ def test_lookup_chained_exact_match(engines):
     assert orc.token_ids == plain.token_ids
     # the oracle draft accepts (nearly) everything by construction
     assert orc.acceptance_rate > 0.8
+
+
+def test_eog_token_included_like_plain_generate(engines):
+    """engine.generate keeps the trailing EOG token in token_ids; the
+    spec/lookup paths must match (r5 review fix — the synthetic model never
+    emits EOG naturally, so fake one via the vocab)."""
+    from booster_tpu.serving.speculative import generate_lookup_chained
+
+    target, draft_same, _ = engines
+    ids = target.tokenizer.encode("hello world")
+    plain0 = target.generate(ids, SamplingParams(temp=0.0),
+                             max_new_tokens=12)
+    assert len(plain0.token_ids) >= 6
+    eog_tok = plain0.token_ids[5]
+    vocab = target.tokenizer.vocab
+    orig = vocab.is_eog
+    vocab.is_eog = lambda t, _o=orig: bool(_o(t)) or t == eog_tok
+    # the engine's on-device EOG mask is cached — rebuild it
+    eng_mask = target._eog_mask
+    try:
+        import jax.numpy as jnp
+
+        if eng_mask is not None:
+            m = np.asarray(eng_mask).copy()
+            m[eog_tok] = True
+            target._eog_mask = jnp.asarray(m)
+        plain = target.generate(ids, SamplingParams(temp=0.0),
+                                max_new_tokens=12)
+        look = generate_lookup_chained(target, ids, max_new_tokens=12, k=4,
+                                       rounds_per_dispatch=2)
+        spec = generate_speculative(target, draft_same, ids,
+                                    max_new_tokens=12, k=4)
+    finally:
+        vocab.is_eog = orig
+        target._eog_mask = eng_mask
+    assert plain.token_ids[-1] == eog_tok
+    assert plain.finish_reason == "stop"
+    assert look.token_ids == plain.token_ids
+    assert look.finish_reason == "stop"
+    assert spec.token_ids == plain.token_ids
