@@ -212,6 +212,7 @@ def main(argv=None) -> int:
         deadline_s=config.deadline,
         swap_dir=config.swap,
         draft_engine=draft_engine,
+        lookup_decoding=args.lookup_decoding,
     )
 
     if args.server:

@@ -93,6 +93,7 @@ class Scheduler:
         n_keep: int = 0,
         swap_dir: str = "",
         draft_engine: Optional[Engine] = None,
+        lookup_decoding: bool = False,
         prefix_cache_bytes: int = 256 * 1024 * 1024,
     ):
         self.engine = engine
@@ -113,6 +114,12 @@ class Scheduler:
             from booster_tpu.serving.spec_batch import SpecBatch
 
             self.spec = SpecBatch(engine, draft_engine)
+        elif lookup_decoding:
+            # model-free n-gram speculation over each slot's own history
+            # (opt-in: rounds with no match pay a T=k+1 verify per token)
+            from booster_tpu.serving.spec_batch import LookupBatch
+
+            self.spec = LookupBatch(engine)
         # shared-prefix KV reuse across jobs (system prompts etc.)
         from booster_tpu.serving.prefix_cache import PrefixCache
 

@@ -358,3 +358,209 @@ class SpecBatch:
     @property
     def acceptance_rate(self) -> float:
         return self.n_accepted / max(self.n_rounds * self.k, 1)
+
+
+# ---------------- batched prompt-lookup speculation ----------------
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "k", "features", "nl_token"),
+    donate_argnames=("t_cache", "bufs", "keys", "state"),
+)
+def _lookup_round(
+    t_params,
+    tcfg,
+    t_cache,
+    bufs,  # [B, SMAX] i32 per-slot token history (prompt + emitted)
+    buf_len,  # [B] i32 valid counts
+    active,  # [B] bool
+    vp,
+    keys,
+    k: int,
+    state=None,
+    exact_mask=None,
+    features: tuple = (),
+    janus_tables=None,
+    nl_token: int = -1,
+):
+    """One batched lookup-speculation round: per-slot n-gram proposals from
+    the token buffers (no draft model), target verify, residual acceptance
+    with the deterministic draft q = δ(proposal) — exact for every
+    temperature (greedy rows degenerate to argmax equality; sampled rows
+    accept with probability p(x) and correct from max(p − δ_x, 0)).
+    Returns (out [B, k+1], n_new [B], t_cache, bufs, buf_len, keys, state).
+    """
+    from booster_tpu.serving.speculative import _propose_ngram_dev
+
+    B, SMAX = bufs.shape
+    t0_len = t_cache.lengths
+
+    prop, has = jax.vmap(
+        lambda s, l: _propose_ngram_dev(s, l, k, SMAX))(bufs, buf_len)
+    last = jnp.take_along_axis(
+        bufs, jnp.maximum(buf_len - 1, 0)[:, None], axis=1)  # [B, 1]
+    ver = jnp.concatenate([last, prop], axis=1)  # [B, k+1]
+
+    t_logits, t_cache = forward(
+        t_params, tcfg, ver, t_cache,
+        n_valid=(k + 1) * active.astype(jnp.int32),
+    )
+    p = jax.vmap(
+        lambda lg: filtered_probs_vectorized(lg, vp),
+        in_axes=1, out_axes=1,
+    )(t_logits)  # [B, k+1, V]
+
+    V = p.shape[-1]
+    px = jnp.take_along_axis(
+        p[:, :k].reshape(B * k, V), prop.reshape(B * k)[:, None], axis=1
+    ).reshape(B, k)
+    sub, keys = _split_rows(keys)
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (k,)))(sub)
+    # q = δ(prop): accept with prob min(1, p(x)/1) = p(x); rows with no
+    # n-gram match propose nothing and fall through to a plain sample
+    acc = (u < px) & has[:, None]
+    pref = jnp.cumprod(acc.astype(jnp.int32), axis=1).astype(bool)
+    n_acc = pref.sum(axis=1)  # [B]
+
+    # correction from the residual max(p_j − δ(prop_j), 0) at j = n_acc;
+    # j == k (all accepted) has no proposal → bonus sample from p_k
+    p_j = jnp.take_along_axis(p, n_acc[:, None, None], axis=1)[:, 0]  # [B,V]
+    prop_pad = jnp.concatenate([prop, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    x_j = jnp.take_along_axis(prop_pad, n_acc[:, None], axis=1)[:, 0]
+    delta_w = jnp.where((n_acc < k) & has, 1.0, 0.0)  # δ mass to subtract
+    resid = jnp.maximum(
+        p_j - jnp.zeros_like(p_j).at[jnp.arange(B), x_j].set(delta_w), 0.0)
+    z = resid.sum(axis=-1, keepdims=True)
+    dist = jnp.where(
+        z > 1e-12, resid / jnp.maximum(z, 1e-30),
+        p_j / jnp.maximum(p_j.sum(axis=-1, keepdims=True), 1e-30),
+    )
+    corr, keys = _pick_rows(dist, keys)
+
+    iota = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    out = jnp.where(
+        iota < n_acc[:, None], prop_pad,
+        jnp.where(iota == n_acc[:, None], corr[:, None], 0),
+    )
+    n_new = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)
+
+    if exact_mask is not None and state is not None:
+        # history-dependent rows sample ONE exact token from the verify
+        # forward's position-0 logits (see _spec_round)
+        from booster_tpu.sampling.vector import sample_vectorized
+
+        ex_tok, state = sample_vectorized(
+            t_logits[:, 0, :], state, vp, mask=exact_mask & active,
+            features=features, janus_tables=janus_tables, nl_token=nl_token,
+        )
+        ex_row = jnp.concatenate(
+            [ex_tok[:, None], jnp.zeros((B, k), jnp.int32)], axis=1)
+        out = jnp.where(exact_mask[:, None], ex_row, out)
+        n_new = jnp.where(exact_mask & active, 1, n_new)
+
+    t_cache = dataclasses.replace(
+        t_cache, lengths=jnp.where(active, t0_len + n_new, t0_len)
+    )
+    # append the emitted tokens to each buffer (garbage past n_new sits
+    # beyond buf_len and is overwritten by the next round's write)
+    bufs = jax.vmap(
+        lambda b, o, l: jax.lax.dynamic_update_slice(b, o, (l,))
+    )(bufs, jnp.where(active[:, None], out, 0), buf_len)
+    buf_len = buf_len + n_new
+    return out, n_new, t_cache, bufs, buf_len, keys, state
+
+
+class LookupBatch:
+    """Batched prompt-lookup speculation for the continuous batch — the
+    SpecBatch protocol (reset_slot / prefill_draft / seed_first_token /
+    shift_draft / start / finish) with NO draft model: proposals come from
+    each slot's own token history via an on-device n-gram suffix match
+    (serving/speculative._propose_ngram_dev).  The live realization of the
+    reference's ngram-cache draft (cpp/common/ngram-cache.cpp, vestigial
+    there).  Opt-in (--server --lookup-decoding): rounds with no match
+    still pay a T=k+1 verify for one token, so non-repetitive workloads
+    prefer plain chunked decode."""
+
+    def __init__(self, target: Engine, k: int = 8):
+        if target.cfg.arch == "mamba":
+            raise ValueError("lookup decoding needs a rewindable KV cache")
+        self.target = target
+        self.draft = None
+        self.k = k
+        B = target.max_batch
+        self._bufs = jnp.zeros((B, target.max_seq), jnp.int32)
+        self._buf_len = jnp.zeros(B, jnp.int32)
+        self._keys = jax.vmap(jax.random.PRNGKey)(jnp.zeros(B, jnp.uint32))
+        self.n_rounds = 0
+        self.n_accepted = 0
+
+    # -- admission -------------------------------------------------------
+
+    def reset_slot(self, slot: int, seed: int) -> None:
+        self._buf_len = self._buf_len.at[slot].set(0)
+        self._keys = self._keys.at[slot].set(jax.random.PRNGKey(seed ^ 0xA5))
+
+    def prefill_draft(self, jobs: dict[int, list[int]],
+                      chunk: int = 512) -> None:
+        """Seed the admitted slots' token buffers with their prompts."""
+        SMAX = self._bufs.shape[1]
+        for s, ids in jobs.items():
+            ids = list(ids)[-SMAX:]
+            row = np.zeros(SMAX, np.int32)
+            row[: len(ids)] = ids
+            self._bufs = self._bufs.at[s].set(jnp.asarray(row))
+            self._buf_len = self._buf_len.at[s].set(len(ids))
+
+    def seed_first_token(self, slot: int, token: int) -> None:
+        n = int(self._buf_len[slot])
+        self._bufs = self._bufs.at[slot, n].set(token)
+        self._buf_len = self._buf_len.at[slot].set(n + 1)
+
+    # -- context shift ---------------------------------------------------
+
+    def shift_draft(self, slot: int, n_keep: int, n_discard: int) -> None:
+        """Compact the token buffer exactly like the cache shift, so the
+        buffer keeps mirroring the retained token window (and never
+        outgrows max_seq under infinite generation)."""
+        row = np.asarray(self._bufs[slot])
+        n = int(self._buf_len[slot])
+        kept = np.concatenate([row[:n_keep], row[n_keep + n_discard : n]])
+        new = np.zeros_like(row)
+        new[: len(kept)] = kept
+        self._bufs = self._bufs.at[slot].set(jnp.asarray(new))
+        self._buf_len = self._buf_len.at[slot].set(len(kept))
+
+    # -- rounds (decode_slots_start/finish contract) ---------------------
+
+    def start(self, active_slots, n_steps: Optional[int] = None):
+        eng = self.target
+        B = eng.max_batch
+        active = np.zeros(B, bool)
+        for s in active_slots:
+            active[s] = True
+            eng.ensure_slot_pages(s, int(eng.slot_lengths[s]) + self.k + 1)
+            eng.slot_lengths[s] += self.k + 1
+        exact_np = (eng._slot_janus | eng._slot_mirostat
+                    | eng._slot_penalties)
+        use_exact = bool(exact_np.any())
+        feats = eng._vector_features() if use_exact else ()
+        out, n_new, eng.cache, self._bufs, self._buf_len, self._keys, \
+            new_state = _lookup_round(
+                eng.params, eng.cfg, eng.cache, self._bufs, self._buf_len,
+                jnp.asarray(active), eng.vp, self._keys, self.k,
+                state=eng.state if use_exact else None,
+                exact_mask=jnp.asarray(exact_np) if use_exact else None,
+                features=feats,
+                janus_tables=eng._vector_janus_tables(feats),
+                nl_token=eng.nl_token,
+            )
+        if new_state is not None:
+            eng.state = new_state
+        return (out, n_new, list(active_slots))
+
+    # identical accounting to SpecBatch.finish
+    finish = SpecBatch.finish
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.n_accepted / max(self.n_rounds * self.k, 1)
