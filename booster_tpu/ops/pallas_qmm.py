@@ -39,6 +39,39 @@ import os as _os
 
 _SUB = int(_os.environ.get("BT_QMM_SUB", "256"))  # in-kernel K sub-tile
 _BUDGET = int(_os.environ.get("BT_QMM_BUDGET", str(2 * 1024 * 1024)))
+# affine mins as a group-sum dot instead of per-element subtraction (the
+# K-major kernels; BT_MIN_DOT=0 reverts to the expand+subtract form)
+_MIN_DOT = _os.environ.get("BT_MIN_DOT", "1") == "1"
+
+
+def _min_corr(xh, m, group: int):
+    """Affine-min term Σ_k x_k·m_{k//G,n} = (x @ E) @ m as two small MXU
+    dots, with E[k, g] = (k // G == g) the group-sum expander.
+
+    The expand+subtract form costs two VPU passes over every dequantized
+    element; since the K-major matvecs are element-pipeline bound
+    (~0.7 G elem/µs across formats — tools/qmm_clean.py), that is exactly
+    the measured q4_K-vs-q4_0 gap (277 vs 365 GB/s payload).  The dot form
+    replaces it with ~1/G of the main dot's MACs per grid step, computed
+    once before the sub-tile loop.  Rounding: m is consumed in bf16 like
+    the subtract form; the group sums stay f32 through the correction dot
+    (rounding them to bf16 loses ~5 bits on a 32-term sum — measured as
+    marginal smoke-tolerance misses), so the min term is strictly more
+    accurate than the bf16 per-element subtraction it replaces."""
+    kk = xh.shape[-1]
+    ng = m.shape[-2]
+    ex = (jax.lax.broadcasted_iota(jnp.int32, (kk, ng), 0) // group
+          == jax.lax.broadcasted_iota(jnp.int32, (kk, ng), 1)
+          ).astype(jnp.bfloat16)
+    xs = jax.lax.dot_general(xh, ex, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # mins round through bf16 like every kernel scale consumption — keeps
+    # the f32-vs-compact-bf16 scale-storage bit-identity invariant — then
+    # ride the dot in f32 (the group sums must not round: ~5 lost bits on
+    # a 32-term sum showed up as smoke-tolerance misses)
+    return jax.lax.dot_general(
+        xs, m.astype(jnp.bfloat16).astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
 def _expand_scales(s, g: int, k_tile: int, col0):
@@ -306,13 +339,16 @@ def _tqmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int,
 
     sub = min(_SUB, bk)
     acc = jnp.zeros_like(out_ref)
+    min_dot = has_mins and _MIN_DOT
+    if min_dot:
+        acc -= _min_corr(x_ref[:, :], sc(1, slice(None)), group)
     for j in range(-(-bk // sub)):
         w_sub = min(sub, bk - j * sub)
         sl = slice(j * sub, j * sub + w_sub)
         gsl = slice(j * sub // group, (j * sub + w_sub) // group)
         w = qw(sl).astype(jnp.bfloat16) * _expand_scales_sub(
             sc(0, gsl), group, bn).astype(jnp.bfloat16)
-        if has_mins:
+        if has_mins and not min_dot:
             w -= _expand_scales_sub(sc(1, gsl), group, bn).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:, sl], w, (((1,), (0,)), ((), ())),
@@ -341,6 +377,10 @@ def _tqmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bkh: int,
 
     sub = min(_SUB, bkh)
     acc = jnp.zeros_like(out_ref)
+    min_dot = has_mins and _MIN_DOT
+    if min_dot:
+        acc -= _min_corr(x_ref[:, 0, :], sc(2, slice(None)), group)
+        acc -= _min_corr(x_ref[:, 1, :], sc(3, slice(None)), group)
     for j in range(-(-bkh // sub)):
         w_sub = min(sub, bkh - j * sub)
         sl = slice(j * sub, j * sub + w_sub)
@@ -350,7 +390,7 @@ def _tqmm_i4_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bkh: int,
         hi = ((q >> 4) - zero).astype(jnp.bfloat16)
         w_lo = lo * _expand_scales_sub(sc(0, gsl), group, bn).astype(jnp.bfloat16)
         w_hi = hi * _expand_scales_sub(sc(1, gsl), group, bn).astype(jnp.bfloat16)
-        if has_mins:
+        if has_mins and not min_dot:
             w_lo -= _expand_scales_sub(sc(2, gsl), group, bn).astype(jnp.bfloat16)
             w_hi -= _expand_scales_sub(sc(3, gsl), group, bn).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
@@ -593,6 +633,10 @@ def _gateup_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
     sub = min(_SUB, bk)
     ag = jnp.zeros_like(accg_ref)
     au = jnp.zeros_like(accu_ref)
+    min_dot = has_mins and _MIN_DOT
+    if min_dot:  # same op sequence as _tqmm_i8_kernel → stays bit-exact
+        ag -= _min_corr(x_ref[:, :], sc(sg_ref, 1, slice(None)), group)
+        au -= _min_corr(x_ref[:, :], sc(su_ref, 1, slice(None)), group)
     for j in range(-(-bk // sub)):
         w_sub = min(sub, bk - j * sub)
         sl = slice(j * sub, j * sub + w_sub)
@@ -601,7 +645,7 @@ def _gateup_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
         for qref, sref, acc in ((qg_ref, sg_ref, 0), (qu_ref, su_ref, 1)):
             w = qw(qref, sl).astype(jnp.bfloat16) * _expand_scales_sub(
                 sc(sref, 0, gsl), group, bn).astype(jnp.bfloat16)
-            if has_mins:
+            if has_mins and not min_dot:
                 w -= _expand_scales_sub(sc(sref, 1, gsl), group,
                                         bn).astype(jnp.bfloat16)
             d = jax.lax.dot_general(xs, w, (((1,), (0,)), ((), ())),
@@ -660,6 +704,13 @@ def _gateup_i4_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
 
     sub = min(_SUB, bkh)
     accs = [jnp.zeros_like(accg_ref), jnp.zeros_like(accu_ref)]
+    min_dot = has_mins and _MIN_DOT
+    if min_dot:  # same op sequence as _tqmm_i4_kernel → stays bit-exact
+        for i, sref in enumerate((sg_ref, su_ref)):
+            accs[i] -= _min_corr(x_ref[:, 0, :], sc(sref, 2, slice(None)),
+                                 group)
+            accs[i] -= _min_corr(x_ref[:, 1, :], sc(sref, 3, slice(None)),
+                                 group)
     for j in range(-(-bkh // sub)):
         w_sub = min(sub, bkh - j * sub)
         sl = slice(j * sub, j * sub + w_sub)
@@ -672,7 +723,7 @@ def _gateup_i4_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
                                            bn).astype(jnp.bfloat16)
             w_hi = hi * _expand_scales_sub(sc(sref, 1, gsl), group,
                                            bn).astype(jnp.bfloat16)
-            if has_mins:
+            if has_mins and not min_dot:
                 w_lo -= _expand_scales_sub(sc(sref, 2, gsl), group,
                                            bn).astype(jnp.bfloat16)
                 w_hi -= _expand_scales_sub(sc(sref, 3, gsl), group,
@@ -909,6 +960,10 @@ def _mlp_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, qd_ref, sd_ref,
     sub = min(_SUB, kk)
     ag = jnp.zeros((x_ref.shape[0], bf), jnp.float32)
     au = jnp.zeros((x_ref.shape[0], bf), jnp.float32)
+    min_dot = has_mins and _MIN_DOT
+    if min_dot:  # same op sequence as _tqmm_i8_kernel → stays bit-exact
+        ag -= _min_corr(x_ref[:, :], sc(sg_ref, 1, slice(None)), group)
+        au -= _min_corr(x_ref[:, :], sc(su_ref, 1, slice(None)), group)
     for j in range(-(-kk // sub)):
         w_sub = min(sub, kk - j * sub)
         sl = slice(j * sub, j * sub + w_sub)
@@ -917,7 +972,7 @@ def _mlp_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, qd_ref, sd_ref,
         for i, (qref, sref) in enumerate(((qg_ref, sg_ref), (qu_ref, su_ref))):
             w = qw(qref, sl).astype(jnp.bfloat16) * _expand_scales_sub(
                 sc(sref, 0, gsl), group, bf).astype(jnp.bfloat16)
-            if has_mins:
+            if has_mins and not min_dot:
                 w -= _expand_scales_sub(sc(sref, 1, gsl), group,
                                         bf).astype(jnp.bfloat16)
             d = jax.lax.dot_general(xs, w, (((1,), (0,)), ((), ())),
@@ -959,6 +1014,10 @@ def _mlp_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, qd_ref, sd_ref,
         hi = sc(sd_ref, r, slice(half + g0, half + g0 + ng))[:, csl]
         return jnp.where((f % 2) == 0, lo, hi)
 
+    d_min_dot = d_has_mins and _MIN_DOT
+    if d_min_dot:  # one group-sum correction per ff step over all of C
+        acco_ref[:] -= _min_corr(
+            mid, dscale(1, 0, bf // group, slice(None)), group)
     for j in range(-(-bf // sub2)):
         w_sub = min(sub2, bf - j * sub2)
         dsl = slice(j * sub2, j * sub2 + w_sub)
@@ -969,7 +1028,7 @@ def _mlp_i8_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, qd_ref, sd_ref,
             dq = qd_ref[(0, dsl, csl) if stacked else (dsl, csl)].astype(
                 jnp.bfloat16) * _expand_scales_sub(
                 dscale(0, g0, ng, csl), group, w_c).astype(jnp.bfloat16)
-            if d_has_mins:
+            if d_has_mins and not d_min_dot:
                 dq -= _expand_scales_sub(
                     dscale(1, g0, ng, csl), group, w_c).astype(jnp.bfloat16)
             acco_ref[:, csl] += jax.lax.dot_general(

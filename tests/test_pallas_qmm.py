@@ -408,3 +408,24 @@ def test_mlp_fused_stacked_layer_view():
         want = _mlp_unfused(x, _mk_t(wgs[i], GGMLType.Q8_0),
                             _mk_t(wds[i], GGMLType.Q8_0), "silu")
         np.testing.assert_array_equal(np.asarray(ys[i], np.float32), want)
+
+
+@pytest.mark.parametrize("M", [1, 8])
+def test_mlp_fused_affine_mins(M):
+    """Affine i8 formats (q5_K: scales AND mins) through the whole-MLP
+    kernel: the min term rides as a group-sum dot (_min_corr) in both the
+    gate/up and the down contractions.  Parity vs the unfused path is
+    allclose (the correction is applied per ff-step, a different f32 add
+    order than the unfused per-K-block form)."""
+    ff, K, C = 512, 512, 256
+    w_gu = RNG.standard_normal((2 * ff, K)).astype(np.float32) * 0.1
+    w_d = RNG.standard_normal((C, ff)).astype(np.float32) * 0.1
+    qt_gu = _mk_t(w_gu, GGMLType.Q5_K)
+    qt_d = _mk_t(w_d, GGMLType.Q5_K)
+    x = jnp.asarray(RNG.standard_normal((M, K)).astype(np.float32) * 0.2,
+                    jnp.bfloat16)
+    got = pq.qmm_mlp(x, qt_gu, qt_d, "silu")
+    assert got is not None
+    want = _mlp_unfused(x, qt_gu, qt_d, "silu")
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=2e-2, atol=2e-2)
