@@ -34,6 +34,12 @@ def pad_head_dim(d: int) -> int:
     return ((d + 127) // 128) * 128
 
 
+@partial(jax.jit, static_argnames=("cls", "fields"))
+def _zeros_cache(cls, fields):
+    """Build a zeroed cache's arrays as ONE compiled computation."""
+    return cls(**{name: jnp.zeros(shape, dt) for name, shape, dt in fields})
+
+
 @dataclass
 class KVCache:
     """Pytree: k/v [L, B, H_kv, S, Dc] (+ scales when quantized), lengths [B].
@@ -72,19 +78,18 @@ class KVCache:
         dv = head_dim_v or head_dim
         k_shape = (n_layers, batch, n_kv_heads, max_len, pad_head_dim(head_dim))
         v_shape = (n_layers, batch, n_kv_heads, max_len, pad_head_dim(dv))
+        # one jitted executable builds every field: N separate jnp.zeros
+        # calls are N device dispatches, each a full round-trip through the
+        # axon tunnel — this alloc sat in the measured TTFT path
         if quantized:
-            return cls(
-                k=jnp.zeros(k_shape, jnp.int8),
-                v=jnp.zeros(v_shape, jnp.int8),
-                lengths=jnp.zeros(batch, jnp.int32),
-                k_scale=jnp.zeros(k_shape[:-1] + (1,), jnp.float32),
-                v_scale=jnp.zeros(v_shape[:-1] + (1,), jnp.float32),
-            )
-        return cls(
-            k=jnp.zeros(k_shape, dtype),
-            v=jnp.zeros(v_shape, dtype),
-            lengths=jnp.zeros(batch, jnp.int32),
-        )
+            return _zeros_cache(
+                cls, (("k", k_shape, jnp.int8), ("v", v_shape, jnp.int8),
+                      ("lengths", (batch,), jnp.int32),
+                      ("k_scale", k_shape[:-1] + (1,), jnp.float32),
+                      ("v_scale", v_shape[:-1] + (1,), jnp.float32)))
+        return _zeros_cache(
+            cls, (("k", k_shape, dtype), ("v", v_shape, dtype),
+                  ("lengths", (batch,), jnp.int32)))
 
 
 def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -320,6 +320,115 @@ def _expand_scales_sub(s_sub, g: int, bn: int):
     return jnp.broadcast_to(s_sub[:, None, :], (ng, g, bn)).reshape(ng * g, bn)
 
 
+# M=1 group-dot matvec (BT_GROUP_DOT=0 reverts): raw-payload dots against a
+# block-diagonal activation matrix + ONE per-group f32 rescale.  The
+# dequant kernels are element-pipeline bound at M=1 (~5-6 VPU ops per
+# element: unpack, scale-expand, multiply), so instead compute
+#
+#     out_j = sum_g s_gj * ( (X_bd @ q)_gj  -  zero * xs_g )  -  m_gj * xs_g
+#
+# with X_bd[g, c] = x_c * (c//G == g) built per sub-tile (the selector is
+# sub-tile-invariant) and xs the group sums.  The MXU does G x the
+# matvec's MACs — idle headroom at M=1 — and per-element VPU work drops to
+# the i4 nibble unpack alone; the group partials are EXACT integer dots
+# carried in f32, so this is the weight-exact mmq
+# (/root/reference/cpp/ggml/src/ggml-cuda/vecdotq.cuh) in its TPU-viable
+# form: measured q4_0 365→547-739 GB/s, q4_K ~720→1089 G elem/s at M=1
+# (tools/groupdot_probe.py); the CUDA per-group shape loses only at M>=8
+# where the [M·ng, BN] rescale turns VPU-bound (tools/qmm_gap.py v6).
+_GROUP_DOT = _os.environ.get("BT_GROUP_DOT", "1") == "1"
+
+
+def _gd_parts(xrow, w_sub: int, group: int):
+    """[1, w_sub] bf16 row → (X_bd [ngs, w_sub] bf16, xs [ngs, 1] f32).
+    Arithmetic masking: an i1 `where` mask hits a Mosaic replicated-layout
+    relayout error; multiply by a 0/1 bf16 selector lowers clean."""
+    ngs = w_sub // group
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (ngs, w_sub), 1) // group
+           == jax.lax.broadcasted_iota(jnp.int32, (ngs, w_sub), 0)
+           ).astype(jnp.bfloat16)
+    X = jnp.broadcast_to(xrow, (ngs, w_sub)).astype(jnp.bfloat16) * sel
+    xs = jnp.sum(X.astype(jnp.float32), axis=1, keepdims=True)
+    return X, xs
+
+
+def _gd_sc(v):
+    """Scales/mins consumed at bf16 precision (keeps the f32-vs-compact-bf16
+    scale-storage bit-identity) but carried f32 into the rescale."""
+    return v.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def _tqmm_i8_gd_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
+                       bk: int, bn: int, has_mins: bool,
+                       stacked: bool = False):
+    """Group-dot twin of _tqmm_i8_kernel (M=1). Same operand layout."""
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def qw(sl):
+        return qw_ref[0, sl, :] if stacked else qw_ref[sl, :]
+
+    def sc(r, gsl):
+        return s_ref[0, r, gsl, :] if stacked else s_ref[r, gsl, :]
+
+    sub = min(_SUB, bk)
+    acc = jnp.zeros_like(out_ref)
+    for j in range(-(-bk // sub)):
+        w_sub = min(sub, bk - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
+        gsl = slice(j * sub // group, (j * sub + w_sub) // group)
+        X, xs = _gd_parts(x_ref[:, sl], w_sub, group)
+        p = jax.lax.dot_general(
+            X, qw(sl).astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        contrib = _gd_sc(sc(0, gsl)) * p
+        if has_mins:
+            contrib = contrib - _gd_sc(sc(1, gsl)) * xs
+        acc += jnp.sum(contrib, axis=0, keepdims=True)
+    out_ref[:] += acc
+
+
+def _tqmm_i4_gd_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int,
+                       bkh: int, bn: int, has_mins: bool, zero: int,
+                       stacked: bool = False):
+    """Group-dot twin of _tqmm_i4_kernel (M=1): raw nibbles feed the dots
+    (no -zero, no scale multiply); zero and mins fold via the group sums."""
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def qw(sl):
+        return qw_ref[0, sl, :] if stacked else qw_ref[sl, :]
+
+    def sc(r, gsl):
+        return s_ref[0, r, gsl, :] if stacked else s_ref[r, gsl, :]
+
+    sub = min(_SUB, bkh)
+    acc = jnp.zeros_like(out_ref)
+    for j in range(-(-bkh // sub)):
+        w_sub = min(sub, bkh - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
+        gsl = slice(j * sub // group, (j * sub + w_sub) // group)
+        q = qw(sl).astype(jnp.int32)  # u8→i32 (Mosaic lacks u8→bf16)
+        planes = ((q & 0x0F).astype(jnp.bfloat16),
+                  (q >> 4).astype(jnp.bfloat16))
+        for h in (0, 1):
+            X, xs = _gd_parts(x_ref[:, h, sl], w_sub, group)
+            p = jax.lax.dot_general(
+                X, planes[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if zero:
+                p = p - float(zero) * xs
+            contrib = _gd_sc(sc(h, gsl)) * p
+            if has_mins:
+                contrib = contrib - _gd_sc(sc(2 + h, gsl)) * xs
+            acc += jnp.sum(contrib, axis=0, keepdims=True)
+    out_ref[:] += acc
+
+
 def _tqmm_i8_kernel(x_ref, qw_ref, s_ref, out_ref, *, group: int, bk: int,
                     bn: int, has_mins: bool, stacked: bool = False):
     """x_ref [BM, BK] bf16, qw_ref [BK, BN] i8, s_ref [R, BK/G, BN] f32 or
@@ -490,7 +599,9 @@ def _tqmm_i8(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
         ),
         interpret=INTERPRET,
     )
-    kern = functools.partial(_tqmm_i8_kernel, group=G, bk=BK, bn=BN,
+    kfn = (_tqmm_i8_gd_kernel if M == 1 and _GROUP_DOT
+           else _tqmm_i8_kernel)
+    kern = functools.partial(kfn, group=G, bk=BK, bn=BN,
                              has_mins=has_mins, stacked=stacked)
     xb = x.astype(jnp.bfloat16)
     if not stacked:
@@ -557,7 +668,9 @@ def _tqmm_i4(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
         ),
         interpret=INTERPRET,
     )
-    kern = functools.partial(_tqmm_i4_kernel, group=G, bkh=BB, bn=BN,
+    kfn = (_tqmm_i4_gd_kernel if M == 1 and _GROUP_DOT
+           else _tqmm_i4_kernel)
+    kern = functools.partial(kfn, group=G, bkh=BB, bn=BN,
                              has_mins=has_mins, zero=w.zero, stacked=stacked)
     if not stacked:
         return pl.pallas_call(
@@ -757,6 +870,125 @@ def _gateup_i4_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
         out_ref[:] = r.astype(out_ref.dtype)
 
 
+def _gateup_i8_gd_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
+                         accg_ref, accu_ref, *, group: int, bk: int,
+                         bn: int, act: str, has_mins: bool = False,
+                         stacked: bool = False):
+    """Group-dot twin of _gateup_i8_kernel (M=1): per-accumulator op
+    sequence matches _tqmm_i8_gd_kernel → fused == unfused bit-exact."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        accg_ref[:] = jnp.zeros_like(accg_ref)
+        accu_ref[:] = jnp.zeros_like(accu_ref)
+
+    def qw(ref, sl):
+        return ref[0, sl, :] if stacked else ref[sl, :]
+
+    def sc(ref, r, gsl):
+        return ref[0, r, gsl, :] if stacked else ref[r, gsl, :]
+
+    sub = min(_SUB, bk)
+    ag = jnp.zeros_like(accg_ref)
+    au = jnp.zeros_like(accu_ref)
+    for j in range(-(-bk // sub)):
+        w_sub = min(sub, bk - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
+        gsl = slice(j * sub // group, (j * sub + w_sub) // group)
+        X, xs = _gd_parts(x_ref[:, sl], w_sub, group)
+        for qref, sref, i in ((qg_ref, sg_ref, 0), (qu_ref, su_ref, 1)):
+            p = jax.lax.dot_general(
+                X, qw(qref, sl).astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            contrib = _gd_sc(sc(sref, 0, gsl)) * p
+            if has_mins:
+                contrib = contrib - _gd_sc(sc(sref, 1, gsl)) * xs
+            d = jnp.sum(contrib, axis=0, keepdims=True)
+            if i == 0:
+                ag += d
+            else:
+                au += d
+    accg_ref[:] += ag
+    accu_ref[:] += au
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        gb = accg_ref[:].astype(jnp.bfloat16)
+        ub = accu_ref[:].astype(jnp.bfloat16)
+        if act == "gelu":
+            r = jax.nn.gelu(gb.astype(jnp.float32),
+                            approximate=True).astype(jnp.bfloat16) * ub
+        elif act == "relu":
+            r = jnp.maximum(gb, 0) * ub
+        else:
+            # f32 sigmoid, rounded before the product (see _gateup_i8_kernel)
+            sg = jax.lax.logistic(gb.astype(jnp.float32)).astype(jnp.bfloat16)
+            r = (gb * sg) * ub
+        out_ref[:] = r.astype(out_ref.dtype)
+
+
+def _gateup_i4_gd_kernel(x_ref, qg_ref, qu_ref, sg_ref, su_ref, out_ref,
+                         accg_ref, accu_ref, *, group: int, bkh: int,
+                         bn: int, act: str, has_mins: bool, zero: int,
+                         stacked: bool = False):
+    """Group-dot twin of _gateup_i4_kernel (M=1): per-accumulator op
+    sequence matches _tqmm_i4_gd_kernel → fused == unfused bit-exact."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        accg_ref[:] = jnp.zeros_like(accg_ref)
+        accu_ref[:] = jnp.zeros_like(accu_ref)
+
+    def qw(ref, sl):
+        return ref[0, sl, :] if stacked else ref[sl, :]
+
+    def sc(ref, r, gsl):
+        return ref[0, r, gsl, :] if stacked else ref[r, gsl, :]
+
+    sub = min(_SUB, bkh)
+    accs = [jnp.zeros_like(accg_ref), jnp.zeros_like(accu_ref)]
+    for j in range(-(-bkh // sub)):
+        w_sub = min(sub, bkh - j * sub)
+        sl = slice(j * sub, j * sub + w_sub)
+        gsl = slice(j * sub // group, (j * sub + w_sub) // group)
+        parts = [_gd_parts(x_ref[:, h, sl], w_sub, group) for h in (0, 1)]
+        for i, (qref, sref) in enumerate(((qg_ref, sg_ref), (qu_ref, su_ref))):
+            q = qw(qref, sl).astype(jnp.int32)
+            planes = ((q & 0x0F).astype(jnp.bfloat16),
+                      (q >> 4).astype(jnp.bfloat16))
+            for h in (0, 1):
+                X, xs = parts[h]
+                p = jax.lax.dot_general(
+                    X, planes[h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if zero:
+                    p = p - float(zero) * xs
+                contrib = _gd_sc(sc(sref, h, gsl)) * p
+                if has_mins:
+                    contrib = contrib - _gd_sc(sc(sref, 2 + h, gsl)) * xs
+                accs[i] += jnp.sum(contrib, axis=0, keepdims=True)
+    accg_ref[:] += accs[0]
+    accu_ref[:] += accs[1]
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        gb = accg_ref[:].astype(jnp.bfloat16)
+        ub = accu_ref[:].astype(jnp.bfloat16)
+        if act == "gelu":
+            r = jax.nn.gelu(gb.astype(jnp.float32),
+                            approximate=True).astype(jnp.bfloat16) * ub
+        elif act == "relu":
+            r = jnp.maximum(gb, 0) * ub
+        else:
+            # f32 sigmoid, rounded before the product (see _gateup_i4_kernel)
+            sg = jax.lax.logistic(gb.astype(jnp.float32)).astype(jnp.bfloat16)
+            r = (gb * sg) * ub
+        out_ref[:] = r.astype(out_ref.dtype)
+
+
 def _pick_tiles_gateup(ff: int, pk: int, m: int, srows: int, group: int,
                        s_item: int, x_mult: int,
                        deq_bytes: int) -> tuple[int, int, int]:
@@ -848,15 +1080,18 @@ def qmm_gateup(x: jnp.ndarray, w: QTensor, act: str) -> Optional[jnp.ndarray]:
     )
     scratch = [pltpu.VMEM((BM, BN), jnp.float32),
                pltpu.VMEM((BM, BN), jnp.float32)]
+    gd = Mp == 1 and _GROUP_DOT
     if is4:
-        kern = functools.partial(_gateup_i4_kernel, group=G, bkh=BK, bn=BN,
+        kfn = _gateup_i4_gd_kernel if gd else _gateup_i4_kernel
+        kern = functools.partial(kfn, group=G, bkh=BK, bn=BN,
                                  act=act, has_mins=has_mins, zero=w.zero,
                                  stacked=stacked)
         xb = x2.reshape(Mp, 2, K // 2).astype(jnp.bfloat16)
         x_spec = ((BM, 2, BK), (lambda m, n, k: (m, 0, k)),
                   (lambda m, n, k, l: (m, 0, k)))
     else:
-        kern = functools.partial(_gateup_i8_kernel, group=G, bk=BK, bn=BN,
+        kfn = _gateup_i8_gd_kernel if gd else _gateup_i8_kernel
+        kern = functools.partial(kfn, group=G, bk=BK, bn=BN,
                                  act=act, has_mins=has_mins, stacked=stacked)
         xb = x2.astype(jnp.bfloat16)
         x_spec = ((BM, BK), (lambda m, n, k: (m, k)),

@@ -8,7 +8,9 @@ Reference semantics:
 """
 
 from booster_tpu.sampling.params import SamplingParams
-from booster_tpu.sampling.samplers import SamplerState, sample, make_sampler_state
+from booster_tpu.sampling.samplers import (SamplerState, sample,
+                                            make_sampler_state,
+                                            make_seeded_state)
 from booster_tpu.sampling.janus import JanusTables, janus_sample
 
 __all__ = [
@@ -16,6 +18,7 @@ __all__ = [
     "SamplerState",
     "sample",
     "make_sampler_state",
+    "make_seeded_state",
     "JanusTables",
     "janus_sample",
 ]

@@ -33,6 +33,7 @@ from booster_tpu.sampling import (
     SamplingParams,
     janus_sample,
     make_sampler_state,
+    make_seeded_state,
 )
 from booster_tpu.sampling.samplers import (
     accept_token,
@@ -1214,13 +1215,15 @@ class Engine:
             )
 
         cache = self._new_cache(dense=True)
-        state = make_sampler_state(
+        # state init + prompt seeding fused into one dispatch (TTFT: the
+        # unfused pair issued ~6 tunnel round-trips before prefill could
+        # start); prompt seeding = bridge.cpp:618 parity
+        state = make_seeded_state(
             self.max_batch,
             max(self.history_window, sampling.penalty_last_n, sampling.janus_depth),
-            seed=sampling.seed if sampling.seed >= 0 else int(time.time_ns() % (1 << 31)),
+            sampling.seed if sampling.seed >= 0 else int(time.time_ns() % (1 << 31)),
+            prompt_ids,
         )
-        # seed penalty history with the prompt (bridge.cpp:618 parity)
-        state = seed_prompt_row(state, 0, prompt_ids)
         use_cfg = sampling.cfg_scale != 1.0
         gcache = None
         neg_ids: list[int] = []

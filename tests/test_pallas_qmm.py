@@ -429,3 +429,52 @@ def test_mlp_fused_affine_mins(M):
     want = _mlp_unfused(x, qt_gu, qt_d, "silu")
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("fmt,kind", [
+    (GGMLType.Q4_0, "i4t"),
+    (GGMLType.Q4_K, "i4t"),
+    (GGMLType.Q8_0, "i8t"),
+    (GGMLType.Q5_K, "i8t"),
+])
+def test_tqmm_group_dot_vs_dequant_kernels(fmt, kind, monkeypatch):
+    """The M=1 group-dot path (raw-payload dots + per-group f32 rescale)
+    agrees with the dequant kernels — allclose, not bit-equal: the group
+    partials are exact integer dots so the gd form is MORE accurate."""
+    N, K = 256, 512
+    qt = transpose_qtensor(make_qt_host(fmt, N, K)).astype_device()
+    x = jnp.asarray(RNG.standard_normal((1, K)).astype(np.float32))
+    monkeypatch.setattr(pq, "_GROUP_DOT", True)
+    got_gd = np.asarray(pq.qmm(x, qt))
+    monkeypatch.setattr(pq, "_GROUP_DOT", False)
+    got_dq = np.asarray(pq.qmm(x, qt))
+    np.testing.assert_allclose(got_gd, got_dq, atol=0.05, rtol=0.05)
+    want = np.asarray(reference(x, qt))
+    assert (np.abs(got_gd - want).mean()
+            <= np.abs(got_dq - want).mean() + 1e-3)
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_0, GGMLType.Q4_K,
+                                 GGMLType.Q8_0, GGMLType.Q5_K])
+def test_tqmm_group_dot_stacked_m1(fmt):
+    """M=1 stacked layer views through the group-dot kernels (the serving
+    decode hot path: scalar-prefetch layer select + gd)."""
+    from booster_tpu.models.loader import _stack_qtensors
+
+    N, K, L = 256, 512, 3
+    qts = [make_qt_host(fmt, N, K) for _ in range(L)]
+    stacked = transpose_qtensor(prepare_kernel_scales(_stack_qtensors(qts)))
+    dev = stacked.astype_device()
+    x = jnp.asarray(RNG.standard_normal((1, K)).astype(np.float32))
+
+    import dataclasses
+
+    for i in range(L):
+        view = dataclasses.replace(dev, layer=jnp.int32(i))
+        got = np.asarray(pq.qmm(x, view))
+        # the unstacked gd kernel on the same layer: identical math
+        want = np.asarray(pq.qmm(
+            x,
+            transpose_qtensor(prepare_kernel_scales(qts[i])).astype_device()))
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6,
+                                   err_msg=f"layer {i}")

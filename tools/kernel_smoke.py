@@ -119,6 +119,8 @@ def _s_tqmm_i4t():
     from booster_tpu.gguf.constants import GGMLType
     _qmm_case(GGMLType.Q4_0, True)
     _qmm_case(GGMLType.Q4_K, True)  # affine mins
+    _qmm_case(GGMLType.Q4_0, True, M=1)  # M=1 = group-dot path
+    _qmm_case(GGMLType.Q4_K, True, M=1)
 
 
 @smoke("tqmm_i8t")
@@ -127,6 +129,8 @@ def _s_tqmm_i8t():
     _qmm_case(GGMLType.Q8_0, True)
     _qmm_case(GGMLType.Q6_K, True)
     _qmm_case(GGMLType.Q5_K, True)  # i8 payload with affine mins (min-dot)
+    _qmm_case(GGMLType.Q8_0, True, M=1)  # M=1 = group-dot path
+    _qmm_case(GGMLType.Q5_K, True, M=1)
 
 
 @smoke("tqmm_large_m")
@@ -147,14 +151,17 @@ def _s_tqmm_stacked():
     N, K, L = 256, 512, 3
     for fmt in (GGMLType.Q4_0, GGMLType.Q8_0, GGMLType.Q4_K):
         qt = _make_qt(fmt, N, K, transposed=True, stack=L)
-        x = jnp.asarray(RNG.standard_normal((4, K)).astype(np.float32))
-        for lay in (0, L - 1):
-            view = dataclasses.replace(qt, layer=jnp.int32(lay))
-            got = pq.qmm(x, view)
-            one = dataclasses.replace(
-                qt, qw=qt.qw[lay], scales=qt.scales[lay],
-                mins=None if qt.mins is None else qt.mins[lay], layer=None)
-            _close(got, _qt_ref(x, one), what=f"stacked {fmt} layer {lay}")
+        for m in (4, 1):  # m=1 exercises the stacked group-dot path
+            x = jnp.asarray(RNG.standard_normal((m, K)).astype(np.float32))
+            for lay in (0, L - 1):
+                view = dataclasses.replace(qt, layer=jnp.int32(lay))
+                got = pq.qmm(x, view)
+                one = dataclasses.replace(
+                    qt, qw=qt.qw[lay], scales=qt.scales[lay],
+                    mins=None if qt.mins is None else qt.mins[lay],
+                    layer=None)
+                _close(got, _qt_ref(x, one), atol=8e-2,
+                       what=f"stacked {fmt} M={m} layer {lay}")
 
 
 @smoke("i8c")
@@ -184,14 +191,16 @@ def _s_gateup():
         w = RNG.standard_normal((N2, K)).astype(np.float32) * 0.1
         qt = transpose_qtensor(prepare_kernel_scales(
             repack_gguf_tensor(quantize(w, fmt), fmt, (N2, K)))).astype_device()
-        x = jnp.asarray(RNG.standard_normal((8, K)).astype(np.float32))
-        got = pq.qmm_gateup(x, qt, "silu")
-        assert got is not None, f"qmm_gateup declined {fmt}"
-        y = _qt_ref(x, qt)
-        g, u = y[:, : N2 // 2], y[:, N2 // 2:]
-        want = (g * jax.nn.sigmoid(g)) * u
-        # product of two bf16-dequant matmuls: compounded rounding
-        _close(got, want, atol=0.25, rtol=0.1, what=f"gateup {fmt}")
+        for m in (8, 1):  # m=1 exercises the group-dot gateup kernels
+            x = jnp.asarray(RNG.standard_normal((m, K)).astype(np.float32))
+            got = pq.qmm_gateup(x, qt, "silu")
+            assert got is not None, f"qmm_gateup declined {fmt}"
+            y = _qt_ref(x, qt)
+            g, u = y[:, : N2 // 2], y[:, N2 // 2:]
+            want = (g * jax.nn.sigmoid(g)) * u
+            # product of two bf16-dequant matmuls: compounded rounding
+            _close(got, want, atol=0.25, rtol=0.1,
+                   what=f"gateup {fmt} M={m}")
 
 
 @smoke("mlp_fused")
